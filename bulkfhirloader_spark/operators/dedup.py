@@ -1,0 +1,287 @@
+"""Deduplication operators: exact, normalized-exact, MinHash+LSH near-dup,
+SimHash, and exact n-gram Jaccard.
+
+Scale design (the point at 100 TB):
+- Exact dedup is a content-hash groupBy — one shuffle keyed on the hash, so
+  perfectly balanced regardless of key skew in the natural keys.
+- MinHash+LSH is the standard shingle → K minhashes → B bands → bucket join
+  pipeline: the only pairwise work happens inside LSH buckets, so cost is
+  ~linear in corpus size instead of O(n²).  Everything below is built-in
+  expressions (xxhash64 + affine permutations) — no Python UDFs, no MLlib
+  dependency, deterministic given the seed constants.
+- SimHash packs token hashes into one 64-bit signature per doc; near-dup
+  candidates are signatures equal on rotated bands (Hamming-ball probing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.operators.text import normalize_text, tokens
+
+# Affine-permutation constants for MinHash: h_i(x) = (a_i * x + b_i) mod P.
+# Deterministic (seeded) so tests and reruns agree.
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def _permutation_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    # Simple deterministic LCG over the seed — avoids importing numpy's RNG
+    # into the executor path; constants are computed once on the driver.
+    consts = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = state % (MERSENNE_PRIME - 1) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_PRIME
+        consts.append((a, b))
+    return consts
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = False
+) -> DataFrame:
+    """Exact duplicate groups by content hash: keep the minimum id per
+    group (deterministic survivor), report group size.
+
+    Grouping on sha2(text) rather than the raw text keeps shuffle rows
+    narrow (64 hex chars, not document bodies) — the difference between a
+    shuffle of 100 TB and a shuffle of ~6 GB per 100M docs.
+    """
+    content = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        docs.select(F.sha2(content, 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a document, as an array column."""
+    toks = tokens(normalize_text(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """One row per doc with an array<long> MinHash signature.
+
+    Plan shape: explode shingles → xxhash64 base hash → groupBy(doc) with
+    ``num_hashes`` min() aggregates (map-side partial min makes the shuffle
+    tiny: K longs per doc regardless of document size).
+    """
+    consts = _permutation_constants(num_hashes)
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
+    ).select(
+        id_col,
+        # pmod keeps the affine hash non-negative; xxhash64 is 64-bit signed.
+        *[
+            F.pmod(F.xxhash64("shingle") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(consts)
+        ],
+    )
+    agg = exploded.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + MinHash Jaccard estimate.
+
+    bands × rows_per_band = num_hashes; a pair collides if any band's
+    signature slice matches exactly.  The band bucket join is an equi join
+    on (band_index, band_hash) — shuffle keys are uniform hashes, so no
+    skew even on pathological corpora.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_words)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(len(range(num_hashes))))
+    return (
+        cand.select("id_a", "id_b", est.alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    This is the exact (quadratic-in-collisions) baseline the MinHash path
+    approximates; at scale you run it only on LSH candidates.  Shape:
+    explode distinct shingles → self equi join on shingle → pair-count
+    (intersection) → join per-doc sizes → Jaccard.
+    """
+    sized = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+    ).select(id_col, "shingles", F.size("shingles").alias("n_shingles"))
+    expl = sized.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
+
+    a = expl.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"), "shingle"
+    )
+    b = expl.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return inter.select(
+        "id_a", "id_b", F.col("n_inter"), jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per token hash, add ±1 to each bit plane weighted by
+    occurrence; sign of each plane's sum forms the signature.
+
+    Implemented as pure array expressions: tokens → xxhash64 → per-bit
+    contribution arrays → element-wise sum via aggregate/zip_with → bit
+    packing.  One narrow projection, no shuffle.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    # For each token, an array of ±1 per bit; accumulate element-wise.
+    contrib = F.transform(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda i: F.when(
+                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    sums = F.aggregate(
+        contrib,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, i: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidates: docs whose signatures agree on at least
+    one 16-bit band (pigeonhole: any pair within Hamming distance 3 of a
+    64-bit signature shares one of 4 bands), verified by exact Hamming
+    distance ≤ max_hamming."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

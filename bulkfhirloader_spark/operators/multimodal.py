@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design: image/audio/video payloads travel as ``binary`` columns (or object
+store path pointers for >~1 MB payloads) with a sibling metadata struct;
+decode / feature-extraction runs as Arrow-batched pandas iterators
+(mapInPandas), which is the supported way to run per-record Python at
+cluster scale without row-at-a-time serialization.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_stub`` produces deterministic fake features so the
+Spark-side plumbing — schema, batching, partitioning — is real and tested;
+swap `_decode_batch` for a real decoder (PIL/librosa/ffmpeg) in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as an opaque media payload —
+    exercises the binary-column path against real testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass: byte length + content hash, no decode.
+    This is the cheap pre-filter you run before shipping bytes to Python."""
+    return media.select(
+        "media_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB decoder: deterministic fake 8-dim feature from payload bytes.
+
+    Production: replace with e.g. PIL.Image.open(io.BytesIO(b)) → resize →
+    np.asarray; the mapInPandas contract (Arrow batches in/out) is unchanged.
+    """
+    feats = []
+    for b in pdf["payload"]:
+        b = bytes(b or b"")
+        # deterministic fake: byte-histogram moments over 8 buckets
+        buckets = [0] * 8
+        for byte in b[:4096]:
+            buckets[byte % 8] += 1
+        total = max(sum(buckets), 1)
+        feats.append([float(c) / total for c in buckets])
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"],
+            "n_bytes": [len(bytes(b or b"")) for b in pdf["payload"]],
+            "feature": feats,
+        }
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction via mapInPandas (the scale path for
+    per-record Python).  Batch size is governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """Real image decode is NOT available in this container."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; use extract_features (stub) for the plumbing"
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- ``cosine_topk_bruteforce`` — exact: broadcast the (small) query set against
+  the candidate corpus, score with built-in higher-order functions, take
+  top-k per query with a window.  At 100 TB this is a single broadcast
+  nested-loop pass over the corpus — embarrassingly parallel, no shuffle of
+  the corpus itself; the only shuffle is the tiny per-query top-k.
+- ``cosine_topk_lsh`` — approximate: random-hyperplane LSH bucketing
+  (deterministic seeded planes), exact re-scoring inside buckets.  Trades
+  recall for touching ~1/2^bits of the corpus per query.
+
+All scoring is in DOUBLE with a left-to-right fold so results are
+deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    The query side is broadcast (queries are user requests — thousands at
+    most); the candidate corpus streams through in place.  Tie-break on
+    candidate id keeps ranking deterministic.
+    """
+    joined = candidates.crossJoin(F.broadcast(queries)).filter(
+        F.col(query_id) != F.col(cand_id)
+    )
+    scored = joined.select(
+        F.col(query_id),
+        F.col(cand_id),
+        cosine(F.col(query_vec), F.col(cand_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "score", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny)."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+            # map to roughly-uniform [-1, 1)
+            row.append(state / float(1 << 62) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket by hyperplane signs, exact cosine within the
+    query's bucket.  Multi-probing (flipping one bit) widens recall; the
+    bucket join is an equi join on a uniform hash — no skew.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    cand_b = candidates.withColumn("bucket", lsh_bucket(F.col(cand_vec), planes))
+    # multi-probe: the query's own bucket plus every 1-bit flip
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ],
+    )
+    q_b = (
+        queries.withColumn("bucket", lsh_bucket(F.col(query_vec), planes))
+        .withColumn("probe", F.explode(probe_buckets))
+        .drop("bucket")
+    )
+    joined = cand_b.join(
+        F.broadcast(q_b), cand_b["bucket"] == q_b["probe"]
+    ).filter(F.col(query_id) != F.col(cand_id))
+    scored = joined.select(
+        F.col(query_id),
+        F.col(cand_id),
+        cosine(F.col(query_vec), F.col(cand_vec)).alias("score"),
+    ).dropDuplicates([query_id, cand_id])
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "score", "rank")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for the documents table.
+
+All pure Catalyst expressions (no Python UDFs): tokenization, term counts,
+quality scoring, language-ID heuristics, fingerprinting.  At 100 TB these
+stay inside whole-stage codegen; the only shuffle is the final groupBy where
+one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\S+"
+
+# Tiny embedded stopword lists for the language-ID heuristic.  A production
+# system would broadcast a real lexicon table; the operator shape (explode →
+# broadcast join → groupBy argmax) is identical.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "los"],
+    "fr": ["le", "la", "de", "et", "que", "les", "des"],
+    "de": ["der", "die", "das", "und", "zu", "den", "von"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization via regexp extraction — identical semantics
+    to DuckDB regexp_extract_all, so oracle-checkable."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_PATTERN))
+
+
+def term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus term frequencies: explode tokens → groupBy(term).
+    Map-side partial aggregation makes this a single small shuffle even when
+    the exploded row count is ~100× the document count."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+
+
+def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, char stats, punctuation
+    and stopword ratios.  Narrow (no shuffle): one projection."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: score each language by
+    stopword hits in the token stream; argmax wins, 'und' when no hits.
+    Pure expressions — the per-language scores are independent array
+    filters over one tokenization."""
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        wl = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        F.col(id_col),
+        F.col("lang").alias("lang_declared"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapse + lowercase canonical form (shared by
+    fingerprinting and normalized dedup)."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (oracle-checkable)
+    plus a 64-bit polynomial rolling hash over tokens (Spark-side;
+    xxhash64-seeded) for cheap streaming-style identity."""
+    norm = normalize_text(F.col(text_col))
+    rolling = F.aggregate(
+        tokens(norm),
+        F.lit(1469598103934665603).cast("long"),  # FNV offset basis
+        lambda acc, t: acc * F.lit(1099511628211).cast("long") + F.xxhash64(t),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        rolling.alias("fp_rolling64"),
+    )
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token estimate: word-boundary/punctuation regex split, the
+    standard cheap proxy for LLM token budgeting."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+    )

@@ -1,0 +1,41 @@
+"""Testdata / dimension table sources.
+
+Relational dim scans in the reference (S3/S4, main.go:137-202) read Postgres
+into driver-side hash maps that are then replicated to every worker by
+closure capture (main.go:108).  The Spark-native equivalent is: read the dim
+as a DataFrame (JDBC in prod, parquet in tests) and let the planner
+broadcast it — small dims never shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bulkfhirloader_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view for spark.sql use."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_dim_jdbc(
+    spark: SparkSession, url: str, table: str, properties: dict[str, str] | None = None
+) -> DataFrame:
+    """Production dim scan (S3/S4): one small JDBC read on the driver side of
+    the plan; callers wrap in F.broadcast for the J1/J2 joins."""
+    return spark.read.jdbc(url, table, properties=properties or {})
