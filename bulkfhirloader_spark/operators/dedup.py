@@ -22,7 +22,11 @@ from bulkfhirloader_spark.operators.text import normalize_text, tokens
 
 # Affine-permutation constants for MinHash: h_i(x) = (a_i * x + b_i) mod P.
 # Deterministic (seeded) so tests and reruns agree.
-MERSENNE_PRIME = (1 << 61) - 1
+#
+# All values are sized so the arithmetic stays inside int64 even under ANSI
+# mode (Spark 4's default — overflow throws, it does not wrap): the base hash
+# x is reduced to 32 bits, a < 2^30, b < 2^31, so a*x + b < 2^62 + 2^31.
+MERSENNE_PRIME = (1 << 31) - 1
 
 
 def _permutation_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -32,7 +36,7 @@ def _permutation_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, i
     state = seed
     for _ in range(num_hashes):
         state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        a = state % (MERSENNE_PRIME - 1) + 1
+        a = state % ((1 << 30) - 1) + 1
         state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
         b = state % MERSENNE_PRIME
         consts.append((a, b))
@@ -91,11 +95,13 @@ def minhash_signatures(
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
     ).select(
         id_col,
-        # pmod keeps the affine hash non-negative; xxhash64 is 64-bit signed.
+        # Reduce the signed 64-bit xxhash64 to a non-negative 32-bit base
+        # first, so a*x + b cannot overflow int64 under ANSI mode.
+        F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("hx"),
+    ).select(
+        id_col,
         *[
-            F.pmod(F.xxhash64("shingle") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME)).alias(
-                f"h{i}"
-            )
+            F.pmod(F.col("hx") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME)).alias(f"h{i}")
             for i, (a, b) in enumerate(consts)
         ],
     )
@@ -215,38 +221,50 @@ def simhash_signatures(
     """64-bit SimHash: per token hash, add ±1 to each bit plane weighted by
     occurrence; sign of each plane's sum forms the signature.
 
-    Implemented as pure array expressions: tokens → xxhash64 → per-bit
-    contribution arrays → element-wise sum via aggregate/zip_with → bit
-    packing.  One narrow projection, no shuffle.
+    Plan shape mirrors minhash_signatures: explode tokens → one ±1 column per
+    bit plane (Python-int shift amounts — F.shiftright requires a literal int,
+    not a Column) → groupBy(doc) sum.  Map-side partial aggregation keeps the
+    shuffle at ``bits`` longs per doc regardless of document length; the bit
+    packing afterwards is a pure projection.
+
+    Docs with zero tokens produce no signature (SimHash is undefined there),
+    same as MinHash.
     """
-    toks = tokens(normalize_text(F.col(text_col)))
-    # For each token, an array of ±1 per bit; accumulate element-wise.
-    contrib = F.transform(
-        toks,
-        lambda t: F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda i: F.when(
-                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        ),
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+    ).select(
+        id_col,
+        *[
+            F.when(
+                F.shiftright(F.xxhash64("tok"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
     )
-    sums = F.aggregate(
-        contrib,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+    sums = exploded.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
     )
-    sig = F.aggregate(
-        F.zip_with(
-            sums,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda s, i: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    # Pack sign bits with Python-int shift literals (1 << i fits int64 for
+    # i < 63; bit 63 would be the sign bit, so signatures use bits <= 64 with
+    # the top bit contributing the int64 sign — harmless for equality/XOR).
+    sig = reduce_bitor(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ]
     )
-    return docs.select(F.col(id_col), sig.alias("simhash"))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def reduce_bitor(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
 
 
 def simhash_near_dup_pairs(

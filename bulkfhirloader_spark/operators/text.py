@@ -26,8 +26,12 @@ STOPWORDS = {
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization via regexp extraction — identical semantics
-    to DuckDB regexp_extract_all, so oracle-checkable."""
-    return F.regexp_extract_all(text, F.lit(TOKEN_PATTERN))
+    to DuckDB regexp_extract_all, so oracle-checkable.
+
+    idx=0 (whole match) is mandatory: the pattern has no capture group and
+    PySpark's default group index of 1 throws REGEX_GROUP_INDEX at runtime.
+    """
+    return F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)
 
 
 def term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -51,14 +55,18 @@ def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+    # nullif guards: an empty/whitespace-only document must yield NULL ratios,
+    # not kill the whole job under Spark 4's default ANSI DIVIDE_BY_ZERO.
+    safe_tokens = F.nullif(n_tokens, F.lit(0)).cast("double")
+    safe_chars = F.nullif(n_chars, F.lit(0)).cast("double")
     return docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_computed"),
-        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
-        (n_alpha.cast("double") / n_chars).alias("alpha_ratio"),
-        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
-        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_chars.cast("double") / safe_tokens).alias("avg_token_len"),
+        (n_alpha.cast("double") / safe_chars).alias("alpha_ratio"),
+        (n_punct.cast("double") / safe_chars).alias("punct_ratio"),
+        (n_stop.cast("double") / safe_tokens).alias("stopword_ratio"),
     )
 
 
@@ -94,18 +102,24 @@ def normalize_text(text: Column) -> Column:
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of the normalized text (oracle-checkable)
-    plus a 64-bit polynomial rolling hash over tokens (Spark-side;
-    xxhash64-seeded) for cheap streaming-style identity."""
+    plus a 31-bit polynomial rolling hash over tokens (xxhash64-seeded) for
+    cheap streaming-style identity.
+
+    The rolling hash is kept strictly in int64 range so it cannot overflow
+    under ANSI mode (Spark 4's default): acc < 2^31-1, multiplier ~2^20,
+    token hash reduced to 31 bits → acc*m + h < 2^52 before the mod.
+    """
     norm = normalize_text(F.col(text_col))
+    p = F.lit(2147483647)  # 2^31 - 1 (Mersenne prime)
     rolling = F.aggregate(
         tokens(norm),
-        F.lit(1469598103934665603).cast("long"),  # FNV offset basis
-        lambda acc, t: acc * F.lit(1099511628211).cast("long") + F.xxhash64(t),
+        F.lit(18652614).cast("long"),  # FNV-1a 32-bit basis mod p
+        lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(t), p), p),
     )
     return docs.select(
         F.col(id_col),
         F.md5(norm).alias("fp_md5"),
-        rolling.alias("fp_rolling64"),
+        rolling.alias("fp_rolling"),
     )
 
 
@@ -113,5 +127,5 @@ def token_count_bpe_ish(text: Column) -> Column:
     """BPE-ish token estimate: word-boundary/punctuation regex split, the
     standard cheap proxy for LLM token budgeting."""
     return F.size(
-        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
     )

@@ -12,13 +12,31 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bulkfhirloader_spark.schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-generated parquet table (TESTDATA.md)."""
+    if name == "events":
+        return load_events(spark, os.path.join(sf_dir, "events.parquet"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """The events table is written with INT64 TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on — a runtime-settable conf.
+    Read ts as raw nanos and truncate to microseconds, which is exactly what
+    DuckDB does when it reads the same file (its TIMESTAMP is µs), so oracle
+    comparisons agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # `div` is exact integral division on longs; `/` would round-trip through
+    # double and lose sub-µs precision on ~1.7e18 nanosecond epochs.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
