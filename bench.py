@@ -1,0 +1,76 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect of the small
+result).  A warmup query first touches every table so JVM/codegen startup
+is not attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bulkfhirloader_spark.queries.registry import REGISTRY
+from bulkfhirloader_spark.session import get_spark
+
+HEADLINE = [
+    "q1_lineitem_pricing",
+    "q3_top_unshipped_orders",
+    "q5_supplier_volume",
+    "ref_a1_population_facts",
+    "ref_a2_disease_facts",
+    "ext_topk_customers_by_nation",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality_stats",
+    "sim_topk_bruteforce",
+    "win_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="bulkfhirloader-bench")
+
+    # Warmup: force JVM + codegen + parquet footer reads outside the timings.
+    from bulkfhirloader_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,10 +63,12 @@ def gender_flag(gender: Column, value: str) -> Column:
 
 
 def first_element(col: Column) -> Column:
-    """F6 — first-element-only access (Address[0], Coding[0]；
-    bundle.go:92, bundle.go:102).  element_at(_, 1) is NULL-safe for
-    empty/NULL arrays, matching the Go nil-check guards."""
-    return F.element_at(col, 1)
+    """F6 — first-element-only access (Address[0], Coding[0];
+    bundle.go:92, bundle.go:102).  try_element_at returns NULL for
+    empty/NULL arrays (matching the Go nil-check guards) — plain
+    element_at THROWS on empty arrays under Spark 4's default ANSI mode,
+    which would let one address-less patient kill a full ingest."""
+    return F.try_element_at(col, F.lit(1))
 
 
 # F7 — resource type → Mongo collection name (bundle.go:80).  The expected

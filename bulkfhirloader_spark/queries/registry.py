@@ -1,0 +1,1005 @@
+"""The oracle-checked query registry.
+
+Every implemented operator from SURVEY.md §2 (reference parity, cited into
+/root/reference) and the extension operators (dedup / similarity / text /
+windows / multimodal) gets one entry here: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus, where ANSI-SQL-expressible, an
+equivalent DuckDB SQL string run against the same parquet tables.  The driver
+hash-compares the two (row count + schema + order-insensitive value hash), so
+every output column is aliased identically on both sides and typed to be
+hash-stable across engines:
+
+- money aggregates as exact integer cents (double sums are order-dependent);
+- counts/sizes cast to BIGINT on both sides (DuckDB sum() yields HUGEINT,
+  Spark F.size yields INT — both normalized);
+- window starts as epoch BIGINTs (timestamp serialization differs);
+- cosine scores rounded to 6 decimals (both engines compute in double).
+
+Reference-parity queries re-express the reference's dataflow shapes
+(main.go / bulkloader/db.go / bulkloader/bundle.go) over the driver's
+TPC-H-ish tables per FIXTURES.md §1: A1–A3 ⇔ orders/lineitem group-bys with
+conditional sums, J1/J2 ⇔ broadcast left joins, P1 ⇔ null-coalescing boolean
+filters, F-ops over orders columns.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.functions.scalars import (
+    alive_filter,
+    collection_name,
+    deterministic_id,
+    gender_flag,
+    make_reference,
+    money_cents,
+    null_default,
+    strip_cid_prefix,
+    strip_suffix_case,
+)
+from bulkfhirloader_spark.operators import dedup, multimodal, similarity, text, windows
+from bulkfhirloader_spark.operators.text import STOPWORDS
+from bulkfhirloader_spark.sources.tables import load_table
+
+
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone so date extraction is engine-independent
+    (DuckDB treats the naive parquet timestamps as wall-clock; Spark applies
+    the session zone — UTC makes them agree).  Runtime-settable, idempotent,
+    works on the driver-provided session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _sql_stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+# The tri-state "deceased" analog used by the P1/A1 reference-shape queries:
+# orders have no nullable boolean, so derive one — 'F' ⇒ true, 'P' ⇒ NULL
+# (the Mongo-absent case, db.go:94-97), 'O' ⇒ false.
+def _deceased_col():
+    return (
+        F.when(F.col("o_orderstatus") == "F", F.lit(True))
+        .when(F.col("o_orderstatus") == "P", F.lit(None).cast("boolean"))
+        .otherwise(F.lit(False))
+    )
+
+
+_DECEASED_SQL = (
+    "CASE WHEN o_orderstatus = 'F' THEN true "
+    "WHEN o_orderstatus = 'P' THEN NULL ELSE false END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity — stats pipelines (A1–A5, P1–P3, F5; db.go:79-358)
+# ---------------------------------------------------------------------------
+
+
+def ref_a1_population_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/P1/P3/F5 (db.go:79-167): $match alive → $project conditional flags
+    → $group 2 keys with count + conditional sums.  Broadcast the customer
+    dim (J4-shaped pairing)."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    alive = orders.withColumn("deceased", _deceased_col()).filter(
+        alive_filter(F.col("deceased"))
+    )
+    j = alive.join(F.broadcast(customer), alive.o_custkey == customer.c_custkey, "left")
+    flagged = j.withColumn("male", gender_flag(F.col("c_mktsegment"), "BUILDING")).withColumn(
+        "female", gender_flag(F.col("c_mktsegment"), "AUTOMOBILE")
+    )
+    return (
+        flagged.groupBy(
+            F.col("c_nationkey").alias("cs_fips"), F.col("o_orderpriority").alias("age_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pop"),
+            F.sum("male").cast("long").alias("pop_male"),
+            F.sum("female").cast("long").alias("pop_female"),
+        )
+    )
+
+
+_REF_A1_SQL = f"""
+SELECT c_nationkey AS cs_fips, o_orderpriority AS age_id,
+       count(*) AS pop,
+       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS pop_male,
+       CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS pop_female
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE NOT coalesce({_DECEASED_SQL}, false)
+GROUP BY 1, 2
+"""
+
+
+def ref_a2_disease_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (db.go:171-262): per-order distinct id sets (A4, bundle.go:24-51) →
+    $unwind → $match > N → $group 2 keys + conditional sums."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sets = lineitem.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("uniquediseases")
+    )
+    rs = orders.join(sets, orders.o_orderkey == sets.l_orderkey).join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    )
+    expl = (
+        rs.withColumn("male", gender_flag(F.col("c_mktsegment"), "BUILDING"))
+        .withColumn("female", gender_flag(F.col("c_mktsegment"), "AUTOMOBILE"))
+        .select(
+            "o_orderpriority",
+            "male",
+            "female",
+            F.explode("uniquediseases").alias("disease_id"),
+        )
+        .filter(F.col("disease_id") > 2)
+    )
+    return expl.groupBy("disease_id", F.col("o_orderpriority").alias("age_id")).agg(
+        F.count(F.lit(1)).alias("pop"),
+        F.sum("male").cast("long").alias("pop_male"),
+        F.sum("female").cast("long").alias("pop_female"),
+    )
+
+
+_REF_A2_SQL = """
+WITH sets AS (SELECT l_orderkey, list(DISTINCT l_suppkey) AS ud FROM lineitem GROUP BY 1),
+ex AS (SELECT o_orderpriority, c_mktsegment, unnest(ud) AS disease_id
+       FROM orders JOIN sets ON o_orderkey = l_orderkey
+       LEFT JOIN customer ON o_custkey = c_custkey)
+SELECT disease_id, o_orderpriority AS age_id, count(*) AS pop,
+       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS pop_male,
+       CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS pop_female
+FROM ex WHERE disease_id > 2 GROUP BY 1, 2
+"""
+
+
+def ref_a3_condition_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (db.go:266-358): same unwind shape keyed on a second derived set;
+    `% 50` produces natural zeros so the `> 0` untracked-filter semantics
+    (bundle.go:104-105, db.go:287) are genuinely exercised."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sets = (
+        lineitem.select("l_orderkey", (F.col("l_partkey") % 50).alias("cid"))
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("cid").alias("uniqueconditions"))
+    )
+    expl = (
+        orders.join(sets, orders.o_orderkey == sets.l_orderkey)
+        .select("o_orderpriority", F.explode("uniqueconditions").alias("condition_id"))
+        .filter(F.col("condition_id") > 0)
+    )
+    return expl.groupBy("condition_id", F.col("o_orderpriority").alias("age_id")).agg(
+        F.count(F.lit(1)).alias("pop")
+    )
+
+
+_REF_A3_SQL = """
+WITH sets AS (SELECT l_orderkey, list(DISTINCT l_partkey % 50) AS uc FROM lineitem GROUP BY 1),
+ex AS (SELECT o_orderpriority, unnest(uc) AS condition_id
+       FROM orders JOIN sets ON o_orderkey = l_orderkey)
+SELECT condition_id, o_orderpriority AS age_id, count(*) AS pop
+FROM ex WHERE condition_id > 0 GROUP BY 1, 2
+"""
+
+
+def ref_a4_distinct_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (bundle.go:24-51): per-group sorted distinct sets; serialized to a
+    comma string so the value hash is engine-independent."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_set("l_suppkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("supp_set")
+    )
+
+
+_REF_A4_SQL = """
+SELECT l_orderkey, array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supp_set
+FROM lineitem GROUP BY 1
+"""
+
+
+def ref_a5_record_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (main.go:103, main.go:285): global record counter."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_records"))
+
+
+_REF_A5_SQL = "SELECT count(*) AS n_records FROM lineitem"
+
+
+def ref_p1_alive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (db.go:93-98): missing-OR-false null-coalescing boolean filter,
+    standalone.  NULL ('P') rows must survive; true ('F') rows must not."""
+    orders = load_table(spark, sf_dir, "orders")
+    alive = orders.withColumn("deceased", _deceased_col()).filter(
+        alive_filter(F.col("deceased"))
+    )
+    return alive.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+_REF_P1_SQL = f"""
+SELECT o_orderstatus, count(*) AS n
+FROM orders WHERE NOT coalesce({_DECEASED_SQL}, false)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference parity — joins (J1/J2, bundle.go:94-105)
+# ---------------------------------------------------------------------------
+
+
+def ref_j1_dim_join_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (bundle.go:94-95): broadcast left dim join where a missing key
+    yields the zero-value default (''), never drops the row — the
+    unknown-city ⇒ empty-FIPS gotcha (SURVEY §4.3 #4).  The dim is filtered
+    so some keys genuinely miss."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20)
+    region = load_table(spark, sf_dir, "region")
+    j = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left"
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+    return j.groupBy(
+        F.coalesce(F.col("n_name"), F.lit("")).alias("nation_name"),
+        F.coalesce(F.col("r_name"), F.lit("")).alias("region_name"),
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_REF_J1_SQL = """
+SELECT coalesce(n_name, '') AS nation_name, coalesce(r_name, '') AS region_name,
+       count(*) AS n_customers
+FROM customer
+LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def ref_j2_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (bundle.go:104-105): broadcast left join on a composite
+    (system, code)-style key with missing ⇒ id 0 (na.fill, main.go:174
+    semantics).  Dim built from a subset so misses occur."""
+    part = load_table(spark, sf_dir, "part")
+    dim = (
+        part.filter(F.col("p_size") > 10)
+        .groupBy("p_brand", "p_type")
+        .agg(F.min("p_partkey").alias("dim_id"))
+    )
+    j = part.join(F.broadcast(dim), ["p_brand", "p_type"], "left").na.fill({"dim_id": 0})
+    return j.groupBy("dim_id").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+_REF_J2_SQL = """
+WITH dim AS (SELECT p_brand, p_type, min(p_partkey) AS dim_id
+             FROM part WHERE p_size > 10 GROUP BY 1, 2)
+SELECT coalesce(dim_id, 0) AS dim_id, count(*) AS n_parts
+FROM part LEFT JOIN dim USING (p_brand, p_type)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference parity — scalar functions (F1–F10, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+def ref_f_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 suffix-strip CASE, F2 null default, F5 conditional flag, F8
+    deterministic id, F9 cid-prefix strip, F10 reference construction —
+    one projection over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        strip_suffix_case(F.col("o_orderpriority"), " SPECIFIED").alias("f1_stripped"),
+        null_default(F.nullif(F.col("o_orderstatus"), F.lit("P")), "X").alias("f2_defaulted"),
+        gender_flag(F.col("o_orderstatus"), "O").alias("f5_flag"),
+        deterministic_id(F.col("o_orderkey").cast("string"), F.col("o_orderpriority")).alias(
+            "f8_id"
+        ),
+        strip_cid_prefix(F.concat(F.lit("cid:"), F.col("o_orderstatus"))).alias("f9_ref"),
+        make_reference(F.col("o_orderstatus"), F.col("o_orderkey").cast("string")).alias(
+            "f10_ref"
+        ),
+    )
+
+
+_REF_F_SCALARS_SQL = """
+SELECT o_orderkey,
+       CASE WHEN right(o_orderpriority, 10) = ' SPECIFIED'
+            THEN substring(o_orderpriority, 1, length(o_orderpriority) - 10)
+            ELSE o_orderpriority END AS f1_stripped,
+       coalesce(nullif(o_orderstatus, 'P'), 'X') AS f2_defaulted,
+       CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS f5_flag,
+       sha256(CAST(o_orderkey AS VARCHAR) || '|' || o_orderpriority) AS f8_id,
+       regexp_replace('cid:' || o_orderstatus, '^cid:', '') AS f9_ref,
+       o_orderstatus || '/' || CAST(o_orderkey AS VARCHAR) AS f10_ref
+FROM orders
+"""
+
+
+def ref_f3_age_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (bundle.go:54-60): completed years of age at a pinned as-of date.
+    Implemented with the explicit year/month-day comparison (identical
+    semantics in both engines; months_between has engine-specific leap-day
+    edge rules)."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    age = (
+        F.lit(2002)
+        - F.year(d)
+        - F.when((F.month(d) * 100 + F.dayofmonth(d)) > F.lit(601), 1).otherwise(0)
+    ).cast("int")
+    return orders.select(age.alias("age")).groupBy("age").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_REF_F3_SQL = """
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS bd FROM orders)
+SELECT CAST(2002 - date_part('year', bd)
+       - CASE WHEN date_part('month', bd) * 100 + date_part('day', bd) > 601
+              THEN 1 ELSE 0 END AS INTEGER) AS age,
+       count(*) AS n
+FROM d GROUP BY 1
+"""
+
+
+def ref_f7_collection_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (bundle.go:80): type name → pluralized lowercase collection name."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type")
+        .distinct()
+        .select("event_type", collection_name(F.col("event_type")).alias("collection"))
+    )
+
+
+_REF_F7_SQL = """
+SELECT DISTINCT event_type, lower(event_type) || 's' AS collection FROM events
+"""
+
+
+def ref_k1_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 (bundle.go:111-120): per-type routed bulk write, Spark-native form —
+    partitionBy(...) parquet sink, then read back.  The oracle checks the
+    round-trip preserved every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="bfls_k1_")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_REF_K1_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1"
+
+
+# ---------------------------------------------------------------------------
+# Engine-surface extensions the reference lacks (SURVEY §2.5/§2.6: rollup,
+# cube, set ops, window top-k) — free in Spark, exposed as queries
+# ---------------------------------------------------------------------------
+
+
+def ext_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_EXT_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def ext_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_EXT_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def ext_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer keys with and without orders."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ordered = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    n_with = customer.intersect(ordered).agg(F.count(F.lit(1)).alias("n_with_orders"))
+    n_without = customer.exceptAll(ordered.distinct()).agg(
+        F.count(F.lit(1)).alias("n_without_orders")
+    )
+    return n_with.crossJoin(n_without)
+
+
+_EXT_SETOPS_SQL = """
+SELECT
+  (SELECT count(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_with_orders,
+  (SELECT count(*) FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_without_orders
+"""
+
+
+def ext_topk_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: top 3 customers by exact-cents spend per nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(money_cents(F.col("o_totalprice"))).alias("spend_cents")
+    )
+    j = customer.join(spend, customer.c_custkey == spend.o_custkey)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("spend_cents"), F.col("c_custkey"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "spend_cents", "rnk")
+    )
+
+
+_EXT_TOPK_SQL = """
+WITH spend AS (SELECT o_custkey,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+               FROM orders GROUP BY 1),
+r AS (SELECT c_nationkey, c_custkey, spend_cents,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY spend_cents DESC, c_custkey) AS INTEGER) AS rnk
+      FROM customer JOIN spend ON c_custkey = o_custkey)
+SELECT c_nationkey, c_custkey, spend_cents, rnk FROM r WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Headline analytical queries (bench workload; TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+
+def q1_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg over the fact table, money in exact
+    cents so the hash is partition-order-independent."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(money_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(F.round(disc_price * 100).cast("long")).alias("sum_disc_cents"),
+            F.sum(F.round(charge * 100).cast("long")).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, grouped revenue, deterministic top 10."""
+    _utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    j = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+    )
+    revenue = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    ).alias("revenue_cents")
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(revenue)
+        .orderBy(F.desc("revenue_cents"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small dims broadcast, revenue per
+    nation for one year."""
+    _utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("revenue_cents")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extension — deduplication (SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+_DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, normalize=True)
+
+
+_DEDUP_EXACT_NORM_SQL = r"""
+SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_sha,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, shingle_words=3, threshold=0.5)
+
+
+_DEDUP_NGRAM_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+              FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(len(t) - 2),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM toks),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded MinHash candidates — probabilistic, rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-band candidates — probabilistic, rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Extension — text analysis (SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+def text_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.term_counts(docs)
+
+
+_TEXT_TERMS_SQL = r"""
+SELECT term, count(*) AS term_count
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
+GROUP BY 1
+"""
+
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_stats(docs)
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_computed").cast("long").alias("n_chars_computed"),
+        "avg_token_len",
+        "alpha_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+_TEXT_QUALITY_SQL = rf"""
+WITH q AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(length(text) AS DOUBLE) / nullif(len(toks), 0) AS avg_token_len,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS alpha_ratio,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
+       CAST(len(list_filter(toks, t -> list_contains({_sql_stoplist('en')}, lower(t)))) AS DOUBLE)
+           / nullif(len(toks), 0) AS stopword_ratio
+FROM q
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.language_id(docs)
+    return out.select(
+        "doc_id",
+        "lang_declared",
+        "lang_pred",
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+    )
+
+
+_TEXT_LANGID_SQL = rf"""
+WITH q AS (SELECT doc_id, lang,
+                  list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks
+           FROM documents),
+h AS (SELECT doc_id, lang,
+             len(list_filter(toks, t -> list_contains({_sql_stoplist('en')}, t))) AS h_en,
+             len(list_filter(toks, t -> list_contains({_sql_stoplist('es')}, t))) AS h_es,
+             len(list_filter(toks, t -> list_contains({_sql_stoplist('fr')}, t))) AS h_fr,
+             len(list_filter(toks, t -> list_contains({_sql_stoplist('de')}, t))) AS h_de
+      FROM q),
+m AS (SELECT doc_id, lang,
+             list_sort([{{'hits': h_en, 'lang': 'en'}}, {{'hits': h_es, 'lang': 'es'}},
+                        {{'hits': h_fr, 'lang': 'fr'}}, {{'hits': h_de, 'lang': 'de'}}])[-1] AS best
+      FROM h)
+SELECT doc_id, lang AS lang_declared,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+       CAST(best.hits AS BIGINT) AS stopword_hits
+FROM m
+"""
+
+
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp_md5")
+
+
+_TEXT_FP_SQL = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+FROM documents
+"""
+
+
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-seeded rolling hash — Spark-specific, rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs)
+
+
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.token_count_bpe_ish(F.col("text")).cast("long").alias("n_bpe")
+    )
+
+
+_TEXT_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extension — similarity search (SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return q, emb
+
+
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, emb = _query_vectors(spark, sf_dir)
+    out = similarity.cosine_topk_bruteforce(q, emb, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").alias("rnk"),
+    )
+
+
+_SIM_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (SELECT qid AS query_id, e.vec_id,
+                  list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS s
+           FROM q, embeddings e WHERE e.vec_id <> qid),
+ranked AS (SELECT query_id, vec_id, s,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS INTEGER) AS rnk
+           FROM scored)
+SELECT query_id, vec_id, round(s, 6) AS score, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN — approximate, rows-only check."""
+    q, emb = _query_vectors(spark, sf_dir)
+    return similarity.cosine_topk_lsh(q, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Extension — event-time windows + JSON scalar (events table)
+# ---------------------------------------------------------------------------
+
+
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.tumbling_counts(ev, "10 minutes")
+    return out.select(
+        F.unix_seconds(F.col("window_start")).alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+_WIN_TUMBLING_SQL = """
+SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS window_start_epoch,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.sliding_counts(ev, "10 minutes", "5 minutes")
+    return out.select(
+        F.unix_seconds(F.col("window_start")).alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+    )
+
+
+_WIN_SLIDING_SQL = """
+WITH ex AS (SELECT event_type,
+                   (CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 AS ws
+            FROM events, unnest([0, 1]) AS t(k))
+SELECT ws AS window_start_epoch, event_type, count(*) AS n_events
+FROM ex GROUP BY 1, 2
+"""
+
+
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = windows.session_stats(ev, "5 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        "n_events",
+        "value_cents",
+    )
+
+
+_WIN_SESSION_SQL = """
+WITH o AS (SELECT user_id, value, epoch_us(ts) AS e FROM events),
+m AS (SELECT user_id, value, e,
+             CASE WHEN lag(e) OVER w IS NULL OR e - lag(e) OVER w >= 300000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY e)),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY e
+                                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, CAST(min(e) AS BIGINT) AS session_start_us, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, sid
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events.props string column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select("event_id", k.alias("k_str"), k.cast("long").alias("k_val"))
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+
+def ext_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+_EXT_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1
+"""
+
+
+def ext_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct — engine-specific sketch, rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension — multimodal columns (SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    out = multimodal.payload_stats(media)
+    return out.select(
+        "media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "payload_sha256"
+    )
+
+
+_MM_PAYLOAD_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (stub decoder) —
+    rows-only check (Python-side features have no SQL analog)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_callable, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # reference parity — aggregations / filters / projections
+    "ref_a1_population_facts": (ref_a1_population_facts, _REF_A1_SQL),
+    "ref_a2_disease_facts": (ref_a2_disease_facts, _REF_A2_SQL),
+    "ref_a3_condition_facts": (ref_a3_condition_facts, _REF_A3_SQL),
+    "ref_a4_distinct_sets": (ref_a4_distinct_sets, _REF_A4_SQL),
+    "ref_a5_record_count": (ref_a5_record_count, _REF_A5_SQL),
+    "ref_p1_alive_filter": (ref_p1_alive_filter, _REF_P1_SQL),
+    # reference parity — joins
+    "ref_j1_dim_join_default": (ref_j1_dim_join_default, _REF_J1_SQL),
+    "ref_j2_composite_key_join": (ref_j2_composite_key_join, _REF_J2_SQL),
+    # reference parity — scalar functions
+    "ref_f_scalars": (ref_f_scalars, _REF_F_SCALARS_SQL),
+    "ref_f3_age_years": (ref_f3_age_years, _REF_F3_SQL),
+    "ref_f7_collection_name": (ref_f7_collection_name, _REF_F7_SQL),
+    # reference parity — sinks
+    "ref_k1_partitioned_write": (ref_k1_partitioned_write, _REF_K1_SQL),
+    # engine surface beyond the reference
+    "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),
+    "ext_cube_order_counts": (ext_cube_order_counts, _EXT_CUBE_SQL),
+    "ext_setops_customers": (ext_setops_customers, _EXT_SETOPS_SQL),
+    "ext_topk_customers_by_nation": (ext_topk_customers_by_nation, _EXT_TOPK_SQL),
+    # headline analytics (bench workload)
+    "q1_lineitem_pricing": (q1_lineitem_pricing, _Q1_SQL),
+    "q3_top_unshipped_orders": (q3_top_unshipped_orders, _Q3_SQL),
+    "q5_supplier_volume": (q5_supplier_volume, _Q5_SQL),
+    # dedup
+    "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_exact_normalized": (dedup_exact_normalized, _DEDUP_EXACT_NORM_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, _DEDUP_NGRAM_SQL),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, None),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, None),
+    # text analysis
+    "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),
+    "text_quality_stats": (text_quality_stats, _TEXT_QUALITY_SQL),
+    "text_language_id": (text_language_id, _TEXT_LANGID_SQL),
+    "text_fingerprint_md5": (text_fingerprint_md5, _TEXT_FP_SQL),
+    "text_fingerprint_rolling": (text_fingerprint_rolling, None),
+    "text_token_count_bpe": (text_token_count_bpe, _TEXT_BPE_SQL),
+    # similarity
+    "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
+    "sim_topk_lsh": (sim_topk_lsh, None),
+    # windows + events scalars
+    "win_tumbling": (win_tumbling, _WIN_TUMBLING_SQL),
+    "win_sliding": (win_sliding, _WIN_SLIDING_SQL),
+    "win_session": (win_session, _WIN_SESSION_SQL),
+    "events_json_extract": (events_json_extract, _EVENTS_JSON_SQL),
+    "ext_distinct_users_exact": (ext_distinct_users_exact, _EXT_DISTINCT_SQL),
+    "ext_approx_distinct_users": (ext_approx_distinct_users, None),
+    # multimodal
+    "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
+    "mm_extract_features": (mm_extract_features, None),
+}
+
+
+def entry_query(spark: SparkSession) -> DataFrame:
+    """Flagship query for the driver smoke check: the reference's population
+    facts pipeline shape (A1) at sf0.001."""
+    return ref_a1_population_facts(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,138 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()[name]`` on Spark and, where an ``oracle_sql()``
+entry exists, the same-named SQL on DuckDB over the same parquet files;
+compares row count, sorted column names, and an order-insensitive value
+hash (rows rendered to strings, column-sorted, row-sorted, md5).
+
+Usage: python tools/verify_local.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _render(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_render(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    rendered = sorted(
+        "\x01".join(_render(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5()
+    for line in rendered:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    results = {}
+    n_fail = 0
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.monotonic()
+        rec: dict = {}
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+            rec["spark_rows"] = len(rows)
+            rec["spark_cols"] = sorted(cols)
+            rec["spark_hash"] = value_hash(rows, cols)
+        except Exception as ex:
+            rec["error"] = f"spark: {type(ex).__name__}: {ex}"
+            traceback.print_exc(limit=3)
+            results[name] = rec
+            n_fail += 1
+            print(f"FAIL  {name}: spark error")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            rec["mode"] = "rows_only"
+            ok = rec["spark_rows"] >= 0
+            print(f"{'ok   ' if ok else 'FAIL '} {name}: rows-only, {rec['spark_rows']} rows "
+                  f"({time.monotonic()-t0:.1f}s)")
+            results[name] = rec
+            continue
+        try:
+            cur = con.execute(sql)
+            ora_cols = [d[0] for d in cur.description]
+            ora_rows = cur.fetchall()
+            rec["oracle_rows"] = len(ora_rows)
+            rec["oracle_cols"] = sorted(ora_cols)
+            rec["oracle_hash"] = value_hash(ora_rows, ora_cols)
+        except Exception as ex:
+            rec["error"] = f"duckdb: {type(ex).__name__}: {ex}"
+            results[name] = rec
+            n_fail += 1
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            continue
+        rec["rows_match"] = rec["spark_rows"] == rec["oracle_rows"]
+        rec["schema_match"] = rec["spark_cols"] == rec["oracle_cols"]
+        rec["hash_match"] = rec["spark_hash"] == rec["oracle_hash"]
+        ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        if not ok:
+            n_fail += 1
+        print(
+            f"{'ok   ' if ok else 'FAIL '} {name}: rows {rec['spark_rows']}/{rec['oracle_rows']} "
+            f"schema={'Y' if rec['schema_match'] else 'N'} hash={'Y' if rec['hash_match'] else 'N'} "
+            f"({time.monotonic()-t0:.1f}s)"
+        )
+        results[name] = rec
+
+    with open("/tmp/verify_local.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    print(f"\n{len(results)} queries, {n_fail} failing -> /tmp/verify_local.json")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

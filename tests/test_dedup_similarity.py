@@ -1,0 +1,111 @@
+"""Semantic tests for dedup + similarity on planted fixtures: exact dups,
+near-dups (one-word edits), and unrelated docs must separate correctly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest to find some food for the long cold winter"
+    )
+    near = base.replace("cold", "harsh")  # one-token edit -> near-dup
+    other = (
+        "completely different subject matter entirely unrelated words about "
+        "spaceships orbiting distant planets while robots compute trajectories"
+    )
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1
+        (3, near),          # near dup of 1
+        (4, other),
+        (5, "  " + base.upper() + "  "),  # normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(planted):
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup(planted).collect()}
+    assert out[1] == 2  # docs 1,2
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_exact_dedup_normalized_collapses_case(planted):
+    out = {r["keep_id"]: r["dup_count"] for r in
+           dedup.exact_dedup(planted, normalize=True).collect()}
+    assert out[1] == 3  # 1, 2, and the upper-cased 5
+
+
+def test_minhash_finds_near_dup(planted):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(planted, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_finds_near_dup(spark):
+    # SimHash granularity: one edited token among ~200 flips only the planes
+    # where that token's vote was the margin -- Hamming stays small.  On very
+    # short docs a single edit can flip many planes (that's inherent, the
+    # `planted` fixture above is too short for SimHash@3).
+    words = [f"tok{i % 50}x{i}" for i in range(200)]
+    base = " ".join(words)
+    near = base.replace("tok0x0", "zulu", 1)
+    other = " ".join(f"other{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+    rows = dedup.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs[(1, 2)] == 0  # exact dup -> identical signature
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(planted):
+    rows = dedup.ngram_jaccard_pairs(planted, threshold=0.05).collect()
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert jac[(1, 2)] == 1.0
+    assert 0.5 < jac[(1, 3)] < 1.0
+    assert not any(4 in p for p in jac)
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = similarity.cosine_topk_bruteforce(q, emb, k=3).collect()
+    ranked = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+
+
+def test_lsh_topk_contains_true_neighbor(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    # plant an almost-identical neighbor of vec 0
+    rows.append((999, [v + 0.001 for v in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {r["vec_id"] for r in similarity.cosine_topk_lsh(q, emb, k=5, dim=16).collect()}
+    assert 999 in got

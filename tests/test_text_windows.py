@@ -1,0 +1,103 @@
+"""Text-analysis + event-window semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.operators import text, windows
+
+
+def test_quality_stats_empty_doc_survives(spark):
+    """ANSI divide-by-zero guard: an empty doc yields NULL ratios, not a
+    job-killing exception (ADVICE r1, medium)."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.quality_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 2
+    assert rows[2]["n_tokens"] == 0 and rows[2]["avg_token_len"] is None
+    assert rows[3]["n_tokens"] == 0 and rows[3]["stopword_ratio"] is None
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a box", "en"),
+            (2, "el perro y la casa en los campos", "es"),
+            (3, "zzz qqq xxx", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in text.language_id(df).collect()}
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "es"
+    assert rows[3]["lang_pred"] == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world "), (3, "hello world!")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.fingerprint(df).collect()}
+    assert rows[1]["fp_md5"] == rows[2]["fp_md5"]
+    assert rows[1]["fp_rolling"] == rows[2]["fp_rolling"]
+    assert rows[1]["fp_md5"] != rows[3]["fp_md5"]
+
+
+def test_token_count_bpe_ish(spark):
+    got = (
+        spark.createDataFrame([("don't stop, it's 42!",)], ["t"])
+        .select(text.token_count_bpe_ish(F.col("t")).alias("n"))
+        .first()["n"]
+    )
+    # don / ' / t / stop / , / it / ' / s / 4 / 2 / !
+    assert got == 11
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two events 2 min apart (one session), then 10-min gap (new session)
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + datetime.timedelta(minutes=2), 1, "click", 2.0),
+        (3, t0 + datetime.timedelta(minutes=12), 1, "view", 4.0),
+        # user 2: single event in the second 10-min window
+        (4, t0 + datetime.timedelta(minutes=11), 2, "click", 8.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_tumbling_counts(events):
+    rows = {
+        (r["window_start"].minute, r["event_type"]): r["n_events"]
+        for r in windows.tumbling_counts(events, "10 minutes").collect()
+    }
+    assert rows[(0, "click")] == 2
+    assert rows[(10, "view")] == 1
+    assert rows[(10, "click")] == 1
+
+
+def test_sliding_counts_overlap(events):
+    rows = windows.sliding_counts(events, "10 minutes", "5 minutes").collect()
+    # event at minute 2 appears in windows starting at -5 and 0
+    clicks = [r for r in rows if r["event_type"] == "click"]
+    starts = sorted({r["window_start"].minute for r in clicks})
+    assert len(starts) >= 3  # overlapping windows produced
+
+
+def test_session_windows(events):
+    rows = windows.session_stats(events, "5 minutes").collect()
+    u1 = sorted(
+        [r for r in rows if r["user_id"] == 1], key=lambda r: r["session_start"]
+    )
+    assert len(u1) == 2  # 10-min gap splits the session
+    assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["n_events"] == 1
