@@ -18,9 +18,12 @@ Layout:
                      per-type write → rawstat derivation)
     operators/       stats pipelines + extension operators
     functions/       scalar column helpers (reference §2.7 F1–F10)
-    plans/           plan-inspection helpers (pushdown / broadcast assertions)
-    streaming/       Structured Streaming ingest variant
+    sinks/           fact-table sinks (truncate-before-load, JDBC/parquet)
+    streaming/       Structured Streaming ingest variant (availableNow)
     queries/         the oracle-checked query registry driving __spark_entry__.py
+
+Plan-shape assertions (broadcast joins, pushdown, pruning, no Python UDFs
+on hot paths) live in tests/test_plans.py.
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,340 @@
+"""FHIR bundle ingest pipeline — the reference's entire "left half"
+(main.go:99-132, bundle.go:24-125) as a lazy DataFrame program.
+
+Reference dataflow, per bundle:
+  read JSON -> typed Bundle (main.go:241-255)
+  -> mint server IDs + refMap (main.go:264-275)
+  -> rewrite intra-bundle references via reflection (bundle.go:173-221)
+  -> route resources to per-type collections, bulk insert (bundle.go:75-120)
+  -> derive one RawStats record: gender/age/deceased/location (J1) +
+     condition id mapping (J2) + distinct sets (A4) (bundle.go:84-125)
+
+Spark-first re-expression (SURVEY §3.2): the goroutine worker pool becomes
+the partitioned file scan; per-bundle shared state (refMap) disappears
+because new IDs are a DETERMINISTIC function of (bundle_id, fullUrl) — so
+reference rewriting needs only one narrow groupBy(bundle_id) to build a
+per-bundle fullUrl->new-reference map, one equi join back on bundle_id,
+and pure `withField` struct surgery.  Bundles are small and uniformly
+sized, so the bundle_id shuffle has no skew at any corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.functions.scalars import (
+    NULL_DISEASE_ID,
+    age_years,
+    collection_name,
+    deterministic_id,
+    first_element,
+    is_deceased,
+    make_reference,
+    strip_cid_prefix,
+    strip_suffix_case,
+)
+from bulkfhirloader_spark.schemas import (
+    BUNDLE_SCHEMA,
+    CONDITION_DIM_SCHEMA,
+    COUSUB_DIM_SCHEMA,
+)
+
+# The Reference-typed paths the rewrite pass must touch.  The reference
+# discovers these via recursive reflection over the FHIR Go structs
+# (bundle.go:192-221); our resource schema is explicit (schemas.RESOURCE_TYPE),
+# so the paths are an explicit list — schema-driven, no runtime reflection.
+REFERENCE_PATHS = [
+    "subject",
+    "patient",
+    "encounter",
+    "context",
+    "performer",
+    "serviceProvider",
+    "organization",
+    "medicationReference",
+]
+
+# Pinned "now" so age math (F3, bundle.go:54-60) is deterministic in tests;
+# pass as_of=F.current_date() for production behavior.
+DEFAULT_AS_OF = "2020-01-01"
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 — scan + parse
+# ---------------------------------------------------------------------------
+
+
+def read_bundles(spark: SparkSession, path: str) -> DataFrame:
+    """S1+S2 (main.go:111, main.go:211-228, main.go:241-255): recursive
+    directory walk with a `.json` suffix filter, whole-file JSON parse with
+    the explicit bundle schema.  One file = one bundle; bundle_id is the
+    file's basename (stable, unique within a load, mirrors the reference's
+    one-goroutine-per-file unit of work)."""
+    df = (
+        spark.read.option("multiLine", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .schema(BUNDLE_SCHEMA)
+        .json(path)
+    )
+    bundle_id = F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1)
+    return df.withColumn("bundle_id", bundle_id)
+
+
+def explode_entries(bundles: DataFrame) -> DataFrame:
+    """One row per bundle entry, keyed by (bundle_id, fullUrl)
+    (main.go:264: `for _, entry := range bundle.Entry`)."""
+    return bundles.select(
+        "bundle_id", F.explode("entry").alias("e")
+    ).select(
+        "bundle_id",
+        F.col("e.fullUrl").alias("fullUrl"),
+        F.col("e.resource").alias("resource"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8/F10 — ID assignment; J3 — reference rewrite
+# ---------------------------------------------------------------------------
+
+
+def assign_ids(entries: DataFrame) -> DataFrame:
+    """ID minting (main.go:264-275).  The reference uses random BSON
+    ObjectIds; we use sha2(bundle_id|fullUrl) so the refMap needs no shared
+    mutable state and outputs are reproducible.  new_ref is the rewritten
+    reference string Type/id (F10, main.go:268)."""
+    new_id = deterministic_id(F.col("bundle_id"), F.col("fullUrl"))
+    return entries.withColumn("new_id", new_id).withColumn(
+        "new_ref", make_reference(F.col("resource.resourceType"), new_id)
+    ).withColumn("resource", F.col("resource").withField("id", new_id))
+
+
+def rewrite_references(entries: DataFrame) -> DataFrame:
+    """J3 (main.go:257-278, bundle.go:173-221): rewrite every Reference field
+    whose value matches another entry's fullUrl in the SAME bundle.
+
+    Plan shape: groupBy(bundle_id) builds one small fullUrl->new_ref map per
+    bundle (bundles are ~100s of entries, so each map is tiny); one equi join
+    back on bundle_id; then pure withField surgery per known Reference path.
+    Unmatched references stay verbatim (bundle.go:184-189 only overwrites on
+    map hit).  Legacy 'cid:' prefixes are stripped before the probe
+    (bundle.go:138-139, F9)."""
+    refmap = entries.groupBy("bundle_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("fullUrl"), F.col("new_ref")))
+        ).alias("_refmap")
+    )
+    j = entries.join(refmap, "bundle_id")
+
+    res = F.col("resource")
+    for p in REFERENCE_PATHS:
+        old = F.col(f"resource.{p}.reference")
+        probe = strip_cid_prefix(old)
+        rewritten = F.coalesce(F.try_element_at(F.col("_refmap"), probe), old)
+        res = res.withField(
+            p,
+            F.when(old.isNotNull(), F.struct(rewritten.alias("reference"))).otherwise(
+                F.col(f"resource.{p}")
+            ),
+        )
+    return j.withColumn("resource", res).drop("_refmap")
+
+
+# ---------------------------------------------------------------------------
+# S3/S4 — dimension loads (with F1/F2 applied, main.go:137-202)
+# ---------------------------------------------------------------------------
+
+
+def load_cousub_dim(spark: SparkSession, path: str) -> DataFrame:
+    """S3 (main.go:137-167): county-subdivision dim; the SQL strips a
+    ' Town' suffix from cs_name in the SELECT (F1, main.go:140-142)."""
+    df = spark.read.schema(COUSUB_DIM_SCHEMA).parquet(path)
+    return df.select(
+        strip_suffix_case(F.col("cs_name"), " Town").alias("cs_name"),
+        "ct_fips",
+        "cs_fips",
+    )
+
+
+def load_condition_dim(spark: SparkSession, path: str) -> DataFrame:
+    """S4 (main.go:171-202): tracked-condition dim keyed by (system, code);
+    NULL disease_id becomes -999 in the SELECT (F2, main.go:174)."""
+    df = spark.read.schema(CONDITION_DIM_SCHEMA).parquet(path)
+    return df.select(
+        "condition_id",
+        F.coalesce(F.col("disease_id"), F.lit(NULL_DISEASE_ID)).alias("disease_id"),
+        "code_system",
+        "code",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2/J4 + A4 + F3/F4/F6 — rawstat derivation (bundle.go:66-125)
+# ---------------------------------------------------------------------------
+
+
+def _patient_fields(entries: DataFrame, as_of: Column) -> DataFrame:
+    """Patient scalars per bundle (bundle.go:84-97).  The reference keeps one
+    basestat struct per bundle and overwrites it on every Patient — i.e. the
+    LAST patient in entry order wins; we take max_by(fullUrl) as the
+    deterministic analog (fixture bundles have at most one)."""
+    p = entries.filter(F.col("resource.resourceType") == "Patient")
+    addr = first_element(F.col("resource.address"))  # F6: Address[0] only
+    flat = p.select(
+        "bundle_id",
+        "fullUrl",
+        F.col("resource.id").alias("patient_id"),
+        F.col("resource.gender").alias("gender"),
+        age_years(F.to_date("resource.birthDate"), as_of).alias("age"),
+        is_deceased(  # F4 tri-state (bundle.go:91)
+            F.to_timestamp("resource.deceasedDateTime"),
+            F.col("resource.deceasedBoolean"),
+        ).alias("deceased"),
+        addr["city"].alias("city"),
+        addr["postalCode"].alias("zipcode"),
+    )
+    return flat.groupBy("bundle_id").agg(
+        F.max_by("patient_id", "fullUrl").alias("patient_id"),
+        F.max_by("gender", "fullUrl").alias("gender"),
+        F.max_by("age", "fullUrl").alias("age"),
+        F.max_by("deceased", "fullUrl").alias("deceased"),
+        F.max_by("city", "fullUrl").alias("city"),
+        F.max_by("zipcode", "fullUrl").alias("zipcode"),
+    )
+
+
+def _condition_sets(entries: DataFrame, condition_dim: DataFrame) -> DataFrame:
+    """Conditions per bundle with J2 dim mapping and A4 distinct sets.
+
+    J2 (bundle.go:104-105): broadcast left join on (system, code); a miss
+    yields the Go zero-value Disease — IDs 0 — which the stats pipelines
+    filter with > 0 but which still appear inside rawstat.conditions.
+    A4 (bundle.go:24-51): distinct conditionids / diseaseids per patient,
+    order-insensitive (collect_set + sort for determinism)."""
+    c = entries.filter(F.col("resource.resourceType") == "Condition")
+    coding = first_element(F.col("resource.code.coding"))  # F6: Coding[0]
+    flat = c.select(
+        "bundle_id",
+        coding["system"].alias("system"),
+        coding["code"].alias("code"),
+    )
+    j = flat.join(
+        F.broadcast(condition_dim),
+        (flat.system == condition_dim.code_system) & (flat.code == condition_dim.code),
+        "left",
+    ).select(
+        "bundle_id",
+        "system",
+        flat.code.alias("code"),
+        F.coalesce(F.col("condition_id"), F.lit(0)).alias("conditionid"),
+        F.coalesce(F.col("disease_id"), F.lit(0)).alias("diseaseid"),
+    )
+    return j.groupBy("bundle_id").agg(
+        F.collect_list(
+            F.struct("system", "code", "conditionid", "diseaseid")
+        ).alias("conditions"),
+        F.array_sort(F.collect_set("conditionid")).alias("uniqueconditions"),
+        F.array_sort(F.collect_set("diseaseid")).alias("uniquediseases"),
+    )
+
+
+def derive_rawstat(
+    entries: DataFrame,
+    cousub_dim: DataFrame,
+    condition_dim: DataFrame,
+    as_of: Column | None = None,
+) -> DataFrame:
+    """One RawStats row per bundle (models.go:5-15, bundle.go:66-125).
+
+    Gotchas preserved (SURVEY §4.3):
+    - #1 agerange is the hard-coded constant 1 (bundle.go:90); age is still
+      computed and carried.
+    - #4 unknown city -> empty-string FIPS via left join + fill '' —
+      the Go zero-value Cousub (bundle.go:94-95).
+    - #6 a bundle with no Patient still emits a stat row with empty id
+      (bundle.go:122-124 inserts basestat unconditionally).
+    - deceasedboolean: the Go field is bool with omitempty (models.go:11),
+      so false serializes as Mongo-absent; NULL and false are equivalent to
+      the P1 filter, and we store the computed F4 boolean directly.
+    """
+    as_of = as_of if as_of is not None else F.lit(DEFAULT_AS_OF).cast("date")
+    bundles = entries.select("bundle_id").distinct()
+    patients = _patient_fields(entries, as_of)
+    conds = _condition_sets(entries, condition_dim)
+
+    base = bundles.join(patients, "bundle_id", "left").join(conds, "bundle_id", "left")
+
+    # J1 (bundle.go:94-95): broadcast city -> FIPS lookup, zero-value default.
+    j = base.join(F.broadcast(cousub_dim), base.city == cousub_dim.cs_name, "left")
+
+    empty_int_array = F.array().cast("array<int>")
+    empty_cond_array = F.array().cast(
+        "array<struct<system:string,code:string,conditionid:int,diseaseid:int>>"
+    )
+    return j.select(
+        F.col("bundle_id"),
+        F.coalesce(F.col("patient_id"), F.lit("")).alias("id"),
+        F.col("gender"),
+        F.lit(1).alias("agerange"),  # gotcha #1: hard-coded (bundle.go:90)
+        F.col("age"),
+        F.col("deceased").alias("deceasedboolean"),
+        F.struct(
+            F.coalesce(F.col("ct_fips"), F.lit("")).alias("countyid_fips"),
+            F.coalesce(F.col("cs_fips"), F.lit("")).alias("subcountyid_fips"),
+            F.coalesce(F.col("city"), F.lit("")).alias("city"),
+            F.coalesce(F.col("zipcode"), F.lit("")).alias("zipcode"),
+        ).alias("location"),
+        F.coalesce(F.col("conditions"), empty_cond_array).alias("conditions"),
+        F.coalesce(F.col("uniqueconditions"), empty_int_array).alias("uniqueconditions"),
+        F.coalesce(F.col("uniquediseases"), empty_int_array).alias("uniquediseases"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1/K2 — document sinks; A5 — counter; full pipeline
+# ---------------------------------------------------------------------------
+
+
+def write_resources(entries: DataFrame, out_dir: str) -> None:
+    """K1 (bundle.go:75-120): per-resource-type routed bulk write.  The
+    Mongo per-collection unordered bulk insert maps to a parquet sink
+    partitioned by collection name (F7) — one directory per collection,
+    written by all tasks in parallel, no per-type driver loop."""
+    entries.withColumn(
+        "collection", collection_name(F.col("resource.resourceType"))
+    ).write.mode("append").partitionBy("collection").parquet(out_dir)
+
+
+def write_rawstat(rawstat: DataFrame, out_dir: str) -> None:
+    """K2 (bundle.go:122-124)."""
+    rawstat.write.mode("append").parquet(out_dir)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    bundles_path: str,
+    cousub_dim_path: str,
+    condition_dim_path: str,
+    out_dir: str,
+    as_of: Column | None = None,
+) -> dict:
+    """Entry point 1 (main.go:27-133) minus the relational fact write —
+    see sinks.facts for K3/K4.  Returns the A5 counters (main.go:285).
+
+    The wg.Wait() barrier (main.go:121) is implicit: the resource/rawstat
+    writes are actions that complete before facts read the rawstat output.
+    """
+    bundles = read_bundles(spark, bundles_path)
+    entries = rewrite_references(assign_ids(explode_entries(bundles)))
+    cousub = load_cousub_dim(spark, cousub_dim_path)
+    conddim = load_condition_dim(spark, condition_dim_path)
+    rawstat = derive_rawstat(entries, cousub, conddim, as_of)
+
+    write_resources(entries, os.path.join(out_dir, "resources"))
+    write_rawstat(rawstat, os.path.join(out_dir, "rawstat"))
+
+    n_bundles = bundles.count()  # A5 (main.go:103, main.go:285)
+    return {"bundles": n_bundles, "out_dir": out_dir}

@@ -1,0 +1,59 @@
+"""Fact-table sinks — K3/K4/K5 (db.go:43-75, db.go:134-166).
+
+The reference always TRUNCATEs the three Postgres fact tables before
+loading (main.go:72-73, db.go:45-58) and streams grouped rows in via the
+COPY protocol inside one transaction (db.go:134-166).  Spark-native parity:
+
+- test/local: ``mode("overwrite")`` parquet — same replace-not-append
+  semantics as truncate-then-COPY.
+- production: ``write.jdbc`` with ``truncate=true`` + ``overwrite`` — Spark
+  issues TRUNCATE (preserving the schema/DDL) then batch-inserts; batchsize
+  plays the role of COPY's buffered flush (db.go:153-158).
+
+K5 (-reset, main.go:76-78, db.go:63-75) drops the document collections; the
+parquet analog removes the output directories.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_facts(facts: DataFrame, path: str) -> None:
+    """K3+K4 test-mode: truncate-before-load == overwrite (db.go:43-59:
+    the truncate always runs, so reruns replace rather than append)."""
+    facts.write.mode("overwrite").parquet(path)
+
+
+def write_facts_jdbc(
+    facts: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """K3+K4 production shape (db.go:134-166 COPY parity): one TRUNCATE,
+    then batched inserts.  ``truncate=true`` keeps the DDL (indexes, grants)
+    exactly as the reference's TRUNCATE does, instead of DROP+CREATE."""
+    (
+        facts.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("truncate", "true")
+        .option("batchsize", str(batchsize))
+        .options(**(properties or {}))
+        .mode("overwrite")
+        .save()
+    )
+
+
+def drop_collections(out_dir: str, collections: list[str] | None = None) -> None:
+    """K5 (-reset; main.go:76-78, db.go:63-75): drop per-type document
+    stores.  Parquet analog: remove the partition directories."""
+    if collections is None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return
+    for c in collections:
+        shutil.rmtree(f"{out_dir}/collection={c}", ignore_errors=True)

@@ -1,0 +1,240 @@
+"""End-to-end ingest golden test: fixture FHIR bundles -> rewrite ->
+rawstat -> the three fact pipelines, hand-checked against the reference's
+semantics including every SURVEY §4.3 gotcha row.
+
+Fixture design (FIXTURES.md §2):
+  b1: male patient in 'Acton' (dim row 'Acton Town' -> F1 strip), two
+      tracked conditions — one with NULL disease (-999), one duplicated
+      (A4 dedup), plus one untracked code (IDs 0); a condition.subject
+      reference to the patient (rewritten) and one dangling reference.
+  b2: female patient, deceasedBoolean=true -> excluded from all facts.
+  b3: patient with deceasedDateTime only (boolean NULL) -> deceased (F4).
+  b4: bundle with NO patient -> rawstat row with empty id (gotcha #6).
+  b5: 'other'-gender patient in unknown city, empty address covered by b4's
+      patient-less shape; unknown city -> '' FIPS (gotcha #4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.ingest import pipeline as ing
+from bulkfhirloader_spark.operators import stats
+from bulkfhirloader_spark.sinks import facts as sinks
+
+
+def _bundle(entries):
+    return {"resourceType": "Bundle", "type": "transaction", "entry": entries}
+
+
+def _patient(full_url, pid="p", gender="male", birth="1980-06-01",
+             deceased_bool=None, deceased_dt=None, city="Acton", zipc="01720"):
+    r = {
+        "resourceType": "Patient",
+        "id": pid,
+        "gender": gender,
+        "birthDate": birth,
+        "address": [{"city": city, "state": "MA", "postalCode": zipc}],
+    }
+    if deceased_bool is not None:
+        r["deceasedBoolean"] = deceased_bool
+    if deceased_dt is not None:
+        r["deceasedDateTime"] = deceased_dt
+    return {"fullUrl": full_url, "resource": r}
+
+
+def _condition(full_url, system, code, subject=None):
+    r = {
+        "resourceType": "Condition",
+        "code": {"coding": [{"system": system, "code": code, "display": code}]},
+    }
+    if subject:
+        r["subject"] = {"reference": subject}
+    return {"fullUrl": full_url, "resource": r}
+
+
+SNOMED = "http://snomed.info/sct"
+
+
+@pytest.fixture(scope="module")
+def ingest_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ingest")
+    bdir = root / "bundles" / "nested"  # nested: exercises recursiveFileLookup
+    bdir.mkdir(parents=True)
+
+    bundles = {
+        "b1": _bundle(
+            [
+                _patient("urn:uuid:pat1", gender="male", birth="1980-06-01"),
+                _condition("urn:uuid:c1", SNOMED, "44054006", subject="urn:uuid:pat1"),
+                _condition("urn:uuid:c2", SNOMED, "38341003", subject="urn:uuid:pat1"),
+                _condition("urn:uuid:c3", SNOMED, "38341003", subject="urn:uuid:pat1"),  # dup
+                _condition("urn:uuid:c4", SNOMED, "99999999", subject="urn:uuid:dangling"),
+            ]
+        ),
+        "b2": _bundle(
+            [
+                _patient("urn:uuid:pat2", gender="female", birth="1950-01-15",
+                         deceased_bool=True),
+                _condition("urn:uuid:c5", SNOMED, "44054006", subject="urn:uuid:pat2"),
+            ]
+        ),
+        "b3": _bundle(
+            [
+                _patient("urn:uuid:pat3", gender="male", birth="1940-03-03",
+                         deceased_dt="2015-07-01T00:00:00Z"),
+            ]
+        ),
+        "b4": _bundle(
+            [
+                _condition("urn:uuid:c6", SNOMED, "44054006"),
+            ]
+        ),
+        "b5": _bundle(
+            [
+                _patient("urn:uuid:pat5", gender="other", birth="2001-12-31",
+                         city="Atlantis", zipc=""),
+            ]
+        ),
+    }
+    for name, b in bundles.items():
+        (bdir / f"{name}.json").write_text(json.dumps(b))
+    # non-json file must be ignored by the suffix filter (P4, main.go:219)
+    (bdir / "README.txt").write_text("not a bundle")
+
+    # dims (FIXTURES.md §3): 'Acton Town' exercises F1; hypertension's NULL
+    # disease exercises F2 -> -999; diabetes maps to a real disease id.
+    cousub = spark.createDataFrame(
+        [("Acton Town", "017", "00100"), ("Boston", "025", "07000")],
+        "cs_name string, ct_fips string, cs_fips string",
+    )
+    conddim = spark.createDataFrame(
+        [
+            (101, 11, "Diabetes", SNOMED, "44054006"),
+            (102, None, "Hypertension", SNOMED, "38341003"),
+        ],
+        "condition_id int, disease_id int, condition_name string, "
+        "code_system string, code string",
+    )
+    dim_dir = root / "dims"
+    cousub.write.parquet(str(dim_dir / "cousub"))
+    conddim.write.parquet(str(dim_dir / "conddim"))
+
+    out = ing.run_pipeline(
+        spark,
+        str(root / "bundles"),
+        str(dim_dir / "cousub"),
+        str(dim_dir / "conddim"),
+        str(root / "out"),
+        as_of=F.lit("2020-01-01").cast("date"),
+    )
+    return {"root": root, "counters": out, "spark": spark}
+
+
+def test_a5_bundle_counter(ingest_env):
+    assert ingest_env["counters"]["bundles"] == 5
+
+
+def test_k1_resources_partitioned_by_collection(ingest_env, spark):
+    res_dir = str(ingest_env["root"] / "out" / "resources")
+    parts = {p.split("=")[1] for p in os.listdir(res_dir) if p.startswith("collection=")}
+    assert parts == {"patients", "conditions"}
+    back = spark.read.parquet(res_dir)
+    assert back.count() == 10  # 4 patients + 6 conditions
+
+
+def test_j3_reference_rewrite(ingest_env, spark):
+    res_dir = str(ingest_env["root"] / "out" / "resources")
+    conds = spark.read.parquet(res_dir).filter(F.col("collection") == "conditions")
+    rows = {r["fullUrl"]: r for r in conds.collect()}
+
+    # c1's subject must now be Patient/sha2(b1|urn:uuid:pat1)
+    rewritten = rows["urn:uuid:c1"]["resource"]["subject"]["reference"]
+    assert rewritten.startswith("Patient/") and len(rewritten) == len("Patient/") + 64
+    # all conditions in b1 that point at pat1 agree on the new id
+    assert rows["urn:uuid:c2"]["resource"]["subject"]["reference"] == rewritten
+    # dangling reference left verbatim (bundle.go:184-189)
+    assert rows["urn:uuid:c4"]["resource"]["subject"]["reference"] == "urn:uuid:dangling"
+    # resource.id was reassigned to the deterministic id (main.go:264-275)
+    assert rows["urn:uuid:c1"]["resource"]["id"] != "c1"
+
+
+def test_rawstat_golden(ingest_env, spark):
+    rs = spark.read.parquet(str(ingest_env["root"] / "out" / "rawstat"))
+    rows = {r["bundle_id"]: r for r in rs.collect()}
+    assert set(rows) == {"b1", "b2", "b3", "b4", "b5"}
+
+    b1 = rows["b1"]
+    assert b1["gender"] == "male"
+    assert b1["age"] == 39  # 1980-06-01 -> 2020-01-01
+    assert b1["agerange"] == 1  # gotcha #1
+    assert b1["deceasedboolean"] is False
+    assert b1["location"]["subcountyid_fips"] == "00100"  # 'Acton Town' F1-stripped
+    assert b1["location"]["countyid_fips"] == "017"
+    # A4: 4 condition rows -> conditions keeps all, unique sets dedup
+    assert len(b1["conditions"]) == 4
+    assert b1["uniqueconditions"] == [0, 101, 102]  # untracked -> 0
+    assert b1["uniquediseases"] == [-999, 0, 11]  # NULL disease -> -999
+
+    assert rows["b2"]["deceasedboolean"] is True
+    assert rows["b3"]["deceasedboolean"] is True  # datetime-only (F4)
+
+    b4 = rows["b4"]  # gotcha #6: no patient -> empty id, still present
+    assert b4["id"] == ""
+    assert b4["gender"] is None
+    assert b4["uniqueconditions"] == [101]
+
+    b5 = rows["b5"]  # gotcha #4: unknown city -> '' FIPS, row kept
+    assert b5["location"]["subcountyid_fips"] == ""
+    assert b5["location"]["city"] == "Atlantis"
+
+
+def test_facts_golden(ingest_env, spark):
+    rs = spark.read.parquet(str(ingest_env["root"] / "out" / "rawstat"))
+
+    pop = {(r["cs_fips"], r["age_id"]): r for r in stats.population_facts(rs).collect()}
+    # alive: b1 (male, Acton), b4 (no patient -> '' fips, NULL gender),
+    # b5 (other, '' fips).  b2/b3 deceased.
+    assert pop[("00100", 1)]["pop"] == 1
+    assert pop[("00100", 1)]["pop_male"] == 1
+    assert pop[("", 1)]["pop"] == 2
+    assert pop[("", 1)]["pop_male"] == 0 and pop[("", 1)]["pop_female"] == 0
+
+    dis = {(r["cs_fips"], r["disease_id"]): r for r in stats.disease_facts(rs).collect()}
+    # diabetes (disease 11) from b1 (Acton) and patient-less b4 ('' fips —
+    # conditions are appended regardless of patient, bundle.go:99-108);
+    # 0 and -999 filtered, deceased b2 dropped.
+    assert set(dis) == {("00100", 11), ("", 11)}
+    assert dis[("00100", 11)]["pop"] == 1
+    assert dis[("", 11)]["pop"] == 1
+
+    con = {(r["cs_fips"], r["condition_id"]): r for r in stats.condition_facts(rs).collect()}
+    # b1: 101, 102 (0 filtered); b4: 101 under '' fips
+    assert set(con) == {("00100", 101), ("00100", 102), ("", 101)}
+
+
+def test_k3_k4_truncate_before_load(ingest_env, spark):
+    rs = spark.read.parquet(str(ingest_env["root"] / "out" / "rawstat"))
+    facts = stats.population_facts(rs)
+    path = str(ingest_env["root"] / "out" / "pop_facts")
+    sinks.write_facts(facts, path)
+    sinks.write_facts(facts, path)  # rerun must REPLACE, not append (K4)
+    assert spark.read.parquet(path).count() == facts.count()
+
+
+def test_streaming_ingest_available_now(ingest_env, spark):
+    from bulkfhirloader_spark.streaming import stream_ingest_available_now
+
+    out = str(ingest_env["root"] / "stream_out")
+    bundles = str(ingest_env["root"] / "bundles")
+    stream_ingest_available_now(spark, bundles, out)
+    first = spark.read.parquet(out + "/resources").count()
+    assert first == 10
+    # second run: checkpoint marks every file done -> no new rows (the
+    # exactly-once property the reference lacks)
+    stream_ingest_available_now(spark, bundles, out)
+    assert spark.read.parquet(out + "/resources").count() == first
