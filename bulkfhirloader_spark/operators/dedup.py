@@ -20,6 +20,21 @@ from pyspark.sql import functions as F
 
 from bulkfhirloader_spark.operators.text import normalize_text, tokens
 
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Give a CPU-dense operator at least one task per core.
+
+    A small parquet input (one file, one row group) arrives as ONE partition,
+    serializing the shingle/token explode onto a single core no matter how
+    many are available.  At real scale inputs already have >= parallelism
+    partitions and this is a no-op — it never *reduces* partitioning and
+    never shuffles a big input.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # Affine-permutation constants for MinHash: h_i(x) = (a_i * x + b_i) mod P.
 # Deterministic (seeded) so tests and reruns agree.
 #
@@ -90,6 +105,7 @@ def minhash_signatures(
     tiny: K longs per doc regardless of document size).
     """
     consts = _permutation_constants(num_hashes)
+    docs = ensure_parallelism(docs)
     exploded = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
@@ -131,11 +147,19 @@ def minhash_near_dup_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_words)
+    # sigs feeds the banding AND both sides of the estimate re-join; persist
+    # so the shingle explode + K min-aggregates run once.  Signatures are
+    # K longs per doc (~256 B at K=32) — memory-and-disk safe at any scale,
+    # and far cheaper than recomputing the explode three times.
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_words).persist()
 
+    # Band join carries ONLY (id, band) — not the signature arrays.  A doc
+    # appears in `bands` buckets, so dragging the K-long array through the
+    # join would multiply shuffle bytes by ~bands×K per row; instead dedup
+    # candidate pairs down to two longs each, then re-attach the two
+    # signatures with narrow id-keyed joins for the Jaccard estimate.
     banded = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -152,25 +176,24 @@ def minhash_near_dup_pairs(
         ).alias("band_idx", "band_hash"),
     )
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"), "band_idx", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"), "band_idx", "band_hash"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     cand = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "mh_a", "mh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    scored = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     est = F.aggregate(
         F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
-    ) / F.lit(float(len(range(num_hashes))))
+    ) / F.lit(float(num_hashes))
     return (
-        cand.select("id_a", "id_b", est.alias("jaccard_est"))
+        scored.select("id_a", "id_b", est.alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
     )
 
@@ -189,7 +212,7 @@ def ngram_jaccard_pairs(
     explode distinct shingles → self equi join on shingle → pair-count
     (intersection) → join per-doc sizes → Jaccard.
     """
-    sized = docs.select(
+    sized = ensure_parallelism(docs).select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
     ).select(id_col, "shingles", F.size("shingles").alias("n_shingles"))
@@ -230,7 +253,7 @@ def simhash_signatures(
     Docs with zero tokens produce no signature (SimHash is undefined there),
     same as MinHash.
     """
-    exploded = docs.select(
+    exploded = ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
     ).select(
