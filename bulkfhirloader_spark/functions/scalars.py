@@ -31,14 +31,25 @@ def null_default(col: Column, default) -> Column:
 
 
 def age_years(birthdate: Column, as_of: Column) -> Column:
-    """F3 — completed years of age at ``as_of`` (bundle.go:54-60 subtracts
-    whole years until <= birthdate).  months_between handles month-length
-    and leap-day semantics; floor(/12) = completed years.
+    """F3 — completed years of age at ``as_of``: year difference minus one
+    if the birthday hasn't occurred yet.  The explicit month/day comparison
+    matches the reference's strict whole-year-subtraction loop
+    (bundle.go:54-60) on leap-day and exact-anniversary edges where
+    months_between's engine-specific rules differ (Feb-29 birth at a Feb-28
+    as-of is 0 completed years here and in the reference, 1 under
+    months_between/12).  This one implementation is shared by ingest and
+    the oracle-checked registry F3 so the two can never diverge.
 
     ``as_of`` must be a pinned literal date in tests so results are
     deterministic (never current_date in the oracle-checked paths).
     """
-    return F.floor(F.months_between(as_of, birthdate) / 12).cast("int")
+    before_birthday = (
+        F.month(as_of) * 100 + F.dayofmonth(as_of)
+        < F.month(birthdate) * 100 + F.dayofmonth(birthdate)
+    )
+    return (
+        F.year(as_of) - F.year(birthdate) - F.when(before_birthday, 1).otherwise(0)
+    ).cast("int")
 
 
 def is_deceased(deceased_datetime: Column, deceased_boolean: Column) -> Column:

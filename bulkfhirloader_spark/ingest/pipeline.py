@@ -12,15 +12,16 @@ Reference dataflow, per bundle:
 Spark-first re-expression (SURVEY §3.2): the goroutine worker pool becomes
 the partitioned file scan; per-bundle shared state (refMap) disappears
 because new IDs are a DETERMINISTIC function of (bundle_id, fullUrl) — so
-reference rewriting needs only one narrow groupBy(bundle_id) to build a
-per-bundle fullUrl->new-reference map, one equi join back on bundle_id,
-and pure `withField` struct surgery.  Bundles are small and uniformly
-sized, so the bundle_id shuffle has no skew at any corpus size.
+the per-bundle fullUrl->new-reference map is built on the INTACT bundle row
+(one `transform` + `map_from_entries` before the explode) and reference
+rewriting is pure `withField` struct surgery: the whole ingest-to-write
+path is a ZERO-SHUFFLE projection at any corpus size.
 """
 
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,7 +34,6 @@ from bulkfhirloader_spark.functions.scalars import (
     first_element,
     is_deceased,
     make_reference,
-    strip_cid_prefix,
     strip_suffix_case,
 )
 from bulkfhirloader_spark.schemas import (
@@ -67,12 +67,28 @@ DEFAULT_AS_OF = "2020-01-01"
 # ---------------------------------------------------------------------------
 
 
+def bundle_id_column(scan_root: str) -> Column:
+    """Bundle id = the file's path RELATIVE to the scan root, `.json`
+    stripped.  The basename alone collides for sharded dumps (a/1.json and
+    b/1.json are distinct bundles); since deterministic_id hashes
+    (bundle_id, fullUrl), a basename collision would merge the two bundles'
+    refmaps and collapse their rawstat rows — the reference can never
+    collide because each file gets fresh random ObjectIds (main.go:266).
+    The relative path is unique per load and stays human-readable."""
+    root = os.path.abspath(scan_root).rstrip("/") + "/"
+    no_scheme = F.regexp_replace(
+        F.input_file_name(), r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", ""
+    )
+    rel = F.regexp_replace(no_scheme, "^" + re.escape(root), "")
+    return F.regexp_replace(rel, r"\.json$", "")
+
+
 def read_bundles(spark: SparkSession, path: str) -> DataFrame:
     """S1+S2 (main.go:111, main.go:211-228, main.go:241-255): recursive
     directory walk with a `.json` suffix filter, whole-file JSON parse with
     the explicit bundle schema.  One file = one bundle; bundle_id is the
-    file's basename (stable, unique within a load, mirrors the reference's
-    one-goroutine-per-file unit of work)."""
+    file's scan-root-relative path (stable, unique within a load, mirrors
+    the reference's one-goroutine-per-file unit of work)."""
     df = (
         spark.read.option("multiLine", "true")
         .option("recursiveFileLookup", "true")
@@ -80,19 +96,45 @@ def read_bundles(spark: SparkSession, path: str) -> DataFrame:
         .schema(BUNDLE_SCHEMA)
         .json(path)
     )
-    bundle_id = F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1)
-    return df.withColumn("bundle_id", bundle_id)
+    return df.withColumn("bundle_id", bundle_id_column(path))
 
 
 def explode_entries(bundles: DataFrame) -> DataFrame:
-    """One row per bundle entry, keyed by (bundle_id, fullUrl)
-    (main.go:264: `for _, entry := range bundle.Entry`)."""
-    return bundles.select(
-        "bundle_id", F.explode("entry").alias("e")
-    ).select(
-        "bundle_id",
-        F.col("e.fullUrl").alias("fullUrl"),
-        F.col("e.resource").alias("resource"),
+    """One row per bundle entry, keyed by (bundle_id, fullUrl) and carrying
+    the entry-order index `pos` (main.go:264: `for _, entry := range
+    bundle.Entry` — order matters for last-patient-wins, bundle.go:84-97).
+
+    The per-bundle fullUrl -> rewritten-reference map (J3's refMap,
+    main.go:257-275) is built HERE, on the intact bundle row, with one
+    `transform` + `map_from_entries` — no groupBy, no join: the map is a
+    pure function of the row because new ids are deterministic.  Entries
+    without a fullUrl are excluded from the map (nothing can reference
+    them), matching the reference which keys refMap by entry.FullUrl."""
+    refmap = F.map_from_entries(
+        F.filter(
+            F.transform(
+                "entry",
+                lambda e: F.struct(
+                    e["fullUrl"].alias("key"),
+                    make_reference(
+                        e["resource"]["resourceType"],
+                        deterministic_id(F.col("bundle_id"), e["fullUrl"]),
+                    ).alias("value"),
+                ),
+            ),
+            lambda kv: kv["key"].isNotNull(),
+        )
+    )
+    return (
+        bundles.withColumn("_refmap", refmap)
+        .select("bundle_id", "_refmap", F.posexplode("entry").alias("pos", "e"))
+        .select(
+            "bundle_id",
+            "pos",
+            F.col("e.fullUrl").alias("fullUrl"),
+            F.col("e.resource").alias("resource"),
+            "_refmap",
+        )
     )
 
 
@@ -116,31 +158,28 @@ def rewrite_references(entries: DataFrame) -> DataFrame:
     """J3 (main.go:257-278, bundle.go:173-221): rewrite every Reference field
     whose value matches another entry's fullUrl in the SAME bundle.
 
-    Plan shape: groupBy(bundle_id) builds one small fullUrl->new_ref map per
-    bundle (bundles are ~100s of entries, so each map is tiny); one equi join
-    back on bundle_id; then pure withField surgery per known Reference path.
-    Unmatched references stay verbatim (bundle.go:184-189 only overwrites on
-    map hit).  Legacy 'cid:' prefixes are stripped before the probe
-    (bundle.go:138-139, F9)."""
-    refmap = entries.groupBy("bundle_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("fullUrl"), F.col("new_ref")))
-        ).alias("_refmap")
-    )
-    j = entries.join(refmap, "bundle_id")
+    Zero-shuffle: the fullUrl->new_ref map arrives as the `_refmap` column
+    built on the intact bundle row (explode_entries), so the rewrite is pure
+    withField surgery per known Reference path — a projection, no Exchange
+    anywhere between scan and sink (asserted in tests/test_plans.py).
 
+    The probe uses the VERBATIM reference string: the reference's active
+    rewrite path (UpdateAllReferences, bundle.go:184-189, called from
+    main.go:278) matches ref.Reference against fullUrl exactly — the legacy
+    'cid:' strip (bundle.go:137-147) is dead code on that path, so F9 stays
+    exposed as a scalar (functions.scalars.strip_cid_prefix) but is NOT
+    applied here.  Unmatched references stay verbatim."""
     res = F.col("resource")
     for p in REFERENCE_PATHS:
         old = F.col(f"resource.{p}.reference")
-        probe = strip_cid_prefix(old)
-        rewritten = F.coalesce(F.try_element_at(F.col("_refmap"), probe), old)
+        rewritten = F.coalesce(F.try_element_at(F.col("_refmap"), old), old)
         res = res.withField(
             p,
             F.when(old.isNotNull(), F.struct(rewritten.alias("reference"))).otherwise(
                 F.col(f"resource.{p}")
             ),
         )
-    return j.withColumn("resource", res).drop("_refmap")
+    return entries.withColumn("resource", res).drop("_refmap")
 
 
 # ---------------------------------------------------------------------------
@@ -178,14 +217,14 @@ def load_condition_dim(spark: SparkSession, path: str) -> DataFrame:
 
 def _patient_fields(entries: DataFrame, as_of: Column) -> DataFrame:
     """Patient scalars per bundle (bundle.go:84-97).  The reference keeps one
-    basestat struct per bundle and overwrites it on every Patient — i.e. the
-    LAST patient in entry order wins; we take max_by(fullUrl) as the
-    deterministic analog (fixture bundles have at most one)."""
+    basestat struct per bundle and overwrites it on every Patient — the LAST
+    patient in ENTRY ORDER wins; max_by(field, pos) reproduces exactly that
+    (pos is the posexplode entry index from explode_entries)."""
     p = entries.filter(F.col("resource.resourceType") == "Patient")
     addr = first_element(F.col("resource.address"))  # F6: Address[0] only
     flat = p.select(
         "bundle_id",
-        "fullUrl",
+        "pos",
         F.col("resource.id").alias("patient_id"),
         F.col("resource.gender").alias("gender"),
         age_years(F.to_date("resource.birthDate"), as_of).alias("age"),
@@ -197,12 +236,12 @@ def _patient_fields(entries: DataFrame, as_of: Column) -> DataFrame:
         addr["postalCode"].alias("zipcode"),
     )
     return flat.groupBy("bundle_id").agg(
-        F.max_by("patient_id", "fullUrl").alias("patient_id"),
-        F.max_by("gender", "fullUrl").alias("gender"),
-        F.max_by("age", "fullUrl").alias("age"),
-        F.max_by("deceased", "fullUrl").alias("deceased"),
-        F.max_by("city", "fullUrl").alias("city"),
-        F.max_by("zipcode", "fullUrl").alias("zipcode"),
+        F.max_by("patient_id", "pos").alias("patient_id"),
+        F.max_by("gender", "pos").alias("gender"),
+        F.max_by("age", "pos").alias("age"),
+        F.max_by("deceased", "pos").alias("deceased"),
+        F.max_by("city", "pos").alias("city"),
+        F.max_by("zipcode", "pos").alias("zipcode"),
     )
 
 
@@ -218,6 +257,7 @@ def _condition_sets(entries: DataFrame, condition_dim: DataFrame) -> DataFrame:
     coding = first_element(F.col("resource.code.coding"))  # F6: Coding[0]
     flat = c.select(
         "bundle_id",
+        "pos",
         coding["system"].alias("system"),
         coding["code"].alias("code"),
     )
@@ -227,15 +267,28 @@ def _condition_sets(entries: DataFrame, condition_dim: DataFrame) -> DataFrame:
         "left",
     ).select(
         "bundle_id",
+        "pos",
         "system",
         flat.code.alias("code"),
         F.coalesce(F.col("condition_id"), F.lit(0)).alias("conditionid"),
         F.coalesce(F.col("disease_id"), F.lit(0)).alias("diseaseid"),
     )
+    # collect_list order is partition-dependent; sorting by the carried entry
+    # index makes `conditions` exactly the reference's append order
+    # (bundle.go:99-108) and the output hash-stable.
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "system", "code", "conditionid", "diseaseid"))
+        ),
+        lambda s: F.struct(
+            s["system"].alias("system"),
+            s["code"].alias("code"),
+            s["conditionid"].alias("conditionid"),
+            s["diseaseid"].alias("diseaseid"),
+        ),
+    )
     return j.groupBy("bundle_id").agg(
-        F.collect_list(
-            F.struct("system", "code", "conditionid", "diseaseid")
-        ).alias("conditions"),
+        ordered.alias("conditions"),
         F.array_sort(F.collect_set("conditionid")).alias("uniqueconditions"),
         F.array_sort(F.collect_set("diseaseid")).alias("uniquediseases"),
     )

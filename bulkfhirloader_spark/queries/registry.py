@@ -329,18 +329,15 @@ FROM orders
 
 
 def ref_f3_age_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 (bundle.go:54-60): completed years of age at a pinned as-of date.
-    Implemented with the explicit year/month-day comparison (identical
-    semantics in both engines; months_between has engine-specific leap-day
-    edge rules)."""
+    """F3 (bundle.go:54-60): completed years of age at a pinned as-of date —
+    the SAME scalars.age_years implementation the ingest pipeline uses
+    (explicit year/month-day comparison; identical semantics in both
+    engines, unlike months_between's engine-specific leap-day edge rules)."""
     _utc(spark)
+    from bulkfhirloader_spark.functions.scalars import age_years
+
     orders = load_table(spark, sf_dir, "orders")
-    d = F.to_date("o_orderdate")
-    age = (
-        F.lit(2002)
-        - F.year(d)
-        - F.when((F.month(d) * 100 + F.dayofmonth(d)) > F.lit(601), 1).otherwise(0)
-    ).cast("int")
+    age = age_years(F.to_date("o_orderdate"), F.lit("2002-06-01").cast("date"))
     return orders.select(age.alias("age")).groupBy("age").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -371,14 +368,22 @@ SELECT DISTINCT event_type, lower(event_type) || 's' AS collection FROM events
 """
 
 
+# One temp dir per process for the K1 round-trip sink: repeated invocations
+# (bench loops, selfcheck, long sessions) overwrite in place instead of
+# accumulating orphaned mkdtemp directories.
+_K1_DIR: str | None = None
+
+
 def ref_k1_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 (bundle.go:111-120): per-type routed bulk write, Spark-native form —
     partitionBy(...) parquet sink, then read back.  The oracle checks the
     round-trip preserved every row."""
+    global _K1_DIR
+    if _K1_DIR is None:
+        _K1_DIR = tempfile.mkdtemp(prefix="bfls_k1_")
     docs = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="bfls_k1_")
-    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
-    back = spark.read.parquet(out)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(_K1_DIR)
+    back = spark.read.parquet(_K1_DIR)
     return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -933,10 +938,22 @@ FROM documents
 
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction (stub decoder) —
-    rows-only check (Python-side features have no SQL analog)."""
+    rows-only check (Python-side features have no SQL analog).
+
+    The array<float> feature column is serialized to a fixed-precision CSV
+    string here at the driver boundary (the harness canonicalizer sorts
+    pandas frames, and Python lists are unhashable); the operator itself
+    keeps the typed array."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
-    return multimodal.extract_features(media)
+    out = multimodal.extract_features(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("feature_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from bulkfhirloader_spark.ingest.pipeline import (
     assign_ids,
+    bundle_id_column,
     explode_entries,
     rewrite_references,
 )
@@ -41,8 +42,8 @@ def stream_bundles(spark: SparkSession, path: str) -> DataFrame:
         .schema(BUNDLE_SCHEMA)
         .load(path)
     )
-    bundle_id = F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1)
-    return df.withColumn("bundle_id", bundle_id)
+    # scan-root-relative bundle id — same collision-free scheme as batch
+    return df.withColumn("bundle_id", bundle_id_column(path))
 
 
 def stream_ingest_available_now(

@@ -12,6 +12,10 @@ Fixture design (FIXTURES.md §2):
   b4: bundle with NO patient -> rawstat row with empty id (gotcha #6).
   b5: 'other'-gender patient in unknown city, empty address covered by b4's
       patient-less shape; unknown city -> '' FIPS (gotcha #4).
+  other/b1: SAME basename as nested/b1 in a sibling directory (bundle ids are
+      scan-root-relative paths, so the two never collide) holding TWO
+      patients — the last in entry order must win (bundle.go:84-97
+      overwrites basestat per Patient).
 """
 
 from __future__ import annotations
@@ -106,6 +110,20 @@ def ingest_env(spark, tmp_path_factory):
     # non-json file must be ignored by the suffix filter (P4, main.go:219)
     (bdir / "README.txt").write_text("not a bundle")
 
+    # same BASENAME as nested/b1.json in a sibling dir: distinct bundle ids
+    # (scan-root-relative), plus the two-patient last-wins case
+    odir = root / "bundles" / "other"
+    odir.mkdir(parents=True)
+    two_patients = _bundle(
+        [
+            _patient("urn:uuid:first", gender="male", birth="1980-06-01",
+                     city="Acton"),
+            _patient("urn:uuid:last", gender="female", birth="1990-02-02",
+                     city="Boston", zipc="02108"),
+        ]
+    )
+    (odir / "b1.json").write_text(json.dumps(two_patients))
+
     # dims (FIXTURES.md §3): 'Acton Town' exercises F1; hypertension's NULL
     # disease exercises F2 -> -999; diabetes maps to a real disease id.
     cousub = spark.createDataFrame(
@@ -136,7 +154,7 @@ def ingest_env(spark, tmp_path_factory):
 
 
 def test_a5_bundle_counter(ingest_env):
-    assert ingest_env["counters"]["bundles"] == 5
+    assert ingest_env["counters"]["bundles"] == 6
 
 
 def test_k1_resources_partitioned_by_collection(ingest_env, spark):
@@ -144,7 +162,7 @@ def test_k1_resources_partitioned_by_collection(ingest_env, spark):
     parts = {p.split("=")[1] for p in os.listdir(res_dir) if p.startswith("collection=")}
     assert parts == {"patients", "conditions"}
     back = spark.read.parquet(res_dir)
-    assert back.count() == 10  # 4 patients + 6 conditions
+    assert back.count() == 12  # 6 patients + 6 conditions
 
 
 def test_j3_reference_rewrite(ingest_env, spark):
@@ -166,9 +184,12 @@ def test_j3_reference_rewrite(ingest_env, spark):
 def test_rawstat_golden(ingest_env, spark):
     rs = spark.read.parquet(str(ingest_env["root"] / "out" / "rawstat"))
     rows = {r["bundle_id"]: r for r in rs.collect()}
-    assert set(rows) == {"b1", "b2", "b3", "b4", "b5"}
+    assert set(rows) == {
+        "nested/b1", "nested/b2", "nested/b3", "nested/b4", "nested/b5",
+        "other/b1",
+    }
 
-    b1 = rows["b1"]
+    b1 = rows["nested/b1"]
     assert b1["gender"] == "male"
     assert b1["age"] == 39  # 1980-06-01 -> 2020-01-01
     assert b1["agerange"] == 1  # gotcha #1
@@ -180,17 +201,24 @@ def test_rawstat_golden(ingest_env, spark):
     assert b1["uniqueconditions"] == [0, 101, 102]  # untracked -> 0
     assert b1["uniquediseases"] == [-999, 0, 11]  # NULL disease -> -999
 
-    assert rows["b2"]["deceasedboolean"] is True
-    assert rows["b3"]["deceasedboolean"] is True  # datetime-only (F4)
+    assert rows["nested/b2"]["deceasedboolean"] is True
+    assert rows["nested/b3"]["deceasedboolean"] is True  # datetime-only (F4)
 
-    b4 = rows["b4"]  # gotcha #6: no patient -> empty id, still present
+    b4 = rows["nested/b4"]  # gotcha #6: no patient -> empty id, still present
     assert b4["id"] == ""
     assert b4["gender"] is None
     assert b4["uniqueconditions"] == [101]
 
-    b5 = rows["b5"]  # gotcha #4: unknown city -> '' FIPS, row kept
+    b5 = rows["nested/b5"]  # gotcha #4: unknown city -> '' FIPS, row kept
     assert b5["location"]["subcountyid_fips"] == ""
     assert b5["location"]["city"] == "Atlantis"
+
+    # two-patient bundle: LAST in entry order wins (bundle.go:84-97)
+    twin = rows["other/b1"]
+    assert twin["gender"] == "female"
+    assert twin["age"] == 29  # 1990-02-02 -> 2020-01-01
+    assert twin["location"]["city"] == "Boston"
+    assert twin["location"]["subcountyid_fips"] == "07000"
 
 
 def test_facts_golden(ingest_env, spark):
@@ -203,6 +231,8 @@ def test_facts_golden(ingest_env, spark):
     assert pop[("00100", 1)]["pop_male"] == 1
     assert pop[("", 1)]["pop"] == 2
     assert pop[("", 1)]["pop_male"] == 0 and pop[("", 1)]["pop_female"] == 0
+    # other/b1's surviving (last) patient: alive female in Boston
+    assert pop[("07000", 1)]["pop"] == 1 and pop[("07000", 1)]["pop_female"] == 1
 
     dis = {(r["cs_fips"], r["disease_id"]): r for r in stats.disease_facts(rs).collect()}
     # diabetes (disease 11) from b1 (Acton) and patient-less b4 ('' fips —
@@ -233,7 +263,7 @@ def test_streaming_ingest_available_now(ingest_env, spark):
     bundles = str(ingest_env["root"] / "bundles")
     stream_ingest_available_now(spark, bundles, out)
     first = spark.read.parquet(out + "/resources").count()
-    assert first == 10
+    assert first == 12
     # second run: checkpoint marks every file done -> no new rows (the
     # exactly-once property the reference lacks)
     stream_ingest_available_now(spark, bundles, out)

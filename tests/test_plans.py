@@ -79,6 +79,37 @@ def test_no_python_udfs_on_hot_paths(spark):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF unexpectedly"
 
 
+def test_ingest_resource_path_has_no_exchange(spark, tmp_path):
+    """J3 reference rewrite is a pure projection: scan -> posexplode ->
+    deterministic ids -> refmap rewrite contains NO Exchange, because the
+    per-bundle fullUrl map is built on the intact bundle row (transform +
+    map_from_entries), never via groupBy + join.  At 100 TB this is the
+    difference between zero shuffles and a full-data shuffle before the
+    resource write."""
+    import json
+
+    from bulkfhirloader_spark.ingest import pipeline as ing
+
+    b = {
+        "resourceType": "Bundle",
+        "type": "transaction",
+        "entry": [
+            {"fullUrl": "urn:uuid:p1",
+             "resource": {"resourceType": "Patient", "id": "x"}},
+            {"fullUrl": "urn:uuid:c1",
+             "resource": {"resourceType": "Condition",
+                          "subject": {"reference": "urn:uuid:p1"}}},
+        ],
+    }
+    (tmp_path / "b.json").write_text(json.dumps(b))
+    entries = ing.rewrite_references(
+        ing.assign_ids(ing.explode_entries(ing.read_bundles(spark, str(tmp_path))))
+    )
+    assert "Exchange" not in _plan(entries)
+    rows = {r["fullUrl"]: r for r in entries.collect()}
+    assert rows["urn:uuid:c1"]["resource"]["subject"]["reference"].startswith("Patient/")
+
+
 def test_explode_filter_pushed_below_aggregate(spark):
     """A2's disease_id > N filter must sit under the aggregate, directly on
     the generator output — the row-count cliff at scale."""
