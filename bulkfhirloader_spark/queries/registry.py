@@ -41,8 +41,16 @@ from bulkfhirloader_spark.functions.scalars import (
     strip_cid_prefix,
     strip_suffix_case,
 )
-from bulkfhirloader_spark.operators import dedup, multimodal, similarity, text, windows
+from bulkfhirloader_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    stats,
+    text,
+    windows,
+)
 from bulkfhirloader_spark.operators.text import STOPWORDS
+from bulkfhirloader_spark.queries import ingest_fixture
 from bulkfhirloader_spark.sources.tables import load_table
 
 
@@ -388,6 +396,122 @@ def ref_k1_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REF_K1_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1"
+
+
+# ---------------------------------------------------------------------------
+# Reference parity — the REAL ingest pipeline, driver-checked end-to-end
+# (S1/S2 scan+parse, F8 ids, J3 rewrite, K1/K2 writes, J1/J2/J4/A4/F3/F4/F6
+# rawstat derivation, then the three db.go fact pipelines over that rawstat).
+# The fixture corpus + oracle restatements live in queries.ingest_fixture.
+# ---------------------------------------------------------------------------
+
+
+def ref_ingest_rawstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bundle files -> run_pipeline -> rawstat, flattened to hashable
+    columns.  Exercises every SURVEY §4.3 gotcha plus S1-S5/K2/P4/P5/J3/J4/
+    F4/F6 under the driver's hard signal.  Oracle: the expected rawstat rows
+    re-derived by hand as VALUES (F8 ids via DuckDB's own sha256)."""
+    return ingest_fixture.flatten_rawstat(ingest_fixture.fixture_rawstat(spark))
+
+
+_REF_INGEST_RAWSTAT_SQL = (
+    f"WITH {ingest_fixture.RAWSTAT_VALUES_SQL} SELECT * FROM rawstat"
+)
+
+
+def ref_ingest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/F8/F10 over the written resources: every condition's subject
+    reference after the rewrite pass.  Matched references point at
+    Patient/sha256(bundle|fullUrl); the dangling one stays verbatim; the
+    subject-less one stays NULL (bundle.go:184-189)."""
+    res = ingest_fixture.fixture_resources(spark)
+    return res.filter(F.col("collection") == "conditions").select(
+        F.col("fullUrl").alias("full_url"),
+        F.col("resource.subject.reference").alias("subject_ref"),
+    )
+
+
+_REF_INGEST_REWRITE_SQL = """
+SELECT * FROM (VALUES
+  ('urn:uuid:c1', 'Patient/' || sha256('b1|urn:uuid:pat1')),
+  ('urn:uuid:c2', 'Patient/' || sha256('b1|urn:uuid:pat1')),
+  ('urn:uuid:c3', 'Patient/' || sha256('b1|urn:uuid:pat1')),
+  ('urn:uuid:c4', 'urn:uuid:dangling'),
+  ('urn:uuid:c5', 'Patient/' || sha256('b2|urn:uuid:pat2')),
+  ('urn:uuid:c6', NULL)
+) AS t(full_url, subject_ref)
+"""
+
+
+def ref_ingest_pop_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's population pipeline (db.go:79-167) over the REAL
+    rawstat the ingest produced.  Oracle restates the MQL stages as SQL over
+    the hand-derived rawstat VALUES — aggregation logic independently
+    re-derived on both sides."""
+    return stats.population_facts(ingest_fixture.fixture_rawstat(spark))
+
+
+_FACT_FLAGS_SQL = """
+       CAST(sum(CASE WHEN gender = 'male' THEN 1 ELSE 0 END) AS BIGINT) AS pop_male,
+       CAST(sum(CASE WHEN gender = 'female' THEN 1 ELSE 0 END) AS BIGINT) AS pop_female
+"""
+
+_REF_INGEST_POP_SQL = f"""
+WITH {ingest_fixture.RAWSTAT_VALUES_SQL},
+alive AS (SELECT * FROM rawstat WHERE NOT coalesce(deceasedboolean, false))
+SELECT cs_fips, agerange AS age_id, count(*) AS pop, {_FACT_FLAGS_SQL}
+FROM alive GROUP BY 1, 2
+"""
+
+
+def ref_ingest_disease_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """db.go:171-262 over the real rawstat (unwind + >0 untracked filter)."""
+    return stats.disease_facts(ingest_fixture.fixture_rawstat(spark))
+
+
+_REF_INGEST_DIS_SQL = f"""
+WITH {ingest_fixture.RAWSTAT_VALUES_SQL},
+alive AS (SELECT * FROM rawstat WHERE NOT coalesce(deceasedboolean, false)),
+ex AS (SELECT cs_fips, agerange, gender,
+              CAST(unnest(string_split(uniquediseases_csv, ',')) AS INTEGER)
+                  AS disease_id
+       FROM alive WHERE uniquediseases_csv <> '')
+SELECT cs_fips, disease_id, agerange AS age_id, count(*) AS pop, {_FACT_FLAGS_SQL}
+FROM ex WHERE disease_id > 0 GROUP BY 1, 2, 3
+"""
+
+
+def ref_ingest_condition_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """db.go:266-358 over the real rawstat."""
+    return stats.condition_facts(ingest_fixture.fixture_rawstat(spark))
+
+
+_REF_INGEST_CON_SQL = f"""
+WITH {ingest_fixture.RAWSTAT_VALUES_SQL},
+alive AS (SELECT * FROM rawstat WHERE NOT coalesce(deceasedboolean, false)),
+ex AS (SELECT cs_fips, agerange, gender,
+              CAST(unnest(string_split(uniqueconditions_csv, ',')) AS INTEGER)
+                  AS condition_id
+       FROM alive WHERE uniqueconditions_csv <> '')
+SELECT cs_fips, condition_id, agerange AS age_id, count(*) AS pop, {_FACT_FLAGS_SQL}
+FROM ex WHERE condition_id > 0 GROUP BY 1, 2, 3
+"""
+
+
+def ref_pop_facts_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4.3 #1's obviously-intended variant: real age deciles instead
+    of the verbatim hard-coded agerange=1 (which ref_ingest_pop_facts
+    preserves)."""
+    return stats.population_facts_binned(ingest_fixture.fixture_rawstat(spark))
+
+
+_REF_POP_BINNED_SQL = f"""
+WITH {ingest_fixture.RAWSTAT_VALUES_SQL},
+alive AS (SELECT * FROM rawstat WHERE NOT coalesce(deceasedboolean, false))
+SELECT cs_fips, CAST(floor(age / 10) AS INTEGER) AS age_id, count(*) AS pop,
+       {_FACT_FLAGS_SQL}
+FROM alive GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -978,6 +1102,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ref_f7_collection_name": (ref_f7_collection_name, _REF_F7_SQL),
     # reference parity — sinks
     "ref_k1_partitioned_write": (ref_k1_partitioned_write, _REF_K1_SQL),
+    # reference parity — the real ingest pipeline, end-to-end
+    "ref_ingest_rawstat": (ref_ingest_rawstat, _REF_INGEST_RAWSTAT_SQL),
+    "ref_ingest_rewrite": (ref_ingest_rewrite, _REF_INGEST_REWRITE_SQL),
+    "ref_ingest_pop_facts": (ref_ingest_pop_facts, _REF_INGEST_POP_SQL),
+    "ref_ingest_disease_facts": (ref_ingest_disease_facts, _REF_INGEST_DIS_SQL),
+    "ref_ingest_condition_facts": (ref_ingest_condition_facts, _REF_INGEST_CON_SQL),
+    "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),
     "ext_cube_order_counts": (ext_cube_order_counts, _EXT_CUBE_SQL),
