@@ -137,6 +137,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_words: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH candidate generation + MinHash Jaccard estimate.
 
@@ -144,6 +145,12 @@ def minhash_near_dup_pairs(
     signature slice matches exactly.  The band bucket join is an equi join
     on (band_index, band_hash) — shuffle keys are uniform hashes, so no
     skew even on pathological corpora.
+
+    ``materialize=True`` (default) eagerly computes the (small) pair result
+    via localCheckpoint and unpersists the signature cache immediately, so
+    repeated calls in long sessions don't accumulate cached blocks.  Pass
+    False to keep the plan lazy (caller owns unpersisting sigs — plan
+    inspection / composing into a larger lazy pipeline).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -192,10 +199,16 @@ def minhash_near_dup_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(float(num_hashes))
-    return (
+    result = (
         scored.select("id_a", "id_b", est.alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
     )
+    if materialize:
+        # pairs are tiny relative to the corpus (ids + one double); eager
+        # localCheckpoint lets us release the signature cache deterministically
+        result = result.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -204,36 +217,84 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.05,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
-    This is the exact (quadratic-in-collisions) baseline the MinHash path
-    approximates; at scale you run it only on LSH candidates.  Shape:
-    explode distinct shingles → self equi join on shingle → pair-count
-    (intersection) → join per-doc sizes → Jaccard.
-    """
-    sized = ensure_parallelism(docs).select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_words).alias("shingles"),
-    ).select(id_col, "shingles", F.size("shingles").alias("n_shingles"))
-    expl = sized.select(id_col, "n_shingles", F.explode("shingles").alias("shingle"))
+    SCALE GUARD: the shingle self-join is quadratic in per-shingle document
+    frequency — one boilerplate shingle shared by 1M docs alone creates
+    10¹² join rows — so the unrestricted full-corpus form cannot be the
+    default.  The API enforces picking a bounded mode:
 
-    a = expl.select(
-        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"), "shingle"
+    - ``candidates`` — an (id_a, id_b) DataFrame (e.g. from
+      minhash_near_dup_pairs): shingles are exploded ONLY for docs that
+      appear in some candidate pair, and output pairs are restricted to the
+      candidate set.  This is the production tier: LSH proposes, exact
+      Jaccard verifies (registry: dedup_minhash_verified).
+    - ``max_shingle_df`` — drop shingles occurring in more than N docs
+      before the self-join, bounding per-shingle fan-out to N².  Jaccard is
+      then computed over the DF-filtered shingle space on BOTH the
+      intersection and union sides (consistent, slightly lenient on docs
+      that are near-dups only via boilerplate).
+    - ``allow_full_scan=True`` — the verbatim quadratic baseline, opt-in
+      for test-scale oracle checks only.
+
+    Shape: explode distinct shingles → [restrict] → self equi join on
+    shingle → pair-count (intersection) → join per-doc sizes → Jaccard.
+    """
+    if candidates is None and max_shingle_df is None and not allow_full_scan:
+        raise ValueError(
+            "ngram_jaccard_pairs is all-pairs on the full corpus; pass "
+            "candidates=<pairs df>, max_shingle_df=<n>, or "
+            "allow_full_scan=True (test scale only)"
+        )
+    expl = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
     )
-    b = expl.select(
-        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"), "shingle"
-    )
+    if candidates is not None:
+        wanted = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        expl = expl.join(wanted, id_col, "left_semi")
+    if max_shingle_df is not None:
+        surviving = (
+            expl.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        expl = expl.join(surviving, "shingle", "left_semi")
+
+    # per-doc shingle-set size over the (possibly filtered) shingle space,
+    # so intersection and union are consistent
+    sizes = expl.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = expl.select(F.col(id_col).alias("id_a"), "shingle")
+    b = expl.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            candidates.select("id_a", "id_b").distinct(), ["id_a", "id_b"], "left_semi"
+        )
+    sized = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_shingles").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_shingles").alias("nb")), "id_b")
     )
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
-    return inter.select(
+    return sized.select(
         "id_a", "id_b", F.col("n_inter"), jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 

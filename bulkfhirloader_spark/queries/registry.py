@@ -747,8 +747,12 @@ FROM documents GROUP BY 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard baseline, full-scan OPT-IN (oracle comparison at test
+    scale; production runs the candidates-restricted form below)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, shingle_words=3, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        docs, shingle_words=3, threshold=0.5, allow_full_scan=True
+    )
 
 
 _DEDUP_NGRAM_SQL = r"""
@@ -777,6 +781,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded MinHash candidates — probabilistic, rows-only check."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_near_dup_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup tier: MinHash-LSH proposes candidate pairs
+    (~linear), exact n-gram Jaccard re-scores ONLY those pairs — the
+    quadratic baseline provably never touches the full corpus.  Rows-only
+    (the candidate set is probabilistic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_near_dup_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.3
+    )
+    return dedup.ngram_jaccard_pairs(docs, candidates=cand, threshold=0.5)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,6 +1139,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact_normalized": (dedup_exact_normalized, _DEDUP_EXACT_NORM_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _DEDUP_NGRAM_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, None),
+    "dedup_minhash_verified": (dedup_minhash_verified, None),
     "dedup_simhash_pairs": (dedup_simhash_pairs, None),
     # text analysis
     "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),

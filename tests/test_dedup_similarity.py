@@ -71,11 +71,35 @@ def test_simhash_finds_near_dup(spark):
 
 
 def test_ngram_jaccard_exact_values(planted):
-    rows = dedup.ngram_jaccard_pairs(planted, threshold=0.05).collect()
+    rows = dedup.ngram_jaccard_pairs(
+        planted, threshold=0.05, allow_full_scan=True
+    ).collect()
     jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
     assert jac[(1, 2)] == 1.0
     assert 0.5 < jac[(1, 3)] < 1.0
     assert not any(4 in p for p in jac)
+
+
+def test_ngram_jaccard_refuses_unbounded_full_scan(planted):
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(planted)
+
+
+def test_ngram_jaccard_restricts_to_candidates(planted, spark):
+    # (2,3) is also a true near-dup pair but is NOT a candidate -> excluded
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    rows = dedup.ngram_jaccard_pairs(planted, candidates=cand, threshold=0.05).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2), (1, 3)}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert jac[(1, 2)] == 1.0  # same values as the full-scan baseline
+
+
+def test_minhash_then_exact_verify_pipeline(planted):
+    cand = dedup.minhash_near_dup_pairs(planted, threshold=0.3)
+    rows = dedup.ngram_jaccard_pairs(planted, candidates=cand, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
 
 
 def test_cosine_topk_orders_by_similarity(spark):
