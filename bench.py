@@ -51,6 +51,17 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).collect()
 
+    # Measured empty-job floor: plan + schedule + collect round-trip with no
+    # data.  At toy scale every query pays roughly this constant regardless
+    # of plan quality; reporting it lets round-over-round deltas track the
+    # plans, not JVM scheduling constants.
+    floor_samples = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        spark.range(1).collect()
+        floor_samples.append(time.monotonic() - t0)
+    floor = round(min(floor_samples), 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
@@ -59,6 +70,7 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    net = {k: round(max(v - floor, 0.0), 3) for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -66,6 +78,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "overhead_floor": floor,
+                "queries_net_of_floor": net,
+                "net_total": round(sum(net.values()), 3),
                 "sf": sf,
             }
         )

@@ -100,33 +100,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc with an array<long> MinHash signature.
 
-    Plan shape: explode shingles → xxhash64 base hash → groupBy(doc) with
-    ``num_hashes`` min() aggregates (map-side partial min makes the shuffle
-    tiny: K longs per doc regardless of document size).
+    Plan shape: a PURE PROJECTION.  Per doc, hash the distinct-shingle array
+    (xxhash64, reduced to 32 bits so the ANSI-mode affine arithmetic a*x+b
+    stays inside int64) and take array_min over each of the K permutations —
+    higher-order array functions, fully JVM-side.  Signature computation
+    therefore shuffles NOTHING at any corpus size; the earlier
+    explode + K-min-aggregates shape paid a (small) shuffle of K longs per
+    doc plus the row-explosion of the shingle stream.
     """
     consts = _permutation_constants(num_hashes)
     docs = ensure_parallelism(docs)
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
-    ).select(
-        id_col,
-        # Reduce the signed 64-bit xxhash64 to a non-negative 32-bit base
-        # first, so a*x + b cannot overflow int64 under ANSI mode.
-        F.pmod(F.xxhash64("shingle"), F.lit(1 << 32)).alias("hx"),
-    ).select(
-        id_col,
+    hx = F.transform(
+        word_shingles(F.col(text_col), shingle_words),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)),
+    )
+    with_hx = docs.select(F.col(id_col), hx.alias("hx"))
+    sig = F.array(
         *[
-            F.pmod(F.col("hx") * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME)).alias(f"h{i}")
-            for i, (a, b) in enumerate(consts)
-        ],
+            F.array_min(
+                F.transform(
+                    "hx",
+                    lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME)),
+                )
+            )
+            for a, b in consts
+        ]
     )
-    agg = exploded.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return agg.select(
-        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("minhash")
-    )
+    return with_hx.select(id_col, sig.alias("minhash"))
 
 
 def minhash_near_dup_pairs(
@@ -305,43 +305,44 @@ def simhash_signatures(
     """64-bit SimHash: per token hash, add ±1 to each bit plane weighted by
     occurrence; sign of each plane's sum forms the signature.
 
-    Plan shape mirrors minhash_signatures: explode tokens → one ±1 column per
-    bit plane (Python-int shift amounts — F.shiftright requires a literal int,
-    not a Column) → groupBy(doc) sum.  Map-side partial aggregation keeps the
-    shuffle at ``bits`` longs per doc regardless of document length; the bit
-    packing afterwards is a pure projection.
+    Plan shape mirrors minhash_signatures: a PURE PROJECTION — hash the
+    token array once, then one F.aggregate fold per bit plane (Python-int
+    shift amounts — F.shiftright requires a literal int, not a Column).
+    No explode, no groupBy: zero shuffle at any corpus size.
 
     Docs with zero tokens produce no signature (SimHash is undefined there),
     same as MinHash.
     """
-    exploded = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"),
-    ).select(
-        id_col,
-        *[
-            F.when(
-                F.shiftright(F.xxhash64("tok"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .alias(f"b{i}")
-            for i in range(bits)
-        ],
+    ht = F.transform(
+        tokens(normalize_text(F.col(text_col))), lambda t: F.xxhash64(t)
     )
-    sums = exploded.groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
+    d = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), ht.alias("ht"))
+        .filter(F.size("ht") > 0)
     )
+
+    def plane_sum(i: int):
+        return F.aggregate(
+            "ht",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
     # Pack sign bits with Python-int shift literals (1 << i fits int64 for
     # i < 63; bit 63 would be the sign bit, so signatures use bits <= 64 with
     # the top bit contributing the int64 sign — harmless for equality/XOR).
     sig = reduce_bitor(
         [
-            F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+            F.when(plane_sum(i) > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
             .otherwise(F.lit(0).cast("long"))
             for i in range(bits)
         ]
     )
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    return d.select(F.col(id_col), sig.alias("simhash"))
 
 
 def reduce_bitor(cols):

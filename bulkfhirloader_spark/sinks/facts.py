@@ -27,6 +27,28 @@ def write_facts(facts: DataFrame, path: str) -> None:
     facts.write.mode("overwrite").parquet(path)
 
 
+def jdbc_write_options(
+    url: str,
+    table: str,
+    batchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option set the K3 JDBC writer uses — exposed as a pure
+    function so the plumbing is testable without a database in the sandbox
+    (option-name typos silently no-op in Spark's JDBC source otherwise)."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        # K4: TRUNCATE (preserving DDL) instead of DROP+CREATE on overwrite,
+        # exactly as db.go:45-58
+        "truncate": "true",
+        # COPY's buffered flush analog (db.go:153-158)
+        "batchsize": str(batchsize),
+    }
+    opts.update(properties or {})
+    return opts
+
+
 def write_facts_jdbc(
     facts: DataFrame,
     url: str,
@@ -39,11 +61,7 @@ def write_facts_jdbc(
     exactly as the reference's TRUNCATE does, instead of DROP+CREATE."""
     (
         facts.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("truncate", "true")
-        .option("batchsize", str(batchsize))
-        .options(**(properties or {}))
+        .options(**jdbc_write_options(url, table, batchsize, properties))
         .mode("overwrite")
         .save()
     )

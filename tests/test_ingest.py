@@ -256,6 +256,26 @@ def test_k3_k4_truncate_before_load(ingest_env, spark):
     assert spark.read.parquet(path).count() == facts.count()
 
 
+def test_k3_jdbc_option_plumbing(ingest_env, spark):
+    """No database exists in the sandbox, so K3's production path is checked
+    at the option layer: the writer must carry truncate-not-recreate (K4),
+    the COPY-analog batch size, and caller credentials, and the configured
+    writer must build cleanly (save() would need a live JDBC url)."""
+    opts = sinks.jdbc_write_options(
+        "jdbc:postgresql://localhost/synth",
+        "synth_ma.synth_pop_facts",
+        batchsize=5000,
+        properties={"user": "synth"},
+    )
+    assert opts["truncate"] == "true"
+    assert opts["batchsize"] == "5000"
+    assert opts["dbtable"] == "synth_ma.synth_pop_facts"
+    assert opts["user"] == "synth"
+    rs = spark.read.parquet(str(ingest_env["root"] / "out" / "rawstat"))
+    facts = stats.population_facts(rs)
+    facts.write.format("jdbc").options(**opts).mode("overwrite")  # builds
+
+
 def test_streaming_ingest_available_now(ingest_env, spark):
     from bulkfhirloader_spark.streaming import stream_ingest_available_now
 
