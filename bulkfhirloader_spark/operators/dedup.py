@@ -299,6 +299,83 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int | None = None,
+    dim: int = 64,
+    allow_full_scan: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    cosine similarity ≥ ``threshold``.
+
+    Two tiers, same output contract:
+    - ``n_planes=None`` + ``allow_full_scan=True`` — EXACT all-pairs
+      (a nested-loop self-join, O(n²)); the oracle-checkable baseline,
+      opt-in because it cannot be the default at corpus scale.
+    - ``n_planes=k`` — hyperplane-LSH bucketed: each vector is bucketed by
+      k deterministic random-hyperplane sign bits; candidate pairs share
+      the bucket directly or under a 1-bit probe flip, then exact cosine
+      verifies.  The bucket join carries (id, bucket) only — vectors are
+      re-attached by narrow id joins, so the shuffle never drags embedding
+      payloads through the candidate fan-out.
+    """
+    from bulkfhirloader_spark.operators.similarity import (
+        _hyperplanes,
+        cosine,
+        lsh_bucket,
+    )
+
+    va = F.col(f"_va.{vec_col}")
+    vb = F.col(f"_vb.{vec_col}")
+    if n_planes is None:
+        if not allow_full_scan:
+            raise ValueError(
+                "exact embedding_cosine_pairs is O(n²); pass n_planes=<k> "
+                "for the LSH tier or allow_full_scan=True (test scale only)"
+            )
+        cand = (
+            emb.select(F.col(id_col).alias("id_a"), F.col(vec_col)).alias("_va")
+            .join(
+                emb.select(F.col(id_col).alias("id_b"), F.col(vec_col)).alias("_vb"),
+                F.col("_va.id_a") < F.col("_vb.id_b"),
+            )
+        )
+        scored = cand.select("id_a", "id_b", cosine(va, vb).alias("cos_sim"))
+        return scored.filter(F.col("cos_sim") >= threshold)
+
+    planes = _hyperplanes(dim, n_planes)
+    b = emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    probes = F.explode(
+        F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+    )
+    left = b.select(F.col(id_col).alias("id_a"), probes.alias("probe"))
+    right = b.select(F.col(id_col).alias("id_b"), F.col("bucket").alias("probe"))
+    cand = (
+        left.join(right, "probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cand = (
+        cand.join(
+            emb.select(F.col(id_col).alias("id_a"), F.col(vec_col)).alias("_va"), "id_a"
+        ).join(
+            emb.select(F.col(id_col).alias("id_b"), F.col(vec_col)).alias("_vb"), "id_b"
+        )
+    )
+    scored = cand.select("id_a", "id_b", cosine(va, vb).alias("cos_sim"))
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers:
+Three tiers:
 - ``cosine_topk_bruteforce`` — exact: broadcast the (small) query set against
   the candidate corpus, score with built-in higher-order functions, take
   top-k per query with a window.  At 100 TB this is a single broadcast
@@ -9,6 +9,12 @@ Two tiers:
 - ``cosine_topk_lsh`` — approximate: random-hyperplane LSH bucketing
   (deterministic seeded planes), exact re-scoring inside buckets.  Trades
   recall for touching ~1/2^bits of the corpus per query.
+- ``cosine_topk_ivf`` — approximate: an IVF (inverted-file) index — KMeans
+  coarse quantizer over L2-normalized vectors (Spark MLlib), each query
+  probing only its ``n_probe`` nearest centroids' lists, exact cosine
+  within.  Touches ~n_probe/n_clusters of the corpus per query with
+  data-adaptive partitioning (better recall than LSH at equal cost on
+  clustered corpora).
 
 All scoring is in DOUBLE with a left-to-right fold so results are
 deterministic and oracle-checkable.
@@ -99,6 +105,91 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
             )
         )
     return bucket
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an array vector in double precision (cosine on
+    normalized vectors == dot product; IVF's Euclidean KMeans then orders
+    clusters consistently with cosine)."""
+    return F.transform(vec, lambda x: x.cast("double") / l2_norm(vec))
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: train a KMeans coarse quantizer on the
+    L2-normalized corpus, assign every candidate to its nearest centroid
+    (one JVM-side model.transform — no shuffle), and have each query probe
+    only the ``n_probe`` centroids nearest to it, scoring exact cosine
+    inside those inverted lists.
+
+    Scale shape: training samples/iterates over vectors (MLlib handles it
+    distributed); assignment is a projection; the probe join is a broadcast
+    of (query, cluster) pairs against the cluster-assigned corpus — the
+    corpus itself never shuffles.  Centroids travel as plan literals
+    (n_clusters × dim doubles — tiny).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand_n = candidates.withColumn("_nv", l2_normalize(F.col(cand_vec)))
+    with_feat = cand_n.withColumn("features", array_to_vector(F.col("_nv")))
+    model = KMeans(k=n_clusters, seed=seed).fit(with_feat)
+    assigned = (
+        model.transform(with_feat)
+        .withColumnRenamed("prediction", "_cluster")
+        .drop("features", "_nv")
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    # per-query centroid ranking as a literal-array expression: sort
+    # (distance², centroid-id) structs, keep the first n_probe
+    q_n = queries.withColumn("_nv", l2_normalize(F.col(query_vec)))
+    dist2 = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_nv"),
+                F.array(*[F.lit(v) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centers
+    ]
+    ranked = F.array_sort(
+        F.array(
+            *[F.struct(d.alias("d"), F.lit(i).alias("c")) for i, d in enumerate(dist2)]
+        )
+    )
+    probe_clusters = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
+    qp = q_n.select(
+        F.col(query_id), F.col(query_vec), F.explode(probe_clusters).alias("_cluster")
+    )
+
+    joined = assigned.join(F.broadcast(qp), "_cluster").filter(
+        F.col(query_id) != F.col(cand_id)
+    )
+    scored = joined.select(
+        F.col(query_id),
+        F.col(cand_id),
+        cosine(F.col(query_vec), F.col(cand_vec)).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "score", "rank")
+    )
 
 
 def cosine_topk_lsh(

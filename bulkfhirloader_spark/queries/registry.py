@@ -801,6 +801,30 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline (full scan
+    opt-in; oracle via DuckDB's list_cosine_similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_cosine_pairs(emb, threshold=0.4, allow_full_scan=True)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_DEDUP_EMB_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS s
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(s, 6) AS cos_sim FROM p WHERE s >= 0.4
+"""
+
+
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale tier of embedding near-dup: hyperplane-LSH buckets + exact
+    cosine verify — probabilistic candidates, rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.4, n_planes=4)
+
+
 # ---------------------------------------------------------------------------
 # Extension — text analysis (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -950,6 +974,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN — approximate, rows-only check."""
     q, emb = _query_vectors(spark, sf_dir)
     return similarity.cosine_topk_lsh(q, emb, k=5)
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + probed inverted lists) —
+    approximate, rows-only check; recall pytest-asserted vs brute force."""
+    q, emb = _query_vectors(spark, sf_dir)
+    return similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=8, n_probe=3)
 
 
 # ---------------------------------------------------------------------------
@@ -1141,6 +1172,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_pairs": (dedup_minhash_pairs, None),
     "dedup_minhash_verified": (dedup_minhash_verified, None),
     "dedup_simhash_pairs": (dedup_simhash_pairs, None),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),
+    "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, None),
     # text analysis
     "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),
     "text_quality_stats": (text_quality_stats, _TEXT_QUALITY_SQL),
@@ -1151,6 +1184,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # similarity
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, None),
+    "sim_topk_ivf": (sim_topk_ivf, None),
     # windows + events scalars
     "win_tumbling": (win_tumbling, _WIN_TUMBLING_SQL),
     "win_sliding": (win_sliding, _WIN_SLIDING_SQL),

@@ -1,5 +1,14 @@
 """Structured Streaming variants of the batch operators."""
 
 from bulkfhirloader_spark.streaming.ingest import stream_bundles, stream_ingest_available_now
+from bulkfhirloader_spark.streaming.stateful import (
+    running_user_totals,
+    stream_tumbling_counts,
+)
 
-__all__ = ["stream_bundles", "stream_ingest_available_now"]
+__all__ = [
+    "stream_bundles",
+    "stream_ingest_available_now",
+    "running_user_totals",
+    "stream_tumbling_counts",
+]

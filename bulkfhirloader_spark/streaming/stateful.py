@@ -1,0 +1,85 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference has no streaming surface at all (SURVEY §2.8); these are the
+engine-extension shapes a continuous ingest would need.  The pattern is the
+Spark-sanctioned one for arbitrary per-key state: Arrow-batched pandas
+groups with an explicit GroupState, emitted in update mode — the custom
+analog of the built-in windowed aggregations in operators.windows.
+
+State is a tuple Row matching ``state_schema``; Spark checkpoints it, so
+the operator is exactly-once across restarts.  Per-key state is O(1) here
+(two numbers), so the state store stays tiny at any event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value_cents bigint"
+_STATE_SCHEMA = "n bigint, total_cents bigint"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running event count + running value sum (exact integer
+    cents), updated each micro-batch — e.g. live per-user spend counters.
+
+    Works on a STREAMING DataFrame with columns (user_id, value).  Money is
+    accumulated in integer cents so state never drifts (float state would
+    accumulate rounding across thousands of micro-batches).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total_cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, total_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_cents": [total_cents],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_tumbling_counts(events: DataFrame, window: str = "10 minutes",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked event-time tumbling aggregation on a STREAMING DataFrame —
+    the streaming form of operators.windows.tumbling_counts.  The watermark
+    bounds state: windows older than max(event time) - watermark are
+    finalized and their state dropped, which is what makes an unbounded
+    stream run in bounded memory."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )

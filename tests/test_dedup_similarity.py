@@ -120,6 +120,59 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert ranked == [1, 2, 3]
 
 
+def test_embedding_cosine_pairs_exact_and_lsh(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+    # plant near-dup clones: same direction (901), slightly perturbed (902)
+    rows.append((901, [v * 1.01 for v in rows[0][1]]))
+    rows.append((902, [v * 0.99 + 0.001 for v in rows[1][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, threshold=0.95, allow_full_scan=True
+        ).collect()
+    }
+    assert (0, 901) in exact and (1, 902) in exact
+    assert len(exact) < 10  # random pairs don't reach 0.95
+
+    with pytest.raises(ValueError):
+        dedup.embedding_cosine_pairs(emb)  # unbounded full scan refused
+
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, threshold=0.95, n_planes=4, dim=16
+        ).collect()
+    }
+    assert lsh <= exact  # exact verify means no false positives
+    assert (0, 901) in lsh  # identical direction -> identical bucket bits
+
+
+def test_ivf_topk_contains_true_neighbor(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    rows.append((999, [v + 0.001 for v in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        r["vec_id"]
+        for r in similarity.cosine_topk_ivf(
+            q, emb, k=5, n_clusters=8, n_probe=2
+        ).collect()
+    }
+    assert 999 in got  # near-identical vector lands in the query's own cell
+    brute = {r["vec_id"] for r in similarity.cosine_topk_bruteforce(q, emb, k=5).collect()}
+    assert len(got & brute) >= 2  # decent recall with 2/8 cells probed
+
+
 def test_lsh_topk_contains_true_neighbor(spark):
     import random
 

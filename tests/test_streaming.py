@@ -1,0 +1,92 @@
+"""Streaming extension operators: the applyInPandasWithState custom
+stateful op and the watermarked tumbling aggregation, both drained with
+Trigger.AvailableNow over a multi-file parquet source and checked against
+the equivalent batch computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # several files so availableNow with maxFilesPerTrigger produces
+    # multiple micro-batches (state must carry across batches)
+    ev.repartition(3).write.parquet(str(root / "in"))
+    return root
+
+
+def test_stateful_running_totals_match_batch(spark, events_stream_env):
+    from bulkfhirloader_spark.streaming import running_user_totals
+
+    in_dir = str(events_stream_env / "in")
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(events_stream_env / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # the memory sink holds one emit per (user, micro-batch); the final
+    # running total is the emit with the highest n_events per user
+    final: dict[int, tuple[int, int]] = {}
+    for r in spark.sql("SELECT * FROM running_totals").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value_cents"])
+
+    batch = spark.read.parquet(in_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    want = {r["user_id"]: (r["n"], r["cents"]) for r in batch.collect()}
+    assert final == want
+
+
+def test_stream_tumbling_matches_batch(spark, events_stream_env):
+    from bulkfhirloader_spark.operators import windows
+    from bulkfhirloader_spark.streaming import stream_tumbling_counts
+
+    in_dir = str(events_stream_env / "in")
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_tumbling_counts(stream, "10 minutes")
+        .writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(events_stream_env / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM tumbling_stream").collect()
+    }
+    ev = spark.read.parquet(in_dir)
+    want = {
+        (r["window_start"], r["event_type"], r["n_events"], r["value_cents"])
+        for r in windows.tumbling_counts(ev, "10 minutes").collect()
+    }
+    assert got == want
