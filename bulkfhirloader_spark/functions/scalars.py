@@ -76,9 +76,16 @@ def gender_flag(gender: Column, value: str) -> Column:
 def first_element(col: Column) -> Column:
     """F6 — first-element-only access (Address[0], Coding[0];
     bundle.go:92, bundle.go:102).  try_element_at returns NULL for
-    empty/NULL arrays (matching the Go nil-check guards) — plain
-    element_at THROWS on empty arrays under Spark 4's default ANSI mode,
-    which would let one address-less patient kill a full ingest."""
+    empty/NULL arrays — plain element_at THROWS on empty arrays under
+    Spark 4's default ANSI mode, which would let one address-less patient
+    kill a full ingest.
+
+    DELIBERATE DEVIATION from the reference: bundle.go:92 indexes
+    p.Address[0] unguarded, so a Patient with an empty (non-nil) address
+    array PANICS the whole loader there; here it degrades to NULL city/zip
+    -> ''-FIPS location, i.e. the same bucket as an unknown city (SURVEY
+    §4.3 #4).  A NULL address array is nil-guarded in Go too, so only the
+    empty-array case differs."""
     return F.try_element_at(col, F.lit(1))
 
 

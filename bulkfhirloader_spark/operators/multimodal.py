@@ -107,6 +107,52 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
 
 
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling — the 1->N multimodal shape (one media row fans out to
+    several frame rows) as an Arrow-batched mapInPandas.
+
+    The "decoder" is a DETERMINISTIC STUB (fixed-size byte chunks stand in
+    for keyframes — no ffmpeg in this container); production swaps the
+    chunk loop for real keyframe extraction while the Spark-side plumbing
+    (fan-out schema, batch iteration, per-frame hashing) stays identical.
+    Deterministic chunking also makes this the one Python mapInPandas op
+    with a full SQL oracle (blob substring + sha256 in DuckDB).
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_sha256": [], "n_bytes": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                n_frames = min(max_frames, max(1, (len(b) + frame_bytes - 1) // frame_bytes))
+                for i in range(n_frames):
+                    chunk = b[i * frame_bytes:(i + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_sha256"].append(hashlib.sha256(chunk).hexdigest())
+                    out["n_bytes"].append(len(chunk))
+            frame = pd.DataFrame(out)
+            frame["frame_idx"] = frame["frame_idx"].astype("int32")
+            yield frame
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAMES_SCHEMA)
+
+
 def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
     """Real image decode is NOT available in this container."""
     raise NotImplementedError(

@@ -163,6 +163,26 @@ def ensure_fixture(spark: SparkSession) -> str:
     return out_dir
 
 
+_STREAM_OUT: str | None = None
+
+
+def ensure_stream_fixture(spark: SparkSession) -> str:
+    """Drain the SAME fixture corpus through the Structured Streaming ingest
+    (availableNow trigger + checkpoint) once per process; returns its output
+    dir.  Lets the driver hard-check that the streaming path produces
+    exactly the batch K1 result."""
+    global _STREAM_OUT
+    if _STREAM_OUT is not None and os.path.isdir(os.path.join(_STREAM_OUT, "resources")):
+        return _STREAM_OUT
+    from bulkfhirloader_spark.streaming import stream_ingest_available_now
+
+    root = os.path.dirname(ensure_fixture(spark))
+    sout = os.path.join(root, "stream_out")
+    stream_ingest_available_now(spark, os.path.join(root, "bundles"), sout)
+    _STREAM_OUT = sout
+    return sout
+
+
 def fixture_rawstat(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(os.path.join(ensure_fixture(spark), "rawstat"))
 

@@ -498,6 +498,31 @@ FROM ex WHERE condition_id > 0 GROUP BY 1, 2, 3
 """
 
 
+def ref_ingest_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+F7 over the real written output: per-collection counts after the
+    partitionBy(collection-name) resource write (bundle.go:75-120)."""
+    res = ingest_fixture.fixture_resources(spark)
+    return res.groupBy("collection").agg(F.count(F.lit(1)).alias("n_resources"))
+
+
+_REF_INGEST_COLL_SQL = """
+SELECT * FROM (VALUES ('patients', CAST(6 AS BIGINT)),
+                      ('conditions', CAST(6 AS BIGINT)))
+       AS t(collection, n_resources)
+"""
+
+
+def ref_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming ingest variant (SURVEY §2.8/§7): the same
+    fixture corpus drained via availableNow + checkpoint must route exactly
+    the batch K1 collections — same oracle as ref_ingest_collections."""
+    import os as _os
+
+    sout = ingest_fixture.ensure_stream_fixture(spark)
+    res = spark.read.parquet(_os.path.join(sout, "resources"))
+    return res.groupBy("collection").agg(F.count(F.lit(1)).alias("n_resources"))
+
+
 def ref_pop_facts_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §4.3 #1's obviously-intended variant: real age deciles instead
     of the verbatim hard-coded agerange=1 (which ref_ingest_pop_facts
@@ -1127,6 +1152,31 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N frame sampling via mapInPandas (stub chunker) — the chunker is
+    deterministic byte slicing, so DuckDB can restate it exactly with blob
+    substring + sha256: a FULL oracle over a Python fan-out operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.sample_frames(media, frame_bytes=128, max_frames=8)
+
+
+# DuckDB's substring has no BLOB overload, so the oracle chunks the VARCHAR;
+# char offsets == byte offsets because the testdata corpus is pure ASCII
+# (verified octet_length == length at every SF).  The operator itself chunks
+# bytes and is correct for any payload.
+_MM_FRAMES_SQL = """
+WITH m AS (SELECT doc_id AS media_id, text AS s FROM documents),
+f AS (SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+             substring(s, CAST(i * 128 + 1 AS BIGINT), 128) AS chunk
+      FROM m, unnest(range(CAST(least(8, greatest(1,
+                     ceil(length(s) / 128.0))) AS BIGINT))) AS t(i))
+SELECT media_id, frame_idx, sha256(chunk) AS frame_sha256,
+       CAST(length(chunk) AS BIGINT) AS n_bytes
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1155,6 +1205,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ref_ingest_pop_facts": (ref_ingest_pop_facts, _REF_INGEST_POP_SQL),
     "ref_ingest_disease_facts": (ref_ingest_disease_facts, _REF_INGEST_DIS_SQL),
     "ref_ingest_condition_facts": (ref_ingest_condition_facts, _REF_INGEST_CON_SQL),
+    "ref_ingest_collections": (ref_ingest_collections, _REF_INGEST_COLL_SQL),
+    "ref_ingest_streaming": (ref_ingest_streaming, _REF_INGEST_COLL_SQL),
     "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),
@@ -1195,6 +1247,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # multimodal
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
     "mm_extract_features": (mm_extract_features, None),
+    "mm_sample_frames": (mm_sample_frames, _MM_FRAMES_SQL),
 }
 
 
