@@ -62,12 +62,19 @@ def main() -> None:
         floor_samples.append(time.monotonic() - t0)
     floor = round(min(floor_samples), 3)
 
+    # Cold = first execution in this JVM (includes per-plan codegen compile,
+    # which every fresh process pays once per query shape); warm = second
+    # execution of the identical plan (steady-state plan quality).
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
         t0 = time.monotonic()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).collect()
+        warm[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     net = {k: round(max(v - floor, 0.0), 3) for k, v in timings.items()}
@@ -81,6 +88,8 @@ def main() -> None:
                 "overhead_floor": floor,
                 "queries_net_of_floor": net,
                 "net_total": round(sum(net.values()), 3),
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

@@ -325,27 +325,33 @@ def embedding_cosine_pairs(
     """
     from bulkfhirloader_spark.operators.similarity import (
         _hyperplanes,
-        cosine,
+        cosine_with_norms,
+        l2_norm,
         lsh_bucket,
     )
 
-    va = F.col(f"_va.{vec_col}")
-    vb = F.col(f"_vb.{vec_col}")
+    # norms computed once per VECTOR before any pair join — per-pair norm
+    # recompute would multiply the norm work by the pair fan-out
+    sides = {
+        s: emb.select(
+            F.col(id_col).alias(f"id_{s}"),
+            F.col(vec_col).alias(f"v_{s}"),
+            l2_norm(F.col(vec_col)).alias(f"n_{s}"),
+        )
+        for s in ("a", "b")
+    }
+    sim = cosine_with_norms(
+        F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+    ).alias("cos_sim")
+
     if n_planes is None:
         if not allow_full_scan:
             raise ValueError(
                 "exact embedding_cosine_pairs is O(n²); pass n_planes=<k> "
                 "for the LSH tier or allow_full_scan=True (test scale only)"
             )
-        cand = (
-            emb.select(F.col(id_col).alias("id_a"), F.col(vec_col)).alias("_va")
-            .join(
-                emb.select(F.col(id_col).alias("id_b"), F.col(vec_col)).alias("_vb"),
-                F.col("_va.id_a") < F.col("_vb.id_b"),
-            )
-        )
-        scored = cand.select("id_a", "id_b", cosine(va, vb).alias("cos_sim"))
-        return scored.filter(F.col("cos_sim") >= threshold)
+        cand = sides["a"].join(sides["b"], F.col("id_a") < F.col("id_b"))
+        return cand.select("id_a", "id_b", sim).filter(F.col("cos_sim") >= threshold)
 
     planes = _hyperplanes(dim, n_planes)
     b = emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
@@ -366,15 +372,8 @@ def embedding_cosine_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    cand = (
-        cand.join(
-            emb.select(F.col(id_col).alias("id_a"), F.col(vec_col)).alias("_va"), "id_a"
-        ).join(
-            emb.select(F.col(id_col).alias("id_b"), F.col(vec_col)).alias("_vb"), "id_b"
-        )
-    )
-    scored = cand.select("id_a", "id_b", cosine(va, vb).alias("cos_sim"))
-    return scored.filter(F.col("cos_sim") >= threshold)
+    cand = cand.join(sides["a"], "id_a").join(sides["b"], "id_b")
+    return cand.select("id_a", "id_b", sim).filter(F.col("cos_sim") >= threshold)
 
 
 def simhash_signatures(

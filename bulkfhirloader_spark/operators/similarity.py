@@ -49,6 +49,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with per-ROW precomputed norms: inside a pair join, computing
+    l2_norm per pair multiplies the norm work by the join fan-out (each
+    corpus row's norm recomputed once per query / candidate partner).
+    Bit-identical to ``cosine`` — same dot / (na * nb) double expression."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     candidates: DataFrame,
@@ -61,16 +69,22 @@ def cosine_topk_bruteforce(
     """Exact top-k cosine neighbors per query.
 
     The query side is broadcast (queries are user requests — thousands at
-    most); the candidate corpus streams through in place.  Tie-break on
-    candidate id keeps ranking deterministic.
+    most); the candidate corpus streams through in place.  Norms are
+    computed once per row BEFORE the cross join (per-pair norm recompute
+    would cost n_queries× the work).  Tie-break on candidate id keeps
+    ranking deterministic.
     """
-    joined = candidates.crossJoin(F.broadcast(queries)).filter(
+    q_n = queries.withColumn("_qn", l2_norm(F.col(query_vec)))
+    c_n = candidates.withColumn("_cn", l2_norm(F.col(cand_vec)))
+    joined = c_n.crossJoin(F.broadcast(q_n)).filter(
         F.col(query_id) != F.col(cand_id)
     )
     scored = joined.select(
         F.col(query_id),
         F.col(cand_id),
-        cosine(F.col(query_vec), F.col(cand_vec)).alias("score"),
+        cosine_with_norms(
+            F.col(query_vec), F.col(cand_vec), F.col("_qn"), F.col("_cn")
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
     return (
@@ -176,13 +190,15 @@ def cosine_topk_ivf(
         F.col(query_id), F.col(query_vec), F.explode(probe_clusters).alias("_cluster")
     )
 
-    joined = assigned.join(F.broadcast(qp), "_cluster").filter(
-        F.col(query_id) != F.col(cand_id)
-    )
+    joined = assigned.withColumn("_cn", l2_norm(F.col(cand_vec))).join(
+        F.broadcast(qp.withColumn("_qn", l2_norm(F.col(query_vec)))), "_cluster"
+    ).filter(F.col(query_id) != F.col(cand_id))
     scored = joined.select(
         F.col(query_id),
         F.col(cand_id),
-        cosine(F.col(query_vec), F.col(cand_vec)).alias("score"),
+        cosine_with_norms(
+            F.col(query_vec), F.col(cand_vec), F.col("_qn"), F.col("_cn")
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
     return (
@@ -208,7 +224,9 @@ def cosine_topk_lsh(
     bucket join is an equi join on a uniform hash — no skew.
     """
     planes = _hyperplanes(dim, n_planes)
-    cand_b = candidates.withColumn("bucket", lsh_bucket(F.col(cand_vec), planes))
+    cand_b = candidates.withColumn(
+        "bucket", lsh_bucket(F.col(cand_vec), planes)
+    ).withColumn("_cn", l2_norm(F.col(cand_vec)))
     # multi-probe: the query's own bucket plus every 1-bit flip
     probe_buckets = F.array(
         F.col("bucket"),
@@ -219,6 +237,7 @@ def cosine_topk_lsh(
     )
     q_b = (
         queries.withColumn("bucket", lsh_bucket(F.col(query_vec), planes))
+        .withColumn("_qn", l2_norm(F.col(query_vec)))
         .withColumn("probe", F.explode(probe_buckets))
         .drop("bucket")
     )
@@ -228,7 +247,9 @@ def cosine_topk_lsh(
     scored = joined.select(
         F.col(query_id),
         F.col(cand_id),
-        cosine(F.col(query_vec), F.col(cand_vec)).alias("score"),
+        cosine_with_norms(
+            F.col(query_vec), F.col(cand_vec), F.col("_qn"), F.col("_cn")
+        ).alias("score"),
     ).dropDuplicates([query_id, cand_id])
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
     return (
