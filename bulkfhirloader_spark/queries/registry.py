@@ -1110,6 +1110,17 @@ def ext_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe EXACT distinct count (operators.skew): two-stage value-hash
+    salting must equal the plain count_distinct — same oracle SQL."""
+    from bulkfhirloader_spark.operators import skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew.salted_count_distinct(
+        ev, ["event_type"], "user_id", num_salts=16, out_col="n_users"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension — multimodal columns (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -1244,6 +1255,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_json_extract": (events_json_extract, _EVENTS_JSON_SQL),
     "ext_distinct_users_exact": (ext_distinct_users_exact, _EXT_DISTINCT_SQL),
     "ext_approx_distinct_users": (ext_approx_distinct_users, None),
+    "ext_salted_distinct_users": (ext_salted_distinct_users, _EXT_DISTINCT_SQL),
     # multimodal
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
     "mm_extract_features": (mm_extract_features, None),

@@ -110,6 +110,39 @@ def test_ingest_resource_path_has_no_exchange(spark, tmp_path):
     assert rows["urn:uuid:c1"]["resource"]["subject"]["reference"].startswith("Patient/")
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Fact-fact joins at scale must be co-locatable: two tables bucketed on
+    the join key with matching bucket counts join with NO Exchange on either
+    side (and no Sort, since the buckets are written pre-sorted).  Broadcast
+    and AQE are disabled for the inspection so the shuffle-free sort-merge
+    join is what's actually planned."""
+    from bulkfhirloader_spark.sources.bucketing import write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"], path=str(tmp_path / "ob"))
+    write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8,
+                   sort_cols=["l_orderkey"], path=str(tmp_path / "lb"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).select("o_orderpriority", "l_quantity")
+        plan = _plan(j)
+        rows = j.limit(5).collect()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert len(rows) == 5
+
+
 def test_explode_filter_pushed_below_aggregate(spark):
     """A2's disease_id > N filter must sit under the aggregate, directly on
     the generator output — the row-count cliff at scale."""
