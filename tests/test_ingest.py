@@ -256,6 +256,34 @@ def test_k3_k4_truncate_before_load(ingest_env, spark):
     assert spark.read.parquet(path).count() == facts.count()
 
 
+def test_cli_end_to_end(ingest_env, spark):
+    """Entry point 1 (main.go:27-133) via the CLI: ingest + stats phases,
+    fact outputs equal to calling the stats pipelines directly."""
+    from bulkfhirloader_spark import cli
+
+    root = ingest_env["root"]
+    res = cli.main([
+        "--path", str(root / "bundles"),
+        "--cousub-dim", str(root / "dims" / "cousub"),
+        "--condition-dim", str(root / "dims" / "conddim"),
+        "--out", str(root / "cli_out"),
+        "--facts-out", str(root / "cli_facts"),
+        "--as-of", "2020-01-01",
+        "--reset",
+        "--debug",
+    ])
+    assert res["bundles"] == 6
+    rs = spark.read.parquet(str(root / "cli_out" / "rawstat"))
+    pop_direct = {tuple(r) for r in stats.population_facts(rs).collect()}
+    pop_cli = {
+        tuple(r)
+        for r in spark.read.parquet(str(root / "cli_facts" / "pop_facts")).collect()
+    }
+    assert pop_cli == pop_direct
+    for t in ("disease_facts", "condition_facts"):
+        assert spark.read.parquet(str(root / "cli_facts" / t)).count() > 0
+
+
 def test_k3_jdbc_option_plumbing(ingest_env, spark):
     """No database exists in the sandbox, so K3's production path is checked
     at the option layer: the writer must carry truncate-not-recreate (K4),

@@ -51,6 +51,55 @@ def test_f3_age_birthday_boundary(spark):
     assert got == [30, 29, 30, 20]
 
 
+def test_f3_age_exhaustive_edge_grid(spark):
+    """age_years vs an independently re-derived forward loop of the
+    reference's semantics (bundle.go:54-60: completed years = how many
+    whole years fit between birth and as-of, with Feb-29 anniversaries
+    normalizing forward to Mar-1 in non-leap years, Go AddDate-style) —
+    over every tricky (birth, as_of) combination in one Spark job."""
+    import datetime as dt
+    import itertools
+
+    def completed_years(b: dt.date, a: dt.date) -> int:
+        n = 0
+        while True:
+            y = b.year + n + 1
+            try:
+                anniversary = b.replace(year=y)
+            except ValueError:  # Feb 29 in a non-leap year -> Mar 1
+                anniversary = dt.date(y, 3, 1)
+            if anniversary > a:
+                return n
+            n += 1
+
+    births = [
+        dt.date(2000, 2, 29), dt.date(1999, 2, 28), dt.date(1999, 3, 1),
+        dt.date(1996, 12, 31), dt.date(1997, 1, 1), dt.date(1998, 6, 15),
+        dt.date(2000, 1, 31), dt.date(2001, 4, 30),
+    ]
+    as_ofs = [
+        dt.date(2003, 2, 28), dt.date(2003, 3, 1), dt.date(2004, 2, 28),
+        dt.date(2004, 2, 29), dt.date(2004, 3, 1), dt.date(2020, 1, 1),
+        dt.date(2020, 12, 31), dt.date(2001, 6, 15), dt.date(2001, 6, 14),
+        dt.date(2001, 6, 16),
+    ]
+    pairs = [(b, a) for b, a in itertools.product(births, as_ofs) if a >= b]
+    df = spark.createDataFrame(pairs, "birth date, as_of date")
+    got = {
+        (r["birth"], r["as_of"]): r["age"]
+        for r in df.select(
+            "birth", "as_of",
+            S.age_years(F.col("birth"), F.col("as_of")).alias("age"),
+        ).collect()
+    }
+    mismatches = {
+        (b, a): (got[(b, a)], completed_years(b, a))
+        for b, a in pairs
+        if got[(b, a)] != completed_years(b, a)
+    }
+    assert not mismatches, mismatches
+
+
 def test_f4_deceased_tristate(spark):
     df = spark.createDataFrame(
         [
