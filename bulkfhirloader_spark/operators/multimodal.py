@@ -153,6 +153,51 @@ def sample_frames(
     return media.select("media_id", "payload").mapInPandas(run, FRAMES_SCHEMA)
 
 
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),
+    ]
+)
+
+
+def resize_thumbnails(media: DataFrame, thumb_w: int = 8, thumb_h: int = 8) -> DataFrame:
+    """Resize — the 1->1 binary-to-binary multimodal shape: each payload
+    becomes a fixed-size thumbnail byte grid.
+
+    STUB resizer (no PIL in this container): deterministic byte striding
+    samples thumb_w*thumb_h evenly-spaced payload bytes (a real resize is
+    `PIL.Image.open(...).resize((w, h)).tobytes()` with the identical
+    mapInPandas contract).  Output stays a typed ``binary`` column so
+    downstream ops (payload_stats, extract_features) compose unchanged.
+    """
+    n_px = thumb_w * thumb_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for payload in pdf["payload"]:
+                b = bytes(payload or b"")
+                if not b:
+                    thumbs.append(bytes(n_px))
+                    continue
+                step = max(len(b) // n_px, 1)
+                sampled = b[::step][:n_px]
+                thumbs.append(sampled.ljust(n_px, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb_w": pd.Series([thumb_w] * len(pdf), dtype="int32"),
+                    "thumb_h": pd.Series([thumb_h] * len(pdf), dtype="int32"),
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, THUMBNAIL_SCHEMA)
+
+
 def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
     """Real image decode is NOT available in this container."""
     raise NotImplementedError(

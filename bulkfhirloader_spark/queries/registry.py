@@ -1188,6 +1188,18 @@ FROM f
 """
 
 
+def mm_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->1 binary resize via mapInPandas (stub byte-striding resizer) —
+    rows-only; the thumbnail is serialized to its sha for hashability."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    out = multimodal.resize_thumbnails(media, thumb_w=8, thumb_h=8)
+    return out.select(
+        "media_id", "thumb_w", "thumb_h",
+        F.sha2(F.col("thumbnail"), 256).alias("thumb_sha256"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1260,6 +1272,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
     "mm_extract_features": (mm_extract_features, None),
     "mm_sample_frames": (mm_sample_frames, _MM_FRAMES_SQL),
+    "mm_resize_thumbnails": (mm_resize_thumbnails, None),
 }
 
 
