@@ -5,7 +5,7 @@ entry exists, the same-named SQL on DuckDB over the same parquet files;
 compares row count, sorted column names, and an order-insensitive value
 hash (rows rendered to strings, column-sorted, row-sorted, md5).
 
-Usage: python tools/verify_local.py [sf_dir] [name_filter ...]
+Usage: python scripts/selfcheck.py [sf_dir] [name_filter ...]
 """
 
 from __future__ import annotations
