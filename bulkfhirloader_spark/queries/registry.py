@@ -619,6 +619,116 @@ SELECT c_nationkey, c_custkey, spend_cents, rnk FROM r WHERE rnk <= 3
 """
 
 
+def ext_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins (SURVEY §2.4: absent in the reference,
+    native in Spark): customers with an urgent order vs customers with no
+    orders at all, as one summary row."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    n_semi = customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_with_urgent"))
+    n_anti = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_never_ordered"))
+    return n_semi.crossJoin(n_anti)
+
+
+_EXT_SEMI_ANTI_SQL = """
+SELECT
+  (SELECT count(*) FROM customer WHERE EXISTS
+     (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderpriority = '1-URGENT')) AS n_with_urgent,
+  (SELECT count(*) FROM customer WHERE NOT EXISTS
+     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_never_ordered
+"""
+
+
+def ext_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-shape scalar comparison (Catalyst decorrelates the oracle's
+    scalar subquery; the DataFrame side expresses it as a broadcast of the
+    one-row global aggregate): orders above the global average price, per
+    priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+_EXT_SCALAR_SUBQ_SQL = """
+SELECT o_orderpriority, count(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY 1
+"""
+
+
+def ext_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy + HAVING on the aggregate, then join back to
+    pick up order attributes."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "o_orderpriority",
+            money_cents(F.col("o_totalprice")).alias("price_cents"),
+            "total_qty",
+        )
+    )
+
+
+_EXT_HAVING_SQL = """
+WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+SELECT l_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def ext_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames beyond top-k (SURVEY §2.6): per-customer running spend
+    (rowsBetween unbounded-preceding) and gap-to-previous-order via lag."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = F.sum(money_cents(F.col("o_totalprice"))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_date = F.lag(F.to_date("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        running.alias("running_spend_cents"),
+        F.datediff(F.to_date("o_orderdate"), prev_date).alias("days_since_prev"),
+    )
+
+
+_EXT_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_spend_cents,
+       CAST(date_diff('day',
+                      lag(CAST(o_orderdate AS DATE))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+                      CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+FROM orders WHERE o_custkey < 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # Headline analytical queries (bench workload; TPC-H-shaped)
 # ---------------------------------------------------------------------------
@@ -1236,6 +1346,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_cube_order_counts": (ext_cube_order_counts, _EXT_CUBE_SQL),
     "ext_setops_customers": (ext_setops_customers, _EXT_SETOPS_SQL),
     "ext_topk_customers_by_nation": (ext_topk_customers_by_nation, _EXT_TOPK_SQL),
+    "ext_semi_anti_joins": (ext_semi_anti_joins, _EXT_SEMI_ANTI_SQL),
+    "ext_scalar_subquery": (ext_scalar_subquery, _EXT_SCALAR_SUBQ_SQL),
+    "ext_having_big_orders": (ext_having_big_orders, _EXT_HAVING_SQL),
+    "ext_window_running_totals": (ext_window_running_totals, _EXT_WINDOW_RUNNING_SQL),
     # headline analytics (bench workload)
     "q1_lineitem_pricing": (q1_lineitem_pricing, _Q1_SQL),
     "q3_top_unshipped_orders": (q3_top_unshipped_orders, _Q3_SQL),
