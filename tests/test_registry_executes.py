@@ -39,6 +39,20 @@ def test_entry_smoke(spark):
     assert len(df.collect()) > 0
 
 
+def test_driver_contract_shape():
+    """oracle_sql() keys must be a subset of queries() keys, names unique
+    and non-empty — the driver silently ignores orphan oracle entries, so a
+    typo would demote a hash-checked query to rows-only without failing."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert qs, "queries() is empty"
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    assert all(callable(fn) for fn in qs.values())
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+
+
 def test_oracle_keys_subset_of_queries():
     import __spark_entry__ as e
 

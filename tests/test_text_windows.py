@@ -48,6 +48,45 @@ def test_fingerprint_normalization_invariance(spark):
     assert rows[1]["fp_md5"] != rows[3]["fp_md5"]
 
 
+def test_quality_stats_match_python_reference_on_random_corpus(spark):
+    """Cross-validate the Catalyst quality features against an independent
+    Python re-implementation over a seeded random corpus (mixed scripts,
+    whitespace runs, empty and punctuation-only docs) — one Spark job."""
+    import random
+    import re
+
+    rng = random.Random(42)
+    alphabet = "abcXYZ \t\n.,;:!?0189éß€ the of"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120))))
+        for i in range(300)
+    ]
+    rows += [(900, ""), (901, " \t\n "), (902, "...!!!"), (903, "the the THE")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.quality_stats(docs).collect()}
+
+    stop_en = {"the", "a", "of", "and", "to", "in", "is"}
+    for doc_id, s in rows:
+        toks = re.findall(r"\S+", s)
+        n_chars = len(s)
+        n_alpha = len(re.sub(r"[^A-Za-z]", "", s))
+        n_punct = len(re.sub(r"[^.,;:!?]", "", s))
+        n_stop = sum(1 for t in toks if t.lower() in stop_en)
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks), (doc_id, s)
+        assert r["n_chars_computed"] == n_chars
+        if not toks:
+            assert r["avg_token_len"] is None and r["stopword_ratio"] is None
+        else:
+            assert abs(r["avg_token_len"] - n_chars / len(toks)) < 1e-9
+            assert abs(r["stopword_ratio"] - n_stop / len(toks)) < 1e-9
+        if n_chars == 0:
+            assert r["alpha_ratio"] is None and r["punct_ratio"] is None
+        else:
+            assert abs(r["alpha_ratio"] - n_alpha / n_chars) < 1e-9
+            assert abs(r["punct_ratio"] - n_punct / n_chars) < 1e-9
+
+
 def test_token_count_bpe_ish(spark):
     got = (
         spark.createDataFrame([("don't stop, it's 42!",)], ["t"])
