@@ -305,6 +305,73 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (node, component) where
+    component is the minimum node id reachable through the pair graph —
+    the step that turns pairwise dedup output into keep-one-per-cluster.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(diameter)
+    rounds (dup clusters are near-cliques, so typically 2-3).  The driver
+    loop materializes each round via localCheckpoint — required anyway to
+    cut the exponential lineage — and stops at the first round with no
+    label change.  Per round: one join edges⋈labels + one groupBy(node)
+    min — both keyed by node id, no skew beyond component size.
+    """
+    edges = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels, edges.src == labels.node
+        ).select(F.col("dst").alias("node"), "component")
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Cluster summary over near-dup pairs: one row per duplicate cluster
+    with its size and the deterministic survivor (min id)."""
+    comp = connected_components(pairs, left_col, right_col)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("keep_id"),
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

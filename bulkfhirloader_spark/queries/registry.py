@@ -936,6 +936,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the near-dup pipeline: MinHash-LSH pairs → connected
+    components → one row per duplicate cluster (size + surviving id).
+    Iterative — rows-only (components have no single-query SQL form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.5)
+    return dedup.duplicate_clusters(pairs)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline (full scan
     opt-in; oracle via DuckDB's list_cosine_similarity)."""
@@ -1363,6 +1372,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash_pairs": (dedup_simhash_pairs, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),
     "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, None),
+    "dedup_clusters": (dedup_clusters, None),
     # text analysis
     "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),
     "text_quality_stats": (text_quality_stats, _TEXT_QUALITY_SQL),

@@ -120,6 +120,29 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert ranked == [1, 2, 3]
 
 
+def test_connected_components_and_clusters(spark):
+    # chain 1-2-3 plus isolated pair (10, 11): two clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    clusters = {r["component"]: (r["cluster_size"], r["keep_id"])
+                for r in dedup.duplicate_clusters(pairs).collect()}
+    assert clusters == {1: (3, 1), 10: (2, 10)}
+
+
+def test_clusters_from_minhash_pairs(planted):
+    pairs = dedup.minhash_near_dup_pairs(planted, threshold=0.5)
+    clusters = {r["keep_id"]: r["cluster_size"]
+                for r in dedup.duplicate_clusters(pairs).collect()}
+    # docs 1,2,3 plus 5 (minhash shingles are normalized, so the upper-cased
+    # dup collapses too) form one cluster; 4 is isolated (absent)
+    assert clusters.get(1) == 4
+    assert 4 not in clusters
+
+
 def test_embedding_cosine_pairs_exact_and_lsh(spark):
     import random
 
