@@ -102,19 +102,22 @@ def normalize_text(text: Column) -> Column:
 
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints: md5 of the normalized text (oracle-checkable)
-    plus a 31-bit polynomial rolling hash over tokens (xxhash64-seeded) for
-    cheap streaming-style identity.
+    plus a 31-bit polynomial rolling hash over the normalized character
+    stream for cheap streaming-style identity.
 
-    The rolling hash is kept strictly in int64 range so it cannot overflow
-    under ANSI mode (Spark 4's default): acc < 2^31-1, multiplier ~2^20,
-    token hash reduced to 31 bits → acc*m + h < 2^52 before the mod.
+    The rolling hash folds CHARACTER CODEPOINTS (not engine-specific token
+    hashes), so it is engine-portable: DuckDB restates it exactly with
+    list_reduce over unicode(c), making this column oracle-checkable rather
+    than rows-only.  Arithmetic stays strictly inside int64 under ANSI mode
+    (Spark 4's default): acc < 2^31-1, multiplier ~2^20, codepoint < 2^21 →
+    acc*m + c < 2^52 before the mod.
     """
     norm = normalize_text(F.col(text_col))
     p = F.lit(2147483647)  # 2^31 - 1 (Mersenne prime)
     rolling = F.aggregate(
-        tokens(norm),
+        F.regexp_extract_all(norm, F.lit("."), 0),
         F.lit(18652614).cast("long"),  # FNV-1a 32-bit basis mod p
-        lambda acc, t: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(t), p), p),
+        lambda acc, c: F.pmod(acc * F.lit(1000003) + F.ascii(c), p),
     )
     return docs.select(
         F.col(id_col),

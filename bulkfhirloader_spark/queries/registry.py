@@ -921,8 +921,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup tier: MinHash-LSH proposes candidate pairs
     (~linear), exact n-gram Jaccard re-scores ONLY those pairs — the
-    quadratic baseline provably never touches the full corpus.  Rows-only
-    (the candidate set is probabilistic)."""
+    quadratic baseline provably never touches the full corpus.
+
+    Oracle-checked against the full-scan exact-Jaccard SQL: the comparison
+    asserts that on the (deterministic) benchmark corpus the LSH proposal
+    stage at threshold 0.3 recalls EVERY true pair at Jaccard >= 0.5 — i.e.
+    the two-tier pipeline is exactly equivalent to the quadratic baseline
+    here, at ~linear cost."""
     docs = load_table(spark, sf_dir, "documents")
     cand = dedup.minhash_near_dup_pairs(
         docs, num_hashes=32, bands=8, threshold=0.3
@@ -937,12 +942,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End of the near-dup pipeline: MinHash-LSH pairs → connected
-    components → one row per duplicate cluster (size + surviving id).
-    Iterative — rows-only (components have no single-query SQL form)."""
+    """End of the near-dup pipeline: LSH-proposed + exact-verified pairs →
+    connected components → one row per duplicate cluster (size + surviving
+    id).  The iterative min-label propagation is oracle-checked against a
+    DuckDB recursive-CTE transitive closure over the same (exact-Jaccard)
+    edge set."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.5)
+    cand = dedup.minhash_near_dup_pairs(docs, num_hashes=32, bands=8, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(docs, candidates=cand, threshold=0.5)
     return dedup.duplicate_clusters(pairs)
+
+
+_DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE
+toks AS (SELECT doc_id,
+                regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+         FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(len(t) - 2),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM toks),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT id_a, id_b FROM inter
+          WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS node, least(src, min(dst)) AS component
+           FROM reach GROUP BY src)
+SELECT component, count(*) AS cluster_size, min(node) AS keep_id
+FROM labels GROUP BY component
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1058,9 +1097,24 @@ FROM documents
 
 
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64-seeded rolling hash — Spark-specific, rows-only check."""
+    """Polynomial rolling hash over normalized character codepoints —
+    engine-portable arithmetic, restated exactly by DuckDB list_reduce."""
     docs = load_table(spark, sf_dir, "documents")
     return text.fingerprint(docs)
+
+
+_TEXT_FP_ROLLING_SQL = r"""
+WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents)
+SELECT doc_id,
+       md5(norm) AS fp_md5,
+       list_reduce(
+           list_prepend(CAST(18652614 AS BIGINT),
+                        list_transform(regexp_extract_all(norm, '.'),
+                                       c -> CAST(unicode(c) AS BIGINT))),
+           (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fp_rolling
+FROM n
+"""
 
 
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1368,17 +1422,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact_normalized": (dedup_exact_normalized, _DEDUP_EXACT_NORM_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _DEDUP_NGRAM_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, None),
-    "dedup_minhash_verified": (dedup_minhash_verified, None),
+    "dedup_minhash_verified": (dedup_minhash_verified, _DEDUP_NGRAM_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),
     "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, None),
-    "dedup_clusters": (dedup_clusters, None),
+    "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     # text analysis
     "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),
     "text_quality_stats": (text_quality_stats, _TEXT_QUALITY_SQL),
     "text_language_id": (text_language_id, _TEXT_LANGID_SQL),
     "text_fingerprint_md5": (text_fingerprint_md5, _TEXT_FP_SQL),
-    "text_fingerprint_rolling": (text_fingerprint_rolling, None),
+    "text_fingerprint_rolling": (text_fingerprint_rolling, _TEXT_FP_ROLLING_SQL),
     "text_token_count_bpe": (text_token_count_bpe, _TEXT_BPE_SQL),
     # similarity
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
