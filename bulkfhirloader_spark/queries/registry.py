@@ -43,6 +43,7 @@ from bulkfhirloader_spark.functions.scalars import (
 )
 from bulkfhirloader_spark.operators import (
     dedup,
+    joins,
     multimodal,
     similarity,
     stats,
@@ -1295,6 +1296,85 @@ def ext_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extension — temporal joins (as-of / range; SURVEY §2.4 "absent in
+# reference" row — the engine provides them natively)
+# ---------------------------------------------------------------------------
+
+
+def ext_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every click event picks up the same user's most
+    recent purchase at-or-before it (NULL when none).  Union + ordered
+    window — ONE hash shuffle by user, no range-fanout join.  Oracle is
+    DuckDB's native ASOF LEFT JOIN over the same µs epochs."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("click_epoch_us")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = joins.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_epoch_us",
+        right_ts="ts_us",
+        value_cols=["purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_epoch_us",
+        F.col("asof_ts").alias("purchase_epoch_us"),
+        F.col("asof_purchase_value").alias("purchase_value"),
+    )
+
+
+_EXT_ASOF_SQL = """
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS click_epoch_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.click_epoch_us,
+       p.ts_us AS purchase_epoch_us, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_epoch_us >= p.ts_us
+"""
+
+
+def ext_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join via the binned range join: for each event, count
+    the same user's events in the strictly-preceding 5 minutes.  The bin
+    equi-join bounds fan-out at 2 buckets/row regardless of corpus size;
+    oracle is the verbatim inequality join."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+    window_us = 300 * 1_000_000
+    pairs = joins.range_join_binned(
+        base,
+        base,
+        on="user_id",
+        left_lo=F.col("ts_us") - window_us,
+        left_hi=F.col("ts_us"),
+        right_point=F.col("ts_us"),
+        bin_width=window_us,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_prev_5m")
+    )
+
+
+_EXT_RANGE_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT a.event_id, a.user_id, count(*) AS n_prev_5m
+FROM e a JOIN e b ON a.user_id = b.user_id
+     AND b.ts_us >= a.ts_us - 300000000 AND b.ts_us < a.ts_us
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Extension — multimodal columns (SURVEY §2.10)
 # ---------------------------------------------------------------------------
 
@@ -1446,6 +1526,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_distinct_users_exact": (ext_distinct_users_exact, _EXT_DISTINCT_SQL),
     "ext_approx_distinct_users": (ext_approx_distinct_users, None),
     "ext_salted_distinct_users": (ext_salted_distinct_users, _EXT_DISTINCT_SQL),
+    "ext_asof_join_events": (ext_asof_join_events, _EXT_ASOF_SQL),
+    "ext_range_join_counts": (ext_range_join_counts, _EXT_RANGE_JOIN_SQL),
     # multimodal
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
     "mm_extract_features": (mm_extract_features, None),

@@ -1,0 +1,107 @@
+"""As-of and binned range join: semantics on hand-built edge cases plus
+physical-plan assertions (the whole point of these formulations is the plan
+shape that survives 100 TB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.operators import joins
+
+
+def _left(spark):
+    # (key, ts, tag) — includes a key with no right rows at all
+    return spark.createDataFrame(
+        [
+            (1, 100, "a"),
+            (1, 200, "b"),
+            (1, 50, "before_any"),
+            (2, 100, "equal_ts"),
+            (3, 100, "no_right_key"),
+        ],
+        "k int, ts long, tag string",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [
+            (1, 90, 9.0),
+            (1, 150, 15.0),
+            (2, 100, 42.0),  # same-ts row must match (at-or-before)
+        ],
+        "k int, ts long, v double",
+    )
+
+
+def test_asof_backward_semantics(spark):
+    out = joins.asof_join(_left(spark), _right(spark), on="k", value_cols=["v"])
+    got = {r["tag"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+    assert got["a"] == (90, 9.0)  # latest right at-or-before 100
+    assert got["b"] == (150, 15.0)  # skips older right rows
+    assert got["before_any"] == (None, None)  # left-outer: no match -> NULL
+    assert got["equal_ts"] == (100, 42.0)  # ts equality matches
+    assert got["no_right_key"] == (None, None)
+    assert out.count() == 5  # every left row survives exactly once
+
+
+def test_asof_plan_has_no_join(spark):
+    """The union+window formulation must plan ZERO join operators — one
+    exchange on the key and one sort.  A BroadcastNestedLoopJoin here would
+    be the quadratic formulation this operator exists to avoid."""
+    out = joins.asof_join(_left(spark), _right(spark), on="k", value_cols=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_binned_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 400, "w1"), (1, 400, 400, "empty"), (2, 0, 1000, "w2")],
+        "k int, lo long, hi long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 99), (1, 100), (1, 399), (1, 400), (2, 500), (3, 500)],
+        "k int, pt long",
+    )
+    out = joins.range_join_binned(
+        left,
+        right,
+        on="k",
+        left_lo=F.col("lo"),
+        left_hi=F.col("hi"),
+        right_point=F.col("pt"),
+        bin_width=100,
+    )
+    rows = [(r["tag"], r["pt"]) for r in out.collect()]
+    # half-open [lo, hi): 100 and 399 in, 99 and 400 out; empty interval
+    # produces nothing; key isolation holds
+    assert sorted(rows) == [("w1", 100), ("w1", 399), ("w2", 500)]
+
+
+def test_range_join_binned_no_duplicate_pairs(spark):
+    """A right point falls in exactly one bin -> each qualifying pair
+    appears exactly once even when the left interval spans many bins."""
+    left = spark.createDataFrame([(1, 0, 1000, "wide")], "k int, lo long, hi long, tag string")
+    right = spark.createDataFrame([(1, 5), (1, 500), (1, 999)], "k int, pt long")
+    out = joins.range_join_binned(
+        left, right, on="k",
+        left_lo=F.col("lo"), left_hi=F.col("hi"), right_point=F.col("pt"),
+        bin_width=100,
+    )
+    assert out.count() == 3
+    assert out.distinct().count() == 3
+
+
+def test_range_join_binned_plan_is_equi_join(spark):
+    """The bin trick must reach Catalyst as an EQUI join (hashable keys),
+    not a cartesian/nested-loop theta join."""
+    left = spark.createDataFrame([(1, 0, 300, "x")], "k int, lo long, hi long, tag string")
+    right = spark.createDataFrame([(1, 5)], "k int, pt long")
+    out = joins.range_join_binned(
+        left, right, on="k",
+        left_lo=F.col("lo"), left_hi=F.col("hi"), right_point=F.col("pt"),
+        bin_width=300,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
