@@ -854,6 +854,208 @@ GROUP BY 1
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate must
+    reach the parquet scan (pushdown-friendly ranges on three columns),
+    no join, no shuffle beyond the single-row final agg."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join (nation broadcast), one quarter of
+    orders, returned lineitems only, revenue per customer, top 20."""
+    _utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(lineitem.filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    revenue = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    ).alias("revenue_cents")
+    return (
+        j.groupBy("c_custkey", "c_name", money_cents(F.col("c_acctbal")).alias("acctbal_cents"), "n_name")
+        .agg(revenue)
+        .orderBy(F.desc("revenue_cents"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact ⋈ broadcast dim + conditional aggregate ratio.
+    Both sums are exact integer cents; only the final ratio is a double
+    (identical operands on both engines, so hash-stable)."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc_cents).otherwise(F.lit(0))).alias(
+            "promo_cents"
+        ),
+        F.sum(disc_cents).alias("total_cents"),
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.round(
+            F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 6
+        ).alias("promo_revenue_pct"),
+    )
+
+
+_Q14_SQL = """
+WITH a AS (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT promo_cents, total_cents,
+       round(100.0 * promo_cents / total_cents, 6) AS promo_revenue_pct
+FROM a
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact-table groupBy feeding a semi
+    filter on orders — the heavy aggregate runs FIRST and only qualifying
+    orderkeys join back (broadcast of the tiny qualifying set)."""
+    _utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("orderdate"),
+            money_cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "sum_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi join on partkey with a DISJUNCTION of
+    brand/size/quantity conjuncts — Catalyst keeps the partkey equi join
+    hashable and applies the OR as a post-join filter (vs the naive
+    theta-join reading of Q19 that plans cartesian)."""
+    _utc(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — deduplication (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -1497,6 +1699,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q1_lineitem_pricing": (q1_lineitem_pricing, _Q1_SQL),
     "q3_top_unshipped_orders": (q3_top_unshipped_orders, _Q3_SQL),
     "q5_supplier_volume": (q5_supplier_volume, _Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
+    "q19_disjunctive_predicates": (q19_disjunctive_predicates, _Q19_SQL),
     # dedup
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_exact_normalized": (dedup_exact_normalized, _DEDUP_EXACT_NORM_SQL),

@@ -63,6 +63,38 @@ def test_q1_filter_pushed_and_codegen(spark):
     assert "*(1)" in plan and "*(2)" in plan
 
 
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown acid test: all three range predicates must reach
+    the parquet scan as PushedFilters, and the plan has no join."""
+    plan = _plan(registry.q6_forecast_revenue(spark, SF_DIR))
+    # the plan string elides long filter lists at a fixed width, so assert
+    # the un-elided prefix plus the full predicates in DataFilters
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda" in plan
+    )
+    assert "Join" not in plan
+
+
+def test_q19_stays_equi_join(spark):
+    """Q19's OR-of-conjuncts must not degrade the partkey equi join into a
+    nested-loop: part is broadcast, the disjunction is a post-join filter."""
+    plan = _plan(registry.q19_disjunctive_predicates(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18's HAVING aggregate must run below the joins (aggregate first,
+    then the tiny qualifying set joins) — printed top-down, both joins sit
+    above the lineitem Aggregate."""
+    opt = _optimized(registry.q18_large_volume_customers(spark, SF_DIR))
+    agg_pos = opt.find("Aggregate [l_orderkey")
+    join_pos = opt.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert join_pos < agg_pos
+
+
 def test_no_python_udfs_on_hot_paths(spark):
     for name in [
         "ref_a1_population_facts",
