@@ -1,0 +1,222 @@
+"""Training-corpus curation operators: deterministic dataset splitting,
+TF-IDF term scoring, quality+language+dedup selection policy, and
+token-budget shard packing.
+
+These are the steps between "raw corpus" and "training shards" in an LLM
+data pipeline.  All pure Catalyst expressions; every operator here is
+deterministic (no rand()), so outputs are oracle-checkable and reruns are
+reproducible — the property that matters when a 100 TB corpus is re-curated
+incrementally.
+
+Scale notes per operator:
+- ``hash_split``: narrow projection, zero shuffle at any scale.
+- ``tf_idf_top_terms``: explode → two keyed aggregates + one term-keyed
+  join + per-doc window.  Term keys are zipfian but the heavy head terms
+  carry only (term, df) rows after the partial agg — no body bytes.
+- ``select_for_training``: filters + one window over source (bounded fanout).
+- ``pack_token_shards``: the naive form is one GLOBAL ordered cumulative
+  sum = single-partition window — a scale killer.  Implemented instead as
+  the two-level prefix sum: per-bucket exclusive sums + broadcast bucket
+  offsets, identical output, fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.operators.text import (
+    language_id,
+    quality_stats,
+    token_count_bpe_ish,
+    tokens,
+)
+
+MERSENNE_PRIME = (1 << 31) - 1
+_KNUTH = 2654435761  # Knuth's multiplicative-hash constant
+
+
+def split_bucket(id_col: Column, n_buckets: int = 1000) -> Column:
+    """Deterministic hash bucket in [0, n_buckets) from an integer id.
+
+    Multiplicative hashing with int64-safe arithmetic under ANSI mode:
+    reduce the id mod 2^31-1 first, so (reduced * KNUTH) < 2^62.5.
+    Engine-portable: DuckDB restates it with the same integer ops.
+    """
+    reduced = F.pmod(id_col.cast("long"), F.lit(MERSENNE_PRIME))
+    return F.pmod(F.pmod(reduced * F.lit(_KNUTH), F.lit(MERSENNE_PRIME)), F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign every row a stable train/val/test split by hashed id.
+
+    Unlike ``df.randomSplit`` this is reproducible across runs, cluster
+    sizes, and partitionings — new documents never reshuffle old ones
+    between splits (the property training pipelines actually need).
+    """
+    b = split_bucket(F.col(id_col))
+    split = (
+        F.when(b < train_pct * 10, F.lit("train"))
+        .when(b < (train_pct + val_pct) * 10, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col), b.alias("bucket"), split.alias("split"))
+
+
+def tf_idf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) with df = number of
+    documents containing the term.  Ties broken lexicographically so top-k
+    is deterministic.  N is computed as a scalar subquery (cross join of a
+    1-row aggregate — broadcast, not collected to the driver).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+            ).alias("tf_idf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.col("term"))
+    return (
+        scored.select(
+            "*", F.row_number().over(w).alias("term_rank")
+        )
+        .filter(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round("tf_idf", 6).alias("tf_idf"),
+            "term_rank",
+        )
+    )
+
+
+def select_for_training(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    lang: str = "en",
+    per_source_cap: int = 200,
+) -> DataFrame:
+    """The standard curation policy, composed from the text operators:
+    quality gates (token count, alpha ratio) AND predicted language AND
+    exact-dedup survivorship, then a per-source cap keeping the
+    highest-quality documents (deterministic tie-break by id).
+
+    Returns (id, source, n_tokens, alpha_ratio, source_rank) for the
+    selected documents.
+    """
+    q = quality_stats(docs, id_col, text_col)
+    lid = language_id(docs, id_col, text_col).select(id_col, "lang_pred")
+    # exact-dedup survivors: the min id per normalized content group
+    from bulkfhirloader_spark.operators.dedup import exact_dedup
+
+    survivors = exact_dedup(docs, id_col, text_col, normalize=True).select(
+        F.col("keep_id").alias(id_col)
+    )
+    gated = (
+        docs.select(id_col, "source")
+        .join(q.select(id_col, "n_tokens", "alpha_ratio"), id_col)
+        .join(lid, id_col)
+        .join(survivors, id_col, "left_semi")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
+            & (F.col("lang_pred") == lang)
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.col(id_col)
+    )
+    return (
+        gated.select("*", F.row_number().over(w).alias("source_rank"))
+        .filter(F.col("source_rank") <= per_source_cap)
+        .select(
+            id_col,
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("alpha_ratio", 6).alias("alpha_ratio"),
+            "source_rank",
+        )
+    )
+
+
+def pack_token_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int = 10_000,
+    bucket_size: int = 1 << 16,
+) -> DataFrame:
+    """Assign documents (in id order) to fixed-token-budget training shards:
+    shard_id = floor(exclusive_prefix_sum(n_tokens) / shard_tokens).
+
+    The semantics are a GLOBAL ordered cumulative sum, but a global window
+    is a single-partition sort at scale.  Implemented as the classic
+    two-level prefix sum instead:
+      1. bucket = id div bucket_size; per-bucket ordered window gives the
+         exclusive cumsum WITHIN the bucket (parallel across buckets);
+      2. per-bucket token totals cumsum'd into bucket offsets — a window
+         over the tiny bucket-totals relation (rows = n_docs/bucket_size),
+         broadcast back.
+    Output is bit-identical to the naive global window at any partitioning.
+    """
+    n_tok = token_count_bpe_ish(F.col(text_col)).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        # `div` is exact integral division — float round-trips lose exactness
+        # on large ids
+        F.expr(f"CAST({id_col} AS BIGINT) div {bucket_size}").alias("_bkt"),
+    )
+    in_bucket = Window.partitionBy("_bkt").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = base.select(
+        "*",
+        F.coalesce(F.sum("n_tokens").over(in_bucket), F.lit(0)).alias("_local_excl"),
+    )
+    totals = base.groupBy("_bkt").agg(F.sum("n_tokens").alias("_bkt_total"))
+    off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_bkt_total").over(off_w), F.lit(0)).alias("_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(f"(_local_excl + _offset) div {shard_tokens}").alias("shard_id"),
+        )
+    )

@@ -86,9 +86,12 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             )
         )
     best = F.array_max(F.array(*scores))
+    declared = (
+        F.col("lang") if "lang" in docs.columns else F.lit(None).cast("string")
+    )
     return docs.select(
         F.col(id_col),
-        F.col("lang").alias("lang_declared"),
+        declared.alias("lang_declared"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
         best["hits"].alias("stopword_hits"),
     )

@@ -42,6 +42,7 @@ from bulkfhirloader_spark.functions.scalars import (
     strip_suffix_case,
 )
 from bulkfhirloader_spark.operators import (
+    curation,
     dedup,
     joins,
     multimodal,
@@ -1498,6 +1499,121 @@ def ext_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extension — corpus curation (SURVEY §2.10: split / tf-idf / selection /
+# shard packing)
+# ---------------------------------------------------------------------------
+
+
+def cur_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by multiplicative id hash —
+    reproducible across runs and partitionings, unlike randomSplit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.hash_split(docs)
+
+
+_CUR_SPLIT_SQL = """
+WITH b AS (SELECT doc_id,
+                  ((doc_id % 2147483647) * 2654435761) % 2147483647 % 1000 AS bucket
+           FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def cur_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.tf_idf_top_terms(docs, k=3)
+
+
+_CUR_TFIDF_SQL = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, tf.term, tf, df,
+                  tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS tf_idf
+           FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY tf_idf DESC, term) AS INTEGER) AS term_rank
+           FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(tf_idf, 6) AS tf_idf, term_rank
+FROM ranked WHERE term_rank <= 3
+"""
+
+
+def cur_select_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation policy: quality gates + language-ID + exact
+    dedup survivorship + per-source cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.select_for_training(docs, per_source_cap=50)
+
+
+_CUR_SELECT_SQL = rf"""
+WITH q AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks, text FROM documents),
+feats AS (SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / nullif(length(text), 0) AS alpha_ratio
+          FROM q),
+lid AS (SELECT doc_id,
+               list_transform(regexp_extract_all(text, '\S+'), t -> lower(t)) AS toks
+        FROM documents),
+h AS (SELECT doc_id,
+             len(list_filter(toks, t -> list_contains({_sql_stoplist('en')}, t))) AS h_en,
+             len(list_filter(toks, t -> list_contains({_sql_stoplist('es')}, t))) AS h_es,
+             len(list_filter(toks, t -> list_contains({_sql_stoplist('fr')}, t))) AS h_fr,
+             len(list_filter(toks, t -> list_contains({_sql_stoplist('de')}, t))) AS h_de
+      FROM lid),
+pred AS (SELECT doc_id,
+                list_sort([{{'hits': h_en, 'lang': 'en'}}, {{'hits': h_es, 'lang': 'es'}},
+                           {{'hits': h_fr, 'lang': 'fr'}}, {{'hits': h_de, 'lang': 'de'}}])[-1] AS best
+         FROM h),
+survivors AS (SELECT min(doc_id) AS doc_id
+              FROM documents
+              GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+gated AS (SELECT d.doc_id, d.source, f.n_tokens, f.alpha_ratio
+          FROM documents d
+          JOIN feats f ON d.doc_id = f.doc_id
+          JOIN pred p ON d.doc_id = p.doc_id
+          WHERE d.doc_id IN (SELECT doc_id FROM survivors)
+            AND f.n_tokens BETWEEN 5 AND 100000
+            AND f.alpha_ratio >= 0.5
+            AND (CASE WHEN p.best.hits > 0 THEN p.best.lang ELSE 'und' END) = 'en'),
+ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS source_rank
+           FROM gated)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(alpha_ratio, 6) AS alpha_ratio, source_rank
+FROM ranked WHERE source_rank <= 50
+"""
+
+
+def cur_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the parallel two-level prefix sum;
+    oracle is the naive single-window global cumulative sum — the outputs
+    must be identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.pack_token_shards(docs, shard_tokens=10_000, bucket_size=64)
+
+
+_CUR_PACK_SQL = r"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS excl
+      FROM t)
+SELECT doc_id, n_tokens, CAST(excl // 10000 AS BIGINT) AS shard_id FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Extension — temporal joins (as-of / range; SURVEY §2.4 "absent in
 # reference" row — the engine provides them natively)
 # ---------------------------------------------------------------------------
@@ -1735,6 +1851,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_salted_distinct_users": (ext_salted_distinct_users, _EXT_DISTINCT_SQL),
     "ext_asof_join_events": (ext_asof_join_events, _EXT_ASOF_SQL),
     "ext_range_join_counts": (ext_range_join_counts, _EXT_RANGE_JOIN_SQL),
+    "cur_hash_split": (cur_hash_split, _CUR_SPLIT_SQL),
+    "cur_tfidf_top_terms": (cur_tfidf_top_terms, _CUR_TFIDF_SQL),
+    "cur_select_for_training": (cur_select_for_training, _CUR_SELECT_SQL),
+    "cur_pack_token_shards": (cur_pack_token_shards, _CUR_PACK_SQL),
     # multimodal
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
     "mm_extract_features": (mm_extract_features, None),
