@@ -1498,6 +1498,67 @@ def ext_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The streaming source dir + query-name counter for stream_user_totals:
+# one materialization per (session, sf_dir), fresh memory-sink name per call
+# (a memory sink's temp view persists after termination).
+_STREAM_EV_DIRS: dict[tuple[int, str], str] = {}
+_STREAM_Q_SEQ = 0
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState,
+    SURVEY §2.10) as a driver-checked query: drain the events table through
+    a multi-file stream with availableNow, keep each user's FINAL running
+    emission (totals are monotone in n_events), and compare against the
+    plain batch GROUP BY — streaming state must reproduce batch exactly."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.stateful import running_user_totals
+
+    global _STREAM_Q_SEQ
+    key = (id(spark), sf_dir)
+    src = _STREAM_EV_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_ev_")
+        # several files so availableNow + maxFilesPerTrigger=1 forces state
+        # to carry across micro-batches
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "value"
+        ).repartition(3).write.mode("overwrite").parquet(_os.path.join(src, "in"))
+        _STREAM_EV_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_user_totals_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emits = spark.table(qname)
+    return emits.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value_cents", "n_events").alias("total_value_cents"),
+    )
+
+
+_STREAM_USER_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — corpus curation (SURVEY §2.10: split / tf-idf / selection /
 # shard packing)
@@ -1801,6 +1862,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ref_ingest_condition_facts": (ref_ingest_condition_facts, _REF_INGEST_CON_SQL),
     "ref_ingest_collections": (ref_ingest_collections, _REF_INGEST_COLL_SQL),
     "ref_ingest_streaming": (ref_ingest_streaming, _REF_INGEST_COLL_SQL),
+    "stream_user_totals": (stream_user_totals, _STREAM_USER_TOTALS_SQL),
     "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),
