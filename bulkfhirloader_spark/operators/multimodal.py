@@ -42,7 +42,10 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # float64: the Python decoder computes in double anyway, and float32
+        # storage would perturb values across the exact-halfway rounding
+        # boundaries the oracle comparison prints at
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
     ]
 )
 

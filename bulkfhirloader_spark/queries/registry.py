@@ -1498,6 +1498,103 @@ def ext_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SURVEY §2.5 'sort-agg' family):
+    Spark percentile == DuckDB quantile_cont (both use the (n-1)*p linear
+    interpolation definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+    )
+
+
+_EXT_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
+
+def ext_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): order counts per priority, one column per order
+    status.  Explicit pivot values keep the plan a single pass (no distinct
+    pre-scan) — the form that scales."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+_EXT_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY 1
+"""
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: posexplode the vectors, average each
+    dimension, reassemble in dimension order.  One shuffle keyed by
+    (label, dim) — at corpus scale the partial aggregation reduces each
+    partition to n_labels × dim running sums before the exchange.  The
+    centroid is serialized to CSV at the driver boundary (list columns are
+    unhashable for the harness canonicalizer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("mean_x"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "mean_x"))
+                    ),
+                    # round (HALF_UP, both engines) THEN fixed-point print:
+                    # bare string casts diverge on scientific notation below
+                    # 1e-3
+                    # + 0.0 normalizes IEEE negative zero so a near-zero mean
+                    # can't print as "-0.000000" on one engine only
+                    lambda s: F.format_string("%.6f", F.round(s["mean_x"], 6) + F.lit(0.0)),
+                ),
+                ",",
+            ).alias("centroid_csv"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+    )
+
+
+_EMB_CENTROIDS_SQL = """
+WITH d AS (SELECT label, u.x AS x, u.dim AS dim
+           FROM embeddings,
+                LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                                generate_subscripts(embedding, 1) AS dim) u),
+m AS (SELECT label, dim, avg(x) AS mean_x FROM d GROUP BY 1, 2)
+SELECT label,
+       string_agg(printf('%.6f', round(mean_x, 6) + 0.0), ',' ORDER BY dim) AS centroid_csv,
+       CAST(count(*) AS BIGINT) AS n_dims
+FROM m GROUP BY 1
+"""
+
+
 # The streaming source dir + query-name counter for stream_user_totals:
 # one materialization per (session, sf_dir), fresh memory-sink name per call
 # (a memory sink's temp view persists after termination).
@@ -1776,13 +1873,15 @@ FROM documents
 
 
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction (stub decoder) —
-    rows-only check (Python-side features have no SQL analog).
+    """Arrow-batched mapInPandas feature extraction (stub decoder), FULLY
+    oracle-checked: the stub's byte-histogram features are deterministic
+    byte arithmetic, which DuckDB restates with unicode(c) % 8 over the
+    same (ASCII) payloads.
 
     The array<float> feature column is serialized to a fixed-precision CSV
-    string here at the driver boundary (the harness canonicalizer sorts
-    pandas frames, and Python lists are unhashable); the operator itself
-    keeps the typed array."""
+    string at the driver boundary (the harness canonicalizer sorts pandas
+    frames, and Python lists are unhashable); 4 decimals keeps float32
+    storage noise far below the printed precision on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
     out = multimodal.extract_features(media)
@@ -1790,9 +1889,37 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         F.array_join(
-            F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
+            # round() is HALF_UP on both engines (printf would be half-even
+            # in DuckDB but half-up in the JVM — power-of-two byte totals
+            # produce exact halfway values that diverge under printf)
+            F.transform(
+                "feature", lambda x: F.round(x.cast("double"), 4).cast("string")
+            ),
+            ",",
         ).alias("feature_csv"),
     )
+
+
+_MM_FEATURES_SQL = """
+WITH b AS (SELECT doc_id AS media_id,
+                  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                  list_transform(regexp_extract_all(substr(text, 1, 4096), '.', 0, 's'),
+                                 c -> unicode(c) % 8) AS codes
+           FROM documents),
+h AS (SELECT media_id, n_bytes,
+             [len(list_filter(codes, x -> x = 0)), len(list_filter(codes, x -> x = 1)),
+              len(list_filter(codes, x -> x = 2)), len(list_filter(codes, x -> x = 3)),
+              len(list_filter(codes, x -> x = 4)), len(list_filter(codes, x -> x = 5)),
+              len(list_filter(codes, x -> x = 6)), len(list_filter(codes, x -> x = 7))] AS buckets
+      FROM b)
+SELECT media_id, n_bytes,
+       array_to_string(
+           list_transform(buckets,
+               c -> CAST(round(CAST(c AS DOUBLE) / greatest(list_sum(buckets), 1), 4)
+                         AS VARCHAR)),
+           ',') AS feature_csv
+FROM h
+"""
 
 
 def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1913,13 +2040,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_salted_distinct_users": (ext_salted_distinct_users, _EXT_DISTINCT_SQL),
     "ext_asof_join_events": (ext_asof_join_events, _EXT_ASOF_SQL),
     "ext_range_join_counts": (ext_range_join_counts, _EXT_RANGE_JOIN_SQL),
+    "ext_value_percentiles": (ext_value_percentiles, _EXT_PERCENTILES_SQL),
+    "ext_pivot_status_counts": (ext_pivot_status_counts, _EXT_PIVOT_SQL),
+    "emb_label_centroids": (emb_label_centroids, _EMB_CENTROIDS_SQL),
     "cur_hash_split": (cur_hash_split, _CUR_SPLIT_SQL),
     "cur_tfidf_top_terms": (cur_tfidf_top_terms, _CUR_TFIDF_SQL),
     "cur_select_for_training": (cur_select_for_training, _CUR_SELECT_SQL),
     "cur_pack_token_shards": (cur_pack_token_shards, _CUR_PACK_SQL),
     # multimodal
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
-    "mm_extract_features": (mm_extract_features, None),
+    "mm_extract_features": (mm_extract_features, _MM_FEATURES_SQL),
     "mm_sample_frames": (mm_sample_frames, _MM_FRAMES_SQL),
     "mm_resize_thumbnails": (mm_resize_thumbnails, None),
 }
