@@ -1948,15 +1948,35 @@ FROM f
 
 
 def mm_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1->1 binary resize via mapInPandas (stub byte-striding resizer) —
-    rows-only; the thumbnail is serialized to its sha for hashability."""
+    """1->1 binary resize via mapInPandas (stub byte-striding resizer),
+    FULLY oracle-checked: byte i of the thumbnail is payload[i*step] (step =
+    len div 64, min 1) zero-padded to 64 — DuckDB restates that exactly with
+    per-position blob substrings.  The binary column is hex-serialized for
+    the comparison."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
     out = multimodal.resize_thumbnails(media, thumb_w=8, thumb_h=8)
     return out.select(
         "media_id", "thumb_w", "thumb_h",
-        F.sha2(F.col("thumbnail"), 256).alias("thumb_sha256"),
+        F.hex(F.col("thumbnail")).alias("thumb_hex"),
     )
+
+
+_MM_RESIZE_SQL = """
+WITH b AS (SELECT doc_id AS media_id, text AS s,
+                  octet_length(CAST(text AS BLOB)) AS n
+           FROM documents),
+st AS (SELECT media_id, s, n, greatest(n // 64, 1) AS step FROM b)
+SELECT media_id,
+       CAST(8 AS INTEGER) AS thumb_w, CAST(8 AS INTEGER) AS thumb_h,
+       upper(array_to_string(
+           list_transform(range(64),
+               i -> CASE WHEN i * step < n
+                         THEN hex(CAST(substr(s, CAST(i * step + 1 AS BIGINT), 1) AS BLOB))
+                         ELSE '00' END),
+           '')) AS thumb_hex
+FROM st
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2051,7 +2071,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
     "mm_extract_features": (mm_extract_features, _MM_FEATURES_SQL),
     "mm_sample_frames": (mm_sample_frames, _MM_FRAMES_SQL),
-    "mm_resize_thumbnails": (mm_resize_thumbnails, None),
+    "mm_resize_thumbnails": (mm_resize_thumbnails, _MM_RESIZE_SQL),
 }
 
 
