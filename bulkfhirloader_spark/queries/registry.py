@@ -1057,6 +1057,712 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape, adapted: testdata has no partsupp table, so the
+    part↔supplier relationship is the distinct (l_partkey, l_suppkey)
+    pairs observed in lineitem and "cost" is the supplier's account
+    balance.  The correlated-min subquery is expressed Spark-first as a
+    groupBy-min re-joined on the group key (the aggregate is tiny —
+    broadcast); the oracle states the same thing as a textbook correlated
+    scalar subquery.  Balances compare as exact integer cents so the min
+    and the equality are bit-identical across engines."""
+    _utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    eligible = part.filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    euro_sup = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            money_cents(F.col("s_acctbal")).alias("acctbal_cents"),
+        )
+    )
+    cand = (
+        eligible.join(ps, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(euro_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "acctbal_cents")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("acctbal_cents").alias("min_cents")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (F.col("p_partkey") == F.col("bp"))
+            & (F.col("acctbal_cents") == F.col("min_cents")),
+        )
+        .select("acctbal_cents", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("acctbal_cents"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+sup AS (SELECT s_suppkey, s_name, n_name,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+cand AS (SELECT p_partkey, p_name, s_name, n_name, acctbal_cents
+         FROM part JOIN ps ON p_partkey = l_partkey
+         JOIN sup ON l_suppkey = s_suppkey
+         WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20)
+SELECT acctbal_cents, s_name, n_name, p_partkey, p_name
+FROM cand c
+WHERE acctbal_cents = (SELECT min(acctbal_cents) FROM cand c2
+                       WHERE c2.p_partkey = c.p_partkey)
+ORDER BY acctbal_cents DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape, adapted: no commit/receipt dates in testdata, so the
+    "late" predicate is a lineitem shipped after its order date.  EXISTS ⇔
+    left-semi join with a mixed equi + non-equi condition — the equi
+    conjunct on orderkey keeps it a hash join, the date comparison rides
+    along as the join residual."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+GROUP BY 1
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape, adapted to bilateral REGION trade (EUROPE↔ASIA —
+    a single nation pair is empty at the smallest test scale): nation
+    plays two roles (supplier side / customer side) as two aliased
+    broadcast dims, with the disjunctive pair predicate applied after
+    both lookups.  Revenue per (supp_nation, cust_nation, year) in exact
+    cents.  Region keys: EUROPE=3, ASIA=2 (fixed region table)."""
+    _utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("s_rk"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("s_rk") == 3) & (F.col("c_rk") == 2))
+            | ((F.col("s_rk") == 2) & (F.col("c_rk") == 3))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("revenue_cents")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_regionkey = 3 AND n2.n_regionkey = 2)
+    OR (n1.n_regionkey = 2 AND n2.n_regionkey = 3))
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share inside one region for one
+    part type, per order year — a 7-way join (part/supplier/nation/region
+    all broadcast) feeding a conditional-sum ratio.  Both operands of the
+    ratio are exact cent sums, so the double division is bit-identical on
+    both engines; empty years guard with a CASE instead of dividing by
+    zero (ANSI mode throws)."""
+    _utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    disc_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_2", disc_cents).otherwise(F.lit(0))
+        ).alias("nation_cents"),
+        F.sum(disc_cents).alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.when(
+            F.col("total_cents") > 0,
+            F.round(F.lit(100.0) * F.col("nation_cents") / F.col("total_cents"), 6),
+        ).alias("mkt_share_pct"),
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CASE WHEN sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) > 0
+            THEN round(100.0 * sum(CASE WHEN n2.n_name = 'NATION_2'
+                                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                                        ELSE 0 END)
+                       / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 6)
+       END AS mkt_share_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted: no partsupp.ps_supplycost in testdata, so
+    cost is modeled as 10% of the part's retail price per unit.  Profit per
+    (supplier nation, order year) over a 5-way join with a LIKE-filtered
+    part dim.  The per-row profit expression is rounded to cents BEFORE the
+    sum so aggregation order cannot change the result."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+        )
+        * 100
+    ).cast("long")
+    j = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").like("red %"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(profit_cents).alias("profit_cents"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                            - p_retailprice * l_quantity * 0.1) * 100) AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'red %'
+GROUP BY 1, 2
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape, adapted to lineitem value: parts whose total
+    lineitem value from EUROPE suppliers exceeds a fraction of the global
+    such value — a HAVING over a scalar subquery.  Spark-first the scalar
+    is a 1-row aggregate broadcast-cross-joined under every group row;
+    both sides of the comparison derive from exact cent sums."""
+    _utc(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    euro_sup = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    disc_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    euro_items = lineitem.join(
+        F.broadcast(euro_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = euro_items.groupBy("l_partkey").agg(
+        F.sum(disc_cents).alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("grand_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") > F.lit(0.001) * F.col("grand_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+_Q11_SQL = """
+WITH euro AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = 'EUROPE')
+  GROUP BY 1)
+SELECT l_partkey, value_cents
+FROM euro
+WHERE value_cents > 0.001 * (SELECT sum(value_cents) FROM euro)
+"""
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape, adapted: no l_shipmode column, so the grouping key
+    is l_linestatus and "late" means shipped more than 30 days after the
+    order date.  Join + interval arithmetic + priority-conditional counts."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    j = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — a LEFT OUTER
+    join (customers with no qualifying orders must survive with count 0,
+    which count(o_orderkey)'s null-skipping provides) under two stacked
+    aggregations.  The order-side filter stands in for Q13's comment
+    NOT LIKE."""
+    _utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+GROUP BY 1
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue "view" (per-supplier quarterly revenue)
+    consumed twice — once for the per-supplier rows, once reduced to the
+    max — with the scalar max broadcast back as an equality filter.
+    Revenue in exact cents makes the max/equality engine-stable."""
+    _utc(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("total_revenue_cents")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue_cents").alias("max_cents"))
+    return (
+        revenue.join(
+            F.broadcast(top), F.col("total_revenue_cents") == F.col("max_cents")
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue_cents")
+        )
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+"""
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape, adapted: supplier diversity per (brand, type, size)
+    from the observed lineitem part↔supplier pairs, excluding
+    negative-balance suppliers via NOT IN ⇔ left-anti join (the excluded
+    set is tiny — broadcast anti join, no shuffle of the pairs)."""
+    _utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ps = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (
+        part.filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .join(ps, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN ps ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a per-part
+    correlated average (20% of the part's mean quantity) gating the fact
+    rows.  The per-part aggregate is tiny and broadcast back; quantities
+    are whole numbers stored as doubles, so avg() is an exact-integer sum
+    divided by an exact count on both engines and the 0.2× threshold
+    comparison cannot diverge."""
+    _utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    j = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#3")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = j.groupBy(F.col("p_partkey").alias("ap")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    small = j.join(
+        F.broadcast(avg_qty),
+        (F.col("p_partkey") == F.col("ap"))
+        & (F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")),
+    )
+    total = small.agg(
+        F.sum(money_cents(F.col("l_extendedprice"))).alias("total_cents")
+    )
+    return total.select(
+        "total_cents",
+        F.round(F.col("total_cents") / F.lit(7.0)).cast("long").alias("avg_yearly_cents"),
+    )
+
+
+_Q17_SQL = """
+WITH j AS (SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#3'),
+small AS (SELECT l_extendedprice FROM j a
+          WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM j b
+                                    WHERE b.l_partkey = a.l_partkey))
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7.0) AS BIGINT) AS avg_yearly_cents
+FROM small
+"""
+
+
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted: EUROPE suppliers who shipped more than 50
+    units of any 'red' part during 1996 — the nested-IN chain (parts → the
+    per-(supplier, part) shipped-quantity aggregate → suppliers) becomes a
+    pair of semi joins; only supplier keys flow between stages."""
+    _utc(spark)
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    red = part.filter(F.col("p_name").like("red %")).select("p_partkey")
+    heavy = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_name", "n_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 50)
+"""
+
+
+def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape, adapted: no receipt/commit dates, so "the supplier
+    who failed" is the sole supplier with returned ('R') lineitems on a
+    finished multi-supplier order.  The oracle keeps Q21's EXISTS /
+    NOT EXISTS correlated formulation; Spark-first the same predicate is
+    ONE aggregation over the order's lineitems (distinct suppliers,
+    distinct R-suppliers, and the R-supplier id via a conditional max) —
+    no self-joins of the fact table at all."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    per_order = (
+        lineitem.join(finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_r_supp"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("blamed_suppkey"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+                ).join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("blamed_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE r_name = 'EUROPE' AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, adapted: country codes become a nation-key subset
+    (no phone column), and "never ordered" becomes "no orders since 1999"
+    (the dense testdata gives every customer some early order).
+    Above-average-balance customers with no recent orders — a
+    scalar-subquery threshold (exact-cent avg, bit-identical across
+    engines) plus a left-anti join, grouped per nation key."""
+    _utc(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = [1, 3, 5, 7, 9, 11, 13]
+    pool = customer.filter(F.col("c_nationkey").isin(keys)).select(
+        "c_custkey", "c_nationkey", money_cents(F.col("c_acctbal")).alias("acctbal_cents")
+    )
+    threshold = pool.filter(F.col("acctbal_cents") > 0).agg(
+        F.avg("acctbal_cents").alias("avg_cents")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        pool.crossJoin(F.broadcast(threshold))
+        .filter(F.col("acctbal_cents") > F.col("avg_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("acctbal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+_Q22_SQL = """
+WITH pool AS (SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+              FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+FROM pool p
+WHERE acctbal_cents > (SELECT avg(acctbal_cents) FROM pool WHERE acctbal_cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = p.c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — deduplication (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -2029,6 +2735,20 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
     "q19_disjunctive_predicates": (q19_disjunctive_predicates, _Q19_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
+    "q4_order_priority": (q4_order_priority, _Q4_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
+    "q9_product_type_profit": (q9_product_type_profit, _Q9_SQL),
+    "q11_important_parts": (q11_important_parts, _Q11_SQL),
+    "q12_late_shipments": (q12_late_shipments, _Q12_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
+    "q16_part_supplier_counts": (q16_part_supplier_counts, _Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
+    "q20_bulk_suppliers": (q20_bulk_suppliers, _Q20_SQL),
+    "q21_blamed_suppliers": (q21_blamed_suppliers, _Q21_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, _Q22_SQL),
     # dedup
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_exact_normalized": (dedup_exact_normalized, _DEDUP_EXACT_NORM_SQL),
