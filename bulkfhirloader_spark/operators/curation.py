@@ -172,6 +172,46 @@ def select_for_training(
     )
 
 
+def decontaminate_ngram_overlap(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with an evaluation set (the standard pretraining hygiene step —
+    eval answers leaking into training data inflate benchmark scores).
+
+    Scale shape: the eval side (benchmarks are ~10⁴–10⁶ small docs) is
+    reduced to its DISTINCT shingles and broadcast; the corpus side
+    explodes its shingles and inner-joins that broadcast set, so corpus
+    text never shuffles and only MATCHED (id, shingle) rows reach the
+    per-document aggregate.  Returns one row per contaminated corpus
+    document: (id, n_shared_ngrams).
+
+    No reference analog (the reference has no corpus operators); part of
+    the SURVEY §2.10 extension surface.
+    """
+    from bulkfhirloader_spark.operators.dedup import word_shingles
+
+    eval_shingles = (
+        eval_docs.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_shingle")
+        )
+        .distinct()
+    )
+    corpus_shingles = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_shingle"),
+    )
+    return (
+        corpus_shingles.join(F.broadcast(eval_shingles), "_shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
 def pack_token_shards(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -135,3 +135,33 @@ def token_count_bpe_ish(text: Column) -> Column:
     return F.size(
         F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
     )
+
+
+# PII patterns kept to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, bounded repetition — no backrefs,
+# no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for training corpora: mask email addresses and
+    phone-shaped numbers, reporting per-document match counts alongside
+    the redacted text.
+
+    Pure chained regexp projections — zero shuffle at any scale; counts
+    come from regexp_extract_all on the ORIGINAL text so they are
+    independent of replacement order.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )

@@ -2477,6 +2477,76 @@ SELECT doc_id, n_tokens, CAST(excl // 10000 AS BIGINT) AS shard_id FROM c
 """
 
 
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document plays the eval set;
+    the rest are the corpus.  One row per corpus document sharing ≥1 word
+    3-gram with any eval document, with the shared-shingle count.  The
+    eval shingle set is broadcast — corpus text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return curation.decontaminate_ngram_overlap(corpus, eval_docs, n=3)
+
+
+_CUR_DECON_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+              FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(len(t) - 2),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM toks),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0),
+co AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 97 <> 0)
+SELECT co.doc_id, count(*) AS n_shared_ngrams
+FROM co JOIN ev USING (shingle)
+GROUP BY 1
+"""
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction exercised on planted PII: a deterministic email and
+    phone string derived from doc_id is appended to every document, then
+    scrubbed.  Counts come from the pre-redaction text; the redacted body
+    is compared by sha so the full string transform is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-1234."),
+        ).alias("text"),
+    )
+    out = text.redact_pii(salted)
+    return out.select(
+        "doc_id", "n_emails", "n_phones",
+        F.sha2(F.col("redacted_text"), 256).alias("redacted_sha"),
+    )
+
+
+_TEXT_REDACT_SQL = r"""
+WITH s AS (SELECT doc_id,
+                  text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-'
+                       || CAST(doc_id % 900 + 100 AS VARCHAR) || '-1234.' AS text
+           FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       sha256(regexp_replace(regexp_replace(text,
+                                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_sha
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — temporal joins (as-of / range; SURVEY §2.4 "absent in
 # reference" row — the engine provides them natively)
@@ -2787,6 +2857,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_tfidf_top_terms": (cur_tfidf_top_terms, _CUR_TFIDF_SQL),
     "cur_select_for_training": (cur_select_for_training, _CUR_SELECT_SQL),
     "cur_pack_token_shards": (cur_pack_token_shards, _CUR_PACK_SQL),
+    "cur_decontaminate": (cur_decontaminate, _CUR_DECON_SQL),
+    "text_redact_pii": (text_redact_pii, _TEXT_REDACT_SQL),
     # multimodal
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
     "mm_extract_features": (mm_extract_features, _MM_FEATURES_SQL),

@@ -100,3 +100,34 @@ def test_pack_token_shards_plan_is_parallel(spark):
     # bucket-totals relation
     totals_windows = [ln for ln in lines if "Window [sum(_bkt_total" in ln]
     assert len(totals_windows) == 1
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),   # shares "the quick brown"
+            (2, "completely different words entirely here"),
+            (3, "quick brown fox runs away fast"),         # shares "quick brown fox"
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox answer key")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in curation.decontaminate_ngram_overlap(corpus, eval_docs, n=3).collect()
+    }
+    # doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares one
+    assert out == {1: 2, 3: 1}
+
+
+def test_decontaminate_clean_corpus_is_empty(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    eval_docs = spark.createDataFrame(
+        [(2, "epsilon zeta eta theta")], "doc_id long, text string"
+    )
+    assert curation.decontaminate_ngram_overlap(corpus, eval_docs).count() == 0

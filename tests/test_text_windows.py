@@ -140,3 +140,23 @@ def test_session_windows(events):
     assert u1[0]["n_events"] == 2 and u1[1]["n_events"] == 1
     u2 = [r for r in rows if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["n_events"] == 1
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from bulkfhirloader_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice.b+spam@ex-mail.co.uk or call 555-123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.org and 111-222-3333 999-888-7777"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[1]["redacted_text"] == "mail [EMAIL] or call [PHONE] now"
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["redacted_text"] == "no pii here at all"
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 2
+    assert rows[3]["redacted_text"] == "two mails [EMAIL] [EMAIL] and [PHONE] [PHONE]"
