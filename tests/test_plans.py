@@ -184,3 +184,35 @@ def test_explode_filter_pushed_below_aggregate(spark):
     agg_pos = opt.find("Aggregate")
     assert gen_pos != -1 and filt_pos != -1 and agg_pos != -1
     assert agg_pos < filt_pos  # plan prints top-down: Aggregate above Filter
+
+
+def test_q4_exists_is_semi_hash_join(spark):
+    """Q4's EXISTS must plan as a LeftSemi HASH join (the equi conjunct on
+    orderkey carries the join; the date comparison is a residual) — never a
+    nested loop."""
+    plan = _plan(registry.q4_order_priority(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q2_correlated_min_all_broadcast(spark):
+    """Q2's groupBy-min re-join and every dim lookup must broadcast — the
+    only Exchanges are for aggregates, and no join degrades to
+    nested-loop/cartesian."""
+    plan = _plan(registry.q2_min_cost_supplier(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = _plan(registry.q16_part_supplier_counts(spark, SF_DIR))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q21_single_pass_no_fact_self_join(spark):
+    """The adapted Q21 replaces the EXISTS / NOT-EXISTS fact-table
+    self-probes with one aggregation: lineitem must be scanned exactly
+    once and no nested-loop join appears."""
+    plan = _plan(registry.q21_blamed_suppliers(spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
