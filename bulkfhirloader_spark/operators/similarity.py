@@ -128,6 +128,36 @@ def l2_normalize(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double") / l2_norm(vec))
 
 
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization — the standard 4× storage
+    reduction for 100 TB embedding stores: ``scale = max|x| / 127``,
+    ``q_i = clamp(round(x_i / scale), ±127)``.
+
+    Returns ``(scale, quantized)`` column expressions.  Rounding is
+    ``floor(x + 0.5)`` explicitly (identical on every engine; bare
+    round() is half-up in Spark but half-even in DuckDB, which would make
+    exact .5 quotients oracle-unstable).  All-zero vectors quantize to
+    zeros with scale 0 instead of dividing by zero (ANSI mode throws).
+
+    Zero shuffle — a pure projection like the ops around it.
+    """
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        vec,
+        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+                ),
+            )
+        ),
+    )
+    return scale, q
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     candidates: DataFrame,

@@ -2301,6 +2301,33 @@ FROM m GROUP BY 1
 """
 
 
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — zero-shuffle projection.
+    The quantized vector is CSV-serialized for the harness; the scale is
+    a raw double (identical arithmetic on identical float inputs, so
+    bit-stable without rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, q = similarity.quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(q, ",").alias("q_csv"),
+    )
+
+
+_EMB_QUANT_SQL = """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+           FROM embeddings)
+SELECT vec_id, scale,
+       array_to_string(list_transform(v,
+           x -> CASE WHEN scale = 0 THEN 0
+                     ELSE greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS INTEGER))) END),
+           ',') AS q_csv
+FROM s
+"""
+
+
 # The streaming source dir + query-name counter for stream_user_totals:
 # one materialization per (session, sf_dir), fresh memory-sink name per call
 # (a memory sink's temp view persists after termination).
@@ -2853,6 +2880,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_value_percentiles": (ext_value_percentiles, _EXT_PERCENTILES_SQL),
     "ext_pivot_status_counts": (ext_pivot_status_counts, _EXT_PIVOT_SQL),
     "emb_label_centroids": (emb_label_centroids, _EMB_CENTROIDS_SQL),
+    "emb_quantize_int8": (emb_quantize_int8, _EMB_QUANT_SQL),
     "cur_hash_split": (cur_hash_split, _CUR_SPLIT_SQL),
     "cur_tfidf_top_terms": (cur_tfidf_top_terms, _CUR_TFIDF_SQL),
     "cur_select_for_training": (cur_select_for_training, _CUR_SELECT_SQL),
