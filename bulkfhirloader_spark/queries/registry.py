@@ -2389,6 +2389,55 @@ FROM events GROUP BY 1
 """
 
 
+_STREAM_DOC_DIRS: dict[tuple[int, str], str] = {}
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup as a driver-checked query: the documents
+    table is drained through a multi-file stream (maxFilesPerTrigger=1
+    forces the dedup state to carry across micro-batches) and
+    dropDuplicates keeps the first arrival of each content hash.  The
+    emitted hash SET must equal the batch DISTINCT exactly."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.stateful import streaming_exact_dedup
+
+    global _STREAM_Q_SEQ
+    key = (id(spark), sf_dir)
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_doc_")
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+            3
+        ).write.mode("overwrite").parquet(_os.path.join(src, "in"))
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_dedup_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("content_sha")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT sha256(text) AS content_sha FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — corpus curation (SURVEY §2.10: split / tf-idf / selection /
 # shard packing)
@@ -2813,6 +2862,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ref_ingest_collections": (ref_ingest_collections, _REF_INGEST_COLL_SQL),
     "ref_ingest_streaming": (ref_ingest_streaming, _REF_INGEST_COLL_SQL),
     "stream_user_totals": (stream_user_totals, _STREAM_USER_TOTALS_SQL),
+    "stream_dedup_exact": (stream_dedup_exact, _STREAM_DEDUP_SQL),
     "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),

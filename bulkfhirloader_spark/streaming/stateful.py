@@ -83,3 +83,22 @@ def stream_tumbling_counts(events: DataFrame, window: str = "10 minutes",
             "value_cents",
         )
     )
+
+
+def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Ingestion-time exact dedup on a STREAMING DataFrame: hash the body,
+    keep the first arrival of each hash via Spark's stateful
+    dropDuplicates.  The state store holds one 64-char key per distinct
+    document — the streaming form of operators.dedup.exact_dedup, and the
+    shape an always-on corpus ingester needs (arrivals after the first are
+    dropped at ingest instead of by a nightly batch job).
+
+    Emits the distinct content hashes (first-arrival rows are
+    order-dependent across micro-batches; the hash SET is deterministic).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .dropDuplicates(["content_sha"])
+    )

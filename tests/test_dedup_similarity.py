@@ -209,3 +209,28 @@ def test_lsh_topk_contains_true_neighbor(spark):
     )
     got = {r["vec_id"] for r in similarity.cosine_topk_lsh(q, emb, k=5, dim=16).collect()}
     assert 999 in got
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    """Property over random vectors: dequantized values are within half a
+    quantization step of the original, q stays in [-127, 127], and the
+    max-|x| element hits exactly ±127."""
+    import random
+
+    from bulkfhirloader_spark.operators.similarity import quantize_int8
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-10, 10) for _ in range(16)]) for i in range(50)
+    ] + [(50, [0.0] * 16)]  # all-zero vector must not divide by zero
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scale, q = quantize_int8(F.col("embedding"))
+    out = df.select("vec_id", "embedding", scale.alias("s"), q.alias("q")).collect()
+    for r in out:
+        assert all(-127 <= v <= 127 for v in r["q"])
+        if r["s"] == 0.0:
+            assert all(v == 0 for v in r["q"])
+            continue
+        for x, v in zip(r["embedding"], r["q"]):
+            assert abs(v * r["s"] - x) <= r["s"] / 2 + 1e-12
+        assert max(abs(v) for v in r["q"]) == 127

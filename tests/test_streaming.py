@@ -90,3 +90,37 @@ def test_stream_tumbling_matches_batch(spark, events_stream_env):
         for r in windows.tumbling_counts(ev, "10 minutes").collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """A duplicate body arriving in a LATER micro-batch must be dropped by
+    the dedup state carried from the earlier one."""
+    from bulkfhirloader_spark.streaming.stateful import streaming_exact_dedup
+
+    in_dir = tmp_path / "in"
+    # file 1: two distinct docs; file 2: one dup of doc 1 + one new doc
+    spark.createDataFrame(
+        [(1, "alpha body"), (2, "beta body")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(
+        [(3, "alpha body"), (4, "gamma body")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+    schema = spark.read.parquet(str(in_dir / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = [r["content_sha"] for r in spark.table("t_stream_dedup").collect()]
+    assert len(emitted) == 3  # alpha once, beta, gamma
+    assert len(set(emitted)) == 3
