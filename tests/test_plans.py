@@ -216,3 +216,41 @@ def test_q21_single_pass_no_fact_self_join(spark):
     plan = _plan(registry.q21_blamed_suppliers(spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# Queries whose documented semantics are an opt-in exact all-pairs tier
+# (the scale path is their LSH/banded sibling), or whose nested-loop is a
+# cross join against a SINGLE-ROW global aggregate — the standard
+# scalar-subquery plan, O(n) regardless of input size.
+_PLAN_LINT_ALLOW_NESTED_LOOP = {
+    "dedup_embedding_cosine",   # explicit exact all-pairs baseline
+    "sim_topk_bruteforce",      # exact tier: broadcast queries x corpus
+    "ext_scalar_subquery",      # 1-row global-avg broadcast
+    "ext_semi_anti_joins",      # 1-row count columns combined via cross
+    "ext_setops_customers",     # 1-row counts of each set-op result
+    "cur_tfidf_top_terms",      # 1-row corpus doc count for idf
+    "q11_important_parts",      # 1-row grand-total threshold
+    "q22_dormant_customers",    # 1-row avg-balance threshold
+}
+_PLAN_LINT_SKIP = {
+    "stream_user_totals",       # executes a streaming query on invocation
+    "stream_dedup_exact",
+    "ref_ingest_streaming",
+}
+
+
+def test_no_cartesian_or_nested_loop_in_any_registered_query(spark):
+    """Sweeping plan lint: NO registered query may plan a CartesianProduct,
+    and only the documented exact all-pairs tiers may plan a
+    BroadcastNestedLoopJoin.  Catches a silently-degenerating join (lost
+    equi condition, non-equi-only predicate) anywhere in the surface."""
+    bad = {}
+    for name, (fn, _sql) in sorted(registry.REGISTRY.items()):
+        if name in _PLAN_LINT_SKIP:
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _PLAN_LINT_ALLOW_NESTED_LOOP:
+            bad[name] = "BroadcastNestedLoopJoin"
+    assert not bad, f"degenerate join plans: {bad}"
