@@ -1,5 +1,7 @@
 from bulkfhirloader_spark.operators import (  # noqa: F401
+    curation,
     dedup,
+    joins,
     multimodal,
     similarity,
     skew,

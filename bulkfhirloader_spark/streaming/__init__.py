@@ -4,6 +4,7 @@ from bulkfhirloader_spark.streaming.ingest import stream_bundles, stream_ingest_
 from bulkfhirloader_spark.streaming.stateful import (
     running_user_totals,
     stream_tumbling_counts,
+    streaming_exact_dedup,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "stream_ingest_available_now",
     "running_user_totals",
     "stream_tumbling_counts",
+    "streaming_exact_dedup",
 ]
