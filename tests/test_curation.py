@@ -4,6 +4,7 @@ cumulative sum bit-for-bit)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -131,3 +132,43 @@ def test_decontaminate_clean_corpus_is_empty(spark):
         [(2, "epsilon zeta eta theta")], "doc_id long, text string"
     )
     assert curation.decontaminate_ngram_overlap(corpus, eval_docs).count() == 0
+
+
+class TestShardPackingProperty:
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab c.", min_size=0, max_size=40),
+            min_size=1, max_size=20,
+        ),
+        shard_tokens=st.integers(5, 40),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_invariants(self, spark_holder, texts, shard_tokens):
+        """The two-level prefix sum must equal naive sequential packing
+        exactly on arbitrary corpora (bucket_size=4 forces multi-bucket
+        offsets even on tiny inputs), with nondecreasing shard ids."""
+        spark = spark_holder[0]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        rows = sorted(
+            curation.pack_token_shards(
+                docs, shard_tokens=shard_tokens, bucket_size=4
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        shard_ids = [r["shard_id"] for r in rows]
+        assert shard_ids[0] == 0
+        assert all(b - a >= 0 for a, b in zip(shard_ids, shard_ids[1:]))
+        # exact equivalence with the naive sequential packing
+        cum = 0
+        for r in rows:
+            assert r["shard_id"] == cum // shard_tokens
+            cum += r["n_tokens"]
+
+
+@pytest.fixture(scope="session")
+def spark_holder(spark):
+    return [spark]

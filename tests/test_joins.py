@@ -4,6 +4,7 @@ shape that survives 100 TB)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bulkfhirloader_spark.operators import joins
@@ -105,3 +106,48 @@ def test_range_join_binned_plan_is_equi_join(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestAsofProperty:
+    """Hypothesis property: asof_join equals the obvious per-row python
+    computation on arbitrary small inputs."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @staticmethod
+    def _expected(left_rows, right_rows):
+        out = {}
+        for (k, lt) in left_rows:
+            prior = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= lt]
+            out[(k, lt)] = max(prior)[1] if prior else None
+        return out
+
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)),
+            min_size=1, max_size=12, unique=True,
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-5, 5)),
+            min_size=0, max_size=12, unique_by=lambda r: (r[0], r[1]),
+        ),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_per_row_semantics(self, spark_session_holder, left, right):
+        spark = spark_session_holder[0]
+        ldf = spark.createDataFrame(left, "k int, ts long")
+        rdf = spark.createDataFrame(
+            right, "k int, ts long, v int"
+        ) if right else spark.createDataFrame([], "k int, ts long, v int")
+        got = {
+            (r["k"], r["ts"]): r["asof_v"]
+            for r in joins.asof_join(ldf, rdf, on="k", value_cols=["v"]).collect()
+        }
+        assert got == self._expected(left, right)
+
+
+@pytest.fixture(scope="session")
+def spark_session_holder(spark):
+    # hypothesis forbids function-scoped fixtures inside @given; hand it the
+    # session-scoped spark via a stable holder
+    return [spark]
