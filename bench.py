@@ -78,6 +78,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     net = {k: round(max(v - floor, 0.0), 3) for k, v in timings.items()}
+    ingest = bench_ingest(spark, sf)
     print(
         json.dumps(
             {
@@ -90,10 +91,81 @@ def main() -> None:
                 "net_total": round(sum(net.values()), 3),
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "ingest": ingest,
                 "sf": sf,
             }
         )
     )
+
+
+def bench_ingest(spark, sf: float) -> dict:
+    """Bundle-ingest throughput — the analog of the reference's only
+    instrumentation, "N FHIR bundles read in S seconds" (main.go:122,
+    main.go:291-293): generate a synthetic bundle corpus (one .json file
+    per bundle, patient + conditions, like the reference's input layout),
+    run the full pipeline (parse → id assignment → reference rewrite →
+    routed resource write → rawstat derivation), report bundles/sec."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.ingest.pipeline import run_pipeline
+    from bulkfhirloader_spark.queries.ingest_fixture import (
+        SNOMED,
+        _condition,
+        _patient,
+    )
+
+    n_bundles = max(200, int(10_000 * sf)) if sf > 0 else 200
+    root = tempfile.mkdtemp(prefix="bfls_bench_ingest_")
+    try:
+        bdir = os.path.join(root, "bundles")
+        os.makedirs(bdir)
+        cities = ["Acton", "Boston", "Atlantis", "Concord"]
+        codes = ["44054006", "38341003", "99999999"]
+        for i in range(n_bundles):
+            pat = f"urn:uuid:pat{i}"
+            entries = [
+                _patient(pat, "male" if i % 2 else "female",
+                         f"19{50 + i % 50:02d}-06-01", cities[i % 4])
+            ]
+            entries += [
+                _condition(f"urn:uuid:c{i}_{j}", codes[(i + j) % 3], subject=pat)
+                for j in range(i % 4)
+            ]
+            with open(os.path.join(bdir, f"bundle_{i}.json"), "w") as f:
+                json.dump({"resourceType": "Bundle", "type": "transaction",
+                           "entry": entries}, f)
+        cousub = spark.createDataFrame(
+            [("Acton Town", "017", "00100"), ("Boston", "025", "07000"),
+             ("Concord", "017", "00200")],
+            "cs_name string, ct_fips string, cs_fips string",
+        )
+        conddim = spark.createDataFrame(
+            [(101, 11, "Diabetes", SNOMED, "44054006"),
+             (102, None, "Hypertension", SNOMED, "38341003")],
+            "condition_id int, disease_id int, condition_name string, "
+            "code_system string, code string",
+        )
+        cousub_path = os.path.join(root, "cousub")
+        conddim_path = os.path.join(root, "conddim")
+        cousub.write.parquet(cousub_path)
+        conddim.write.parquet(conddim_path)
+        t0 = time.monotonic()
+        counters = run_pipeline(
+            spark, bdir, cousub_path, conddim_path, os.path.join(root, "out"),
+            as_of=F.lit("2020-01-01").cast("date"),
+        )
+        elapsed = time.monotonic() - t0
+        return {
+            "n_bundles": n_bundles,
+            "bundles_counted": counters.get("bundles"),
+            "seconds": round(elapsed, 3),
+            "bundles_per_sec": round(n_bundles / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
