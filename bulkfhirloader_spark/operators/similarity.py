@@ -46,15 +46,20 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine with per-ROW precomputed norms: inside a pair join, computing
     l2_norm per pair multiplies the norm work by the join fan-out (each
     corpus row's norm recomputed once per query / candidate partner).
-    Bit-identical to ``cosine`` — same dot / (na * nb) double expression."""
-    return dot(a, b) / (norm_a * norm_b)
+    Bit-identical to ``cosine`` — same dot / (na * nb) double expression.
+
+    The ``nullif`` guard makes cosine against an all-zero vector NULL
+    instead of an ANSI DIVIDE_BY_ZERO throw: NULL scores sort last under
+    ``desc`` (top-k) and fail ``>= threshold`` filters (near-dup pairs) —
+    a zero vector is similar to nothing."""
+    return dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
 
 
 def cosine_topk_bruteforce(
@@ -121,11 +126,21 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def l2_normalize(vec: Column) -> Column:
+def l2_normalize(vec: Column, norm: Column) -> Column:
     """Unit-normalize an array vector in double precision (cosine on
     normalized vectors == dot product; IVF's Euclidean KMeans then orders
-    clusters consistently with cosine)."""
-    return F.transform(vec, lambda x: x.cast("double") / l2_norm(vec))
+    clusters consistently with cosine).
+
+    ``norm`` must be a PRECOMPUTED sibling column (``withColumn("_n",
+    l2_norm(vec))``): referencing ``l2_norm(vec)`` inside the per-element
+    lambda would splice the O(d) aggregate subtree into every element's
+    expression — O(d²) work per vector, ~1000× overhead at d=1024 (Catalyst
+    does not reliably CSE inside ``transform`` lambdas).  All-zero vectors
+    map to zero vectors instead of NaN (0/0 under non-ANSI; ANSI throws),
+    mirroring ``quantize_int8`` — KMeans must never see NaN features."""
+    return F.when(
+        norm == 0.0, F.transform(vec, lambda x: F.lit(0.0))
+    ).otherwise(F.transform(vec, lambda x: x.cast("double") / norm))
 
 
 def quantize_int8(vec: Column) -> tuple[Column, Column]:
@@ -185,7 +200,9 @@ def cosine_topk_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    cand_n = candidates.withColumn("_nv", l2_normalize(F.col(cand_vec)))
+    cand_n = candidates.withColumn("_cn", l2_norm(F.col(cand_vec))).withColumn(
+        "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
+    )
     with_feat = cand_n.withColumn("features", array_to_vector(F.col("_nv")))
     model = KMeans(k=n_clusters, seed=seed).fit(with_feat)
     assigned = (
@@ -197,7 +214,9 @@ def cosine_topk_ivf(
 
     # per-query centroid ranking as a literal-array expression: sort
     # (distance², centroid-id) structs, keep the first n_probe
-    q_n = queries.withColumn("_nv", l2_normalize(F.col(query_vec)))
+    q_n = queries.withColumn("_qn", l2_norm(F.col(query_vec))).withColumn(
+        "_nv", l2_normalize(F.col(query_vec), F.col("_qn"))
+    )
     dist2 = [
         F.aggregate(
             F.zip_with(
@@ -217,12 +236,17 @@ def cosine_topk_ivf(
     )
     probe_clusters = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
     qp = q_n.select(
-        F.col(query_id), F.col(query_vec), F.explode(probe_clusters).alias("_cluster")
+        F.col(query_id),
+        F.col(query_vec),
+        F.col("_qn"),
+        F.explode(probe_clusters).alias("_cluster"),
     )
 
-    joined = assigned.withColumn("_cn", l2_norm(F.col(cand_vec))).join(
-        F.broadcast(qp.withColumn("_qn", l2_norm(F.col(query_vec)))), "_cluster"
-    ).filter(F.col(query_id) != F.col(cand_id))
+    # norms were hoisted once per row above ("_cn" survives the assignment
+    # projection; "_qn" rides the broadcast) — no per-pair recompute
+    joined = assigned.join(F.broadcast(qp), "_cluster").filter(
+        F.col(query_id) != F.col(cand_id)
+    )
     scored = joined.select(
         F.col(query_id),
         F.col(cand_id),

@@ -234,3 +234,42 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
         for x, v in zip(r["embedding"], r["q"]):
             assert abs(v * r["s"] - x) <= r["s"] / 2 + 1e-12
         assert max(abs(v) for v in r["q"]) == 127
+
+
+def test_l2_normalize_hoisted_norm_and_zero_vector(spark):
+    """l2_normalize takes a precomputed norm column (the O(d) aggregate must
+    not be spliced into every element's expression) and maps all-zero
+    vectors to zeros instead of NaN — KMeans in cosine_topk_ivf must never
+    see NaN features."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r["nv"]
+        for r in df.withColumn("_n", similarity.l2_norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            similarity.l2_normalize(F.col("embedding"), F.col("_n")).alias("nv"),
+        )
+        .collect()
+    }
+    assert out[0] == [0.6, 0.8]
+    assert out[1] == [0.0, 0.0]  # not NaN
+    assert all(not math.isnan(v) for vs in out.values() for v in vs)
+
+
+def test_ivf_topk_survives_zero_vector_in_corpus(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+    rows.append((500, [0.0] * 16))  # all-zero corpus vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=4, n_probe=2).collect()
+    assert len(got) == 5
+    assert all(not any(r["score"] != r["score"] for r in got) for _ in [0])
