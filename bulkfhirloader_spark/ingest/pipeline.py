@@ -23,8 +23,9 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bulkfhirloader_spark.functions.scalars import (
     NULL_DISEASE_ID,
@@ -242,6 +243,8 @@ def _patient_fields(entries: DataFrame, as_of: Column) -> DataFrame:
         F.max_by("deceased", "pos").alias("deceased"),
         F.max_by("city", "pos").alias("city"),
         F.max_by("zipcode", "pos").alias("zipcode"),
+        # presence marker: NULL after the left join <=> bundle had no Patient
+        F.max(F.lit(1)).alias("_has_patient"),
     )
 
 
@@ -303,8 +306,11 @@ def derive_rawstat(
     """One RawStats row per bundle (models.go:5-15, bundle.go:66-125).
 
     Gotchas preserved (SURVEY §4.3):
-    - #1 agerange is the hard-coded constant 1 (bundle.go:90); age is still
-      computed and carried.
+    - #1 agerange is the hard-coded constant 1 (bundle.go:90) — but ONLY
+      when a Patient entry exists: the constant is assigned inside the
+      Patient branch, so a patient-less bundle keeps the Go zero-value
+      RawStats (AgeRange=0, Age=0 — int fields without omitempty,
+      models.go:9-10); age is still computed and carried.
     - #4 unknown city -> empty-string FIPS via left join + fill '' —
       the Go zero-value Cousub (bundle.go:94-95).
     - #6 a bundle with no Patient still emits a stat row with empty id
@@ -327,12 +333,15 @@ def derive_rawstat(
     empty_cond_array = F.array().cast(
         "array<struct<system:string,code:string,conditionid:int,diseaseid:int>>"
     )
+    has_patient = F.col("_has_patient").isNotNull()
     return j.select(
         F.col("bundle_id"),
         F.coalesce(F.col("patient_id"), F.lit("")).alias("id"),
         F.col("gender"),
-        F.lit(1).alias("agerange"),  # gotcha #1: hard-coded (bundle.go:90)
-        F.col("age"),
+        # gotcha #1: hard-coded 1 (bundle.go:90), but only inside the Patient
+        # branch — no Patient keeps the int zero values (models.go:9-10)
+        F.when(has_patient, F.lit(1)).otherwise(F.lit(0)).alias("agerange"),
+        F.when(has_patient, F.col("age")).otherwise(F.lit(0)).alias("age"),
         F.col("deceased").alias("deceasedboolean"),
         F.struct(
             F.coalesce(F.col("ct_fips"), F.lit("")).alias("countyid_fips"),
@@ -379,15 +388,31 @@ def run_pipeline(
 
     The wg.Wait() barrier (main.go:121) is implicit: the resource/rawstat
     writes are actions that complete before facts read the rawstat output.
+
+    Single-pass like the reference (main.go:103 counts while loading):
+    - A5 is an `observe` metric on the bundle scan, so the count rides the
+      resources-write job instead of re-scanning the input (multiLine JSON
+      has no fast count path — a separate .count() re-parses every file).
+    - `entries` is persisted DISK_ONLY between the two sinks: parse the
+      JSON once, serve both the resources write and the rawstat derivation
+      from the columnar cached form.  At 100 TB that halves the expensive
+      parse work; blocks that don't fit local disk fall back to recompute,
+      so this degrades gracefully rather than OOMing.
     """
-    bundles = read_bundles(spark, bundles_path)
+    obs = Observation("a5_record_counter")
+    bundles = read_bundles(spark, bundles_path).observe(
+        obs, F.count(F.lit(1)).alias("bundles")
+    )
     entries = rewrite_references(assign_ids(explode_entries(bundles)))
     cousub = load_cousub_dim(spark, cousub_dim_path)
     conddim = load_condition_dim(spark, condition_dim_path)
-    rawstat = derive_rawstat(entries, cousub, conddim, as_of)
 
-    write_resources(entries, os.path.join(out_dir, "resources"))
-    write_rawstat(rawstat, os.path.join(out_dir, "rawstat"))
-
-    n_bundles = bundles.count()  # A5 (main.go:103, main.go:285)
+    entries = entries.persist(StorageLevel.DISK_ONLY)
+    try:
+        rawstat = derive_rawstat(entries, cousub, conddim, as_of)
+        write_resources(entries, os.path.join(out_dir, "resources"))
+        n_bundles = int(obs.get["bundles"])  # A5 (main.go:103, main.go:285)
+        write_rawstat(rawstat, os.path.join(out_dir, "rawstat"))
+    finally:
+        entries.unpersist()
     return {"bundles": n_bundles, "out_dir": out_dir}

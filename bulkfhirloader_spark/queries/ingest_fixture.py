@@ -23,7 +23,9 @@ Fixture inventory (as_of pinned to 2020-01-01):
       dangling reference left verbatim.
   b2: female patient, deceasedBoolean=true  -> excluded from all facts.
   b3: male patient, deceasedDateTime only   -> deceased via F4 tri-state.
-  b4: NO patient -> rawstat row with empty id (gotcha #6), conditions kept.
+  b4: NO patient -> rawstat row with empty id (gotcha #6), conditions kept;
+      agerange/age stay the Go int zero values 0/0 (bundle.go:90 only runs
+      in the Patient branch; models.go:9-10 have no omitempty).
   b5: 'other'-gender patient in unknown city -> '' FIPS (gotcha #4), counts
       in pop only (gotcha #7).
   b6: TWO patients -> the last in entry order wins (bundle.go:84-97).
@@ -245,7 +247,7 @@ rawstat(bundle_id, id, gender, agerange, age, deceasedboolean, ct_fips,
    'Acton', '01720', '44054006:101:11', '101', '11'),
   ('b3', sha256('b3|urn:uuid:pat3'), 'male',   1, 79, true,  '017', '00100',
    'Acton', '01720', '', '', ''),
-  ('b4', '', NULL, 1, NULL, NULL, '', '', '', '',
+  ('b4', '', NULL, 0, 0, NULL, '', '', '', '',
    '44054006:101:11', '101', '11'),
   ('b5', sha256('b5|urn:uuid:pat5'), 'other',  1, 18, false, '', '',
    'Atlantis', '', '', '', ''),

@@ -207,6 +207,10 @@ def test_rawstat_golden(ingest_env, spark):
     b4 = rows["nested/b4"]  # gotcha #6: no patient -> empty id, still present
     assert b4["id"] == ""
     assert b4["gender"] is None
+    # zero-value RawStats: agerange/age are Go ints without omitempty, and
+    # bundle.go:90 only assigns 1 inside the Patient branch
+    assert b4["agerange"] == 0
+    assert b4["age"] == 0
     assert b4["uniqueconditions"] == [101]
 
     b5 = rows["nested/b5"]  # gotcha #4: unknown city -> '' FIPS, row kept
@@ -225,12 +229,14 @@ def test_facts_golden(ingest_env, spark):
     rs = spark.read.parquet(str(ingest_env["root"] / "out" / "rawstat"))
 
     pop = {(r["cs_fips"], r["age_id"]): r for r in stats.population_facts(rs).collect()}
-    # alive: b1 (male, Acton), b4 (no patient -> '' fips, NULL gender),
-    # b5 (other, '' fips).  b2/b3 deceased.
+    # alive: b1 (male, Acton), b4 (no patient -> '' fips, age_id 0, NULL
+    # gender), b5 (other, '' fips, age_id 1).  b2/b3 deceased.
     assert pop[("00100", 1)]["pop"] == 1
     assert pop[("00100", 1)]["pop_male"] == 1
-    assert pop[("", 1)]["pop"] == 2
+    assert pop[("", 1)]["pop"] == 1
+    assert pop[("", 0)]["pop"] == 1  # patient-less b4: zero-value agerange
     assert pop[("", 1)]["pop_male"] == 0 and pop[("", 1)]["pop_female"] == 0
+    assert pop[("", 0)]["pop_male"] == 0 and pop[("", 0)]["pop_female"] == 0
     # other/b1's surviving (last) patient: alive female in Boston
     assert pop[("07000", 1)]["pop"] == 1 and pop[("07000", 1)]["pop_female"] == 1
 
