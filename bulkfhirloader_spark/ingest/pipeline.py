@@ -75,12 +75,23 @@ def bundle_id_column(scan_root: str) -> Column:
     (bundle_id, fullUrl), a basename collision would merge the two bundles'
     refmaps and collapse their rawstat rows — the reference can never
     collide because each file gets fresh random ObjectIds (main.go:266).
-    The relative path is unique per load and stays human-readable."""
+    The relative path is unique per load and stays human-readable.
+
+    input_file_name() returns a percent-ENCODED file URI, so the raw-path
+    prefix strip must decode it first or any root with a space/'#'/non-
+    ASCII char silently falls through to the full encoded path as the id.
+    url_decode is form-decoding ('+' -> space), which would corrupt paths
+    containing a literal '+' (Hadoop leaves '+' unencoded), so '+' is
+    protected as %2B before decoding; a malformed sequence falls back to
+    the undecoded string via try_url_decode + coalesce."""
     root = os.path.abspath(scan_root).rstrip("/") + "/"
     no_scheme = F.regexp_replace(
         F.input_file_name(), r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", ""
     )
-    rel = F.regexp_replace(no_scheme, "^" + re.escape(root), "")
+    decoded = F.coalesce(
+        F.try_url_decode(F.regexp_replace(no_scheme, r"\+", "%2B")), no_scheme
+    )
+    rel = F.regexp_replace(decoded, "^" + re.escape(root), "")
     return F.regexp_replace(rel, r"\.json$", "")
 
 

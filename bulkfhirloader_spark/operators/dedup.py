@@ -315,13 +315,21 @@ def connected_components(
     component is the minimum node id reachable through the pair graph —
     the step that turns pairwise dedup output into keep-one-per-cluster.
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; converges in O(diameter)
-    rounds (dup clusters are near-cliques, so typically 2-3).  The driver
-    loop materializes each round via localCheckpoint — required anyway to
-    cut the exponential lineage — and stops at the first round with no
-    label change.  Per round: one join edges⋈labels + one groupBy(node)
-    min — both keyed by node id, no skew beyond component size.
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min of its own label and its neighbors' labels, then
+    shortcuts through its label's label (component <- label(component)).
+    The shortcut halves chain depth per round, so convergence is
+    O(log diameter) instead of O(diameter) — a pathological 10M-node chain
+    needs ~24 rounds, not 10M (dup clusters are near-cliques, so typically
+    2-3 either way).  The driver loop materializes each round via
+    localCheckpoint — required anyway to cut the exponential lineage — and
+    stops at the first round with no label change.  Per round: one join
+    edges⋈labels + one groupBy(node) min + one labels self-join — all
+    keyed by node id, no skew beyond component size.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence
+    (silently returning partial labels would split one duplicate cluster
+    into several and keep extra survivors downstream).
     """
     edges = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
@@ -336,13 +344,41 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        neighbor = edges.join(
-            labels, edges.src == labels.node
-        ).select(F.col("dst").alias("node"), "component")
+        # min over neighbors' labels, left-joined back onto own label (no
+        # union of labels with a labels-derived plan: that self-reference
+        # trips a Catalyst Union constraint-rewrite bug, and the join form
+        # needs one fewer pass over labels anyway)
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        merged = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: a label is always a node in the same component (it
+        # starts as self and only ever becomes a reachable min), so
+        # relabeling through the label's own label stays in-component while
+        # halving the depth of any label chain.
+        ptr = merged.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_component")
+        )
         new_labels = (
-            labels.union(neighbor)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            merged.join(ptr, merged.component == ptr.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("p_component", "component"),
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -354,8 +390,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has a longer label chain than expected — raise "
+        "max_iter (rounds needed ~ log2(graph diameter))"
+    )
 
 
 def duplicate_clusters(

@@ -10,6 +10,7 @@ broadcast it — small dims never shuffle.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,21 +21,29 @@ from bulkfhirloader_spark.schemas import TESTDATA_TABLES
 # DataFrame handles are immutable lazy plans — reusing one is the engine's
 # catalog cache (a metastore's job): it skips the per-call file listing +
 # parquet footer/schema read, which measures 0.1-0.2 s of driver time per
-# table per query.  Keyed by session so a stopped session's handles are
-# never served to a new one.
-_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+# table per query.  Keyed by the session OBJECT in a WeakKeyDictionary —
+# not id(spark), whose value is reused after garbage collection and could
+# alias a new session to a stopped one's dead handles; dead-session entries
+# here are evicted automatically when the session is collected.
+_table_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-generated parquet table (TESTDATA.md)."""
-    key = (id(spark), sf_dir, name)
-    df = _table_cache.get(key)
+    per_session = _table_cache.get(spark)
+    if per_session is None:
+        per_session = {}
+        _table_cache[spark] = per_session
+    key = (sf_dir, name)
+    df = per_session.get(key)
     if df is None:
         if name == "events":
             df = load_events(spark, os.path.join(sf_dir, "events.parquet"))
         else:
             df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        _table_cache[key] = df
+        per_session[key] = df
     return df
 
 

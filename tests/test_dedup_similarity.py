@@ -133,6 +133,30 @@ def test_connected_components_and_clusters(spark):
     assert clusters == {1: (3, 1), 10: (2, 10)}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping makes convergence O(log diameter): a 64-node chain
+    (worst case for plain min-propagation, which would need ~63 rounds)
+    must fully collapse within a 10-round budget."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs, max_iter=10).collect()}
+    assert comp == {i: 0 for i in range(64)}
+
+
+def test_connected_components_raises_when_budget_exhausted(spark):
+    """Partial labels must never be silently returned: they would split one
+    duplicate cluster into several and keep extra survivors."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
 def test_clusters_from_minhash_pairs(planted):
     pairs = dedup.minhash_near_dup_pairs(planted, threshold=0.5)
     clusters = {r["keep_id"]: r["cluster_size"]

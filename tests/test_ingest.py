@@ -157,6 +157,22 @@ def test_a5_bundle_counter(ingest_env):
     assert ingest_env["counters"]["bundles"] == 6
 
 
+def test_bundle_id_with_encoded_chars_in_scan_root(spark, tmp_path):
+    """input_file_name() is a percent-encoded URI: a scan root containing a
+    space (or '+', which form-decoding would corrupt) must still yield
+    scan-root-relative bundle ids, not the full encoded path."""
+    bdir = tmp_path / "my dir" / "a+b"
+    bdir.mkdir(parents=True)
+    b = {"resourceType": "Bundle", "type": "transaction",
+         "entry": [{"fullUrl": "urn:uuid:p",
+                    "resource": {"resourceType": "Patient", "id": "x"}}]}
+    (bdir / "nested").mkdir()
+    (bdir / "nested" / "b1.json").write_text(json.dumps(b))
+    ids = [r["bundle_id"]
+           for r in ing.read_bundles(spark, str(bdir)).select("bundle_id").collect()]
+    assert ids == ["nested/b1"]
+
+
 def test_k1_resources_partitioned_by_collection(ingest_env, spark):
     res_dir = str(ingest_env["root"] / "out" / "resources")
     parts = {p.split("=")[1] for p in os.listdir(res_dir) if p.startswith("collection=")}
