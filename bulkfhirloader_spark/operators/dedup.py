@@ -418,6 +418,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     n_planes: int | None = None,
+    n_tables: int = 1,
     dim: int = 64,
     allow_full_scan: bool = False,
 ) -> DataFrame:
@@ -429,17 +430,21 @@ def embedding_cosine_pairs(
       (a nested-loop self-join, O(n²)); the oracle-checkable baseline,
       opt-in because it cannot be the default at corpus scale.
     - ``n_planes=k`` — hyperplane-LSH bucketed: each vector is bucketed by
-      k deterministic random-hyperplane sign bits; candidate pairs share
-      the bucket directly or under a 1-bit probe flip, then exact cosine
-      verifies.  The bucket join carries (id, bucket) only — vectors are
-      re-attached by narrow id joins, so the shuffle never drags embedding
-      payloads through the candidate fan-out.
+      k deterministic random-hyperplane sign bits per table; candidate
+      pairs share some table's bucket directly or under a 1-bit probe
+      flip, then exact cosine verifies.  ``n_tables`` OR-amplifies recall
+      (miss probability decays exponentially in the table count) at
+      n_tables× bucketing cost — the scores are exact either way, so with
+      enough tables the output EQUALS the full-scan tier on a given
+      corpus.  The bucket join carries (id, table, bucket) only — vectors
+      are re-attached by narrow id joins, so the shuffle never drags
+      embedding payloads through the candidate fan-out.
     """
     from bulkfhirloader_spark.operators.similarity import (
-        _hyperplanes,
         cosine_with_norms,
         l2_norm,
-        lsh_bucket,
+        lsh_tables,
+        _table_buckets,
     )
 
     # norms computed once per VECTOR before any pair join — per-pair norm
@@ -465,8 +470,11 @@ def embedding_cosine_pairs(
         cand = sides["a"].join(sides["b"], F.col("id_a") < F.col("id_b"))
         return cand.select("id_a", "id_b", sim).filter(F.col("cos_sim") >= threshold)
 
-    planes = _hyperplanes(dim, n_planes)
-    b = emb.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    tables = lsh_tables(dim, n_planes, n_tables)
+    b = emb.select(
+        F.col(id_col),
+        F.posexplode(_table_buckets(F.col(vec_col), tables)).alias("tbl", "bucket"),
+    )
     probes = F.explode(
         F.array(
             F.col("bucket"),
@@ -476,10 +484,12 @@ def embedding_cosine_pairs(
             ],
         )
     )
-    left = b.select(F.col(id_col).alias("id_a"), probes.alias("probe"))
-    right = b.select(F.col(id_col).alias("id_b"), F.col("bucket").alias("probe"))
+    left = b.select(F.col(id_col).alias("id_a"), "tbl", probes.alias("probe"))
+    right = b.select(
+        F.col(id_col).alias("id_b"), "tbl", F.col("bucket").alias("probe")
+    )
     cand = (
-        left.join(right, "probe")
+        left.join(right, ["tbl", "probe"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -262,11 +262,29 @@ def cosine_topk_ivf(
     )
 
 
+def lsh_tables(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list:
+    """``n_tables`` independent hyperplane sets (OR-amplification): a pair
+    is a candidate if ANY table co-buckets it, so per-pair miss probability
+    decays exponentially in the table count while each table stays a cheap
+    k-bit equi-join key.  Standard multi-table LSH (Indyk-Motwani); the
+    knob that takes hyperplane LSH from "decent recall" to "total recall on
+    a known corpus" without widening any single bucket."""
+    return [
+        _hyperplanes(dim, n_planes, seed=seed + 9973 * t) for t in range(n_tables)
+    ]
+
+
+def _table_buckets(vec: Column, tables: list) -> Column:
+    """posexplode-ready array of per-table bucket ids for one vector."""
+    return F.array(*[lsh_bucket(vec, planes) for planes in tables])
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 1,
     dim: int = 64,
     query_id: str = "query_id",
     cand_id: str = "vec_id",
@@ -274,14 +292,18 @@ def cosine_topk_lsh(
     cand_vec: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signs, exact cosine within the
-    query's bucket.  Multi-probing (flipping one bit) widens recall; the
-    bucket join is an equi join on a uniform hash — no skew.
+    query's bucket.  Two amplification knobs: multi-probing (flipping one
+    bit) widens each table's recall, and ``n_tables`` independent tables
+    OR-combine (a candidate needs to co-bucket in ANY table) — per-neighbor
+    miss probability decays exponentially in the table count.  The bucket
+    join is an equi join on (table, bucket) — uniform hash, no skew; the
+    corpus side carries n_tables rows per vector, queries are broadcast.
     """
-    planes = _hyperplanes(dim, n_planes)
-    cand_b = candidates.withColumn(
-        "bucket", lsh_bucket(F.col(cand_vec), planes)
+    tables = lsh_tables(dim, n_planes, n_tables)
+    cand_b = candidates.select(
+        "*", F.posexplode(_table_buckets(F.col(cand_vec), tables)).alias("tbl", "bucket")
     ).withColumn("_cn", l2_norm(F.col(cand_vec)))
-    # multi-probe: the query's own bucket plus every 1-bit flip
+    # multi-probe: the query's own bucket plus every 1-bit flip, per table
     probe_buckets = F.array(
         F.col("bucket"),
         *[
@@ -290,13 +312,19 @@ def cosine_topk_lsh(
         ],
     )
     q_b = (
-        queries.withColumn("bucket", lsh_bucket(F.col(query_vec), planes))
+        queries.select(
+            "*",
+            F.posexplode(_table_buckets(F.col(query_vec), tables)).alias(
+                "tbl", "bucket"
+            ),
+        )
         .withColumn("_qn", l2_norm(F.col(query_vec)))
         .withColumn("probe", F.explode(probe_buckets))
         .drop("bucket")
     )
     joined = cand_b.join(
-        F.broadcast(q_b), cand_b["bucket"] == q_b["probe"]
+        F.broadcast(q_b),
+        (cand_b["bucket"] == q_b["probe"]) & (cand_b["tbl"] == q_b["tbl"]),
     ).filter(F.col(query_id) != F.col(cand_id))
     scored = joined.select(
         F.col(query_id),

@@ -1912,10 +1912,16 @@ SELECT id_a, id_b, round(s, 6) AS cos_sim FROM p WHERE s >= 0.4
 
 
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale tier of embedding near-dup: hyperplane-LSH buckets + exact
-    cosine verify — probabilistic candidates, rows-only check."""
+    """The scale tier of embedding near-dup: multi-table hyperplane-LSH
+    buckets propose candidates, exact cosine verifies.  Oracle-checked
+    against the full-scan exact SQL (same as dedup_embedding_cosine): the
+    scores are exact cosines, so equality holds iff the 12-table
+    OR-amplified proposal stage recalls EVERY true pair at cos >= 0.4 on
+    the benchmark corpus — i.e. this tier is provably equivalent to the
+    quadratic baseline here, at bucketed cost."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_cosine_pairs(emb, threshold=0.4, n_planes=4)
+    out = dedup.embedding_cosine_pairs(emb, threshold=0.4, n_planes=4, n_tables=12)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 # ---------------------------------------------------------------------------
@@ -2079,9 +2085,19 @@ SELECT query_id, vec_id, round(s, 6) AS score, rnk FROM ranked WHERE rnk <= 5
 
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN — approximate, rows-only check."""
+    """Multi-table hyperplane-LSH ANN.  Oracle-checked against the exact
+    brute-force SQL (same as sim_topk_bruteforce): scores are exact cosines
+    over LSH-proposed candidates, so the hash comparison asserts the
+    12-table proposal stage recalls every true top-5 neighbor on the
+    benchmark corpus — bucketed cost, exact answers here."""
     q, emb = _query_vectors(spark, sf_dir)
-    return similarity.cosine_topk_lsh(q, emb, k=5)
+    out = similarity.cosine_topk_lsh(q, emb, k=5, n_planes=4, n_tables=12)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").alias("rnk"),
+    )
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2904,7 +2920,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_verified": (dedup_minhash_verified, _DEDUP_NGRAM_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),
-    "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, None),
+    "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, _DEDUP_EMB_SQL),
     "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     # text analysis
     "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),
@@ -2915,7 +2931,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_token_count_bpe": (text_token_count_bpe, _TEXT_BPE_SQL),
     # similarity
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
-    "sim_topk_lsh": (sim_topk_lsh, None),
+    "sim_topk_lsh": (sim_topk_lsh, _SIM_TOPK_SQL),
     "sim_topk_ivf": (sim_topk_ivf, None),
     # windows + events scalars
     "win_tumbling": (win_tumbling, _WIN_TUMBLING_SQL),
