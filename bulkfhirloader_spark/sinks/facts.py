@@ -8,7 +8,10 @@ COPY protocol inside one transaction (db.go:134-166).  Spark-native parity:
   semantics as truncate-then-COPY.
 - production: ``write.jdbc`` with ``truncate=true`` + ``overwrite`` — Spark
   issues TRUNCATE (preserving the schema/DDL) then batch-inserts; batchsize
-  plays the role of COPY's buffered flush (db.go:153-158).
+  plays the role of COPY's buffered flush (db.go:153-158).  The full JDBC
+  path (create, truncate-rerun, read-back) is exercised end-to-end against
+  Spark's embedded Derby in tests/test_ingest.py; only the Postgres dialect
+  itself is untested here.
 
 K5 (-reset, main.go:76-78, db.go:63-75) drops the document collections; the
 parquet analog removes the output directories.

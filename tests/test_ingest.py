@@ -326,6 +326,25 @@ def test_k3_jdbc_option_plumbing(ingest_env, spark):
     facts.write.format("jdbc").options(**opts).mode("overwrite")  # builds
 
 
+def test_k3_k4_jdbc_roundtrip_embedded_derby(ingest_env, spark, tmp_path):
+    """K3's production path against a REAL JDBC database: Spark ships an
+    embedded Derby (its Hive-metastore backend), so the full write path —
+    CREATE on first load, TRUNCATE-not-recreate + batched INSERT on rerun
+    (K4, db.go:43-59/134-166) — and a read-back comparison run in-process.
+    Embedded Derby is same-JVM only, which local[*] satisfies; production
+    targets Postgres with the identical option set."""
+    url = f"jdbc:derby:{tmp_path}/factsdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    rs = spark.read.parquet(str(ingest_env["root"] / "out" / "rawstat"))
+    facts = stats.population_facts(rs)
+    sinks.write_facts_jdbc(facts, url, "pop_facts", properties=props)
+    sinks.write_facts_jdbc(facts, url, "pop_facts", properties=props)  # K4
+    back = spark.read.format("jdbc").options(
+        url=url, dbtable="pop_facts", **props
+    ).load()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in facts.collect()}
+
+
 def test_streaming_ingest_available_now(ingest_env, spark):
     from bulkfhirloader_spark.streaming import stream_ingest_available_now
 
