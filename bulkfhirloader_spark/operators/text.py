@@ -129,6 +129,73 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def ngram_array(toks: Column, n: int) -> Column:
+    """Word n-grams as a space-joined string array; empty array (never a
+    descending sequence — F.sequence(1, 0) would yield [1, 0]) when the
+    document has fewer than ``n`` tokens."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family: docs
+    dominated by a few repeated n-grams are boilerplate/spam): per doc the
+    n-gram count, distinct count, most-frequent-n-gram count, and the two
+    derived ratios used as filter thresholds — duplicate-n-gram fraction
+    (1 - distinct/total) and top-n-gram share (max count / total).
+
+    Scale shape: ZERO SHUFFLE.  Per-doc n-gram frequencies do not need an
+    explode + groupBy(doc, gram) (two shuffles whose row count is ~token
+    count × corpus size): sorting the n-gram array puts equal grams in
+    contiguous runs, so one F.aggregate fold over the sorted array tracks
+    (previous, run length, max run, distinct count) — the whole operator
+    is a projection that stays inside whole-stage codegen.  The DuckDB
+    oracle restates the semantics relationally (unnest → GROUP BY) so the
+    fold is independently cross-checked."""
+    toks = tokens(F.col(text_col))
+    grams = ngram_array(toks, n)
+    sorted_grams = F.array_sort(grams)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("ndist"),
+    )
+
+    def step(acc, g):
+        is_same = acc["prev"].isNotNull() & (acc["prev"] == g)
+        run = F.when(is_same, acc["run"] + F.lit(1)).otherwise(F.lit(1)).cast("long")
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (acc["ndist"] + F.when(is_same, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("ndist"),
+        )
+
+    st = F.aggregate(sorted_grams, init, step)
+    n_ngrams = F.size(grams).cast("long")
+    safe = F.nullif(n_ngrams, F.lit(0)).cast("double")
+    return docs.select(
+        F.col(id_col),
+        n_ngrams.alias("n_ngrams"),
+        st["ndist"].alias("n_distinct"),
+        st["maxrun"].alias("top_ngram_count"),
+        ((n_ngrams - st["ndist"]).cast("double") / safe).alias("dup_ngram_frac"),
+        (st["maxrun"].cast("double") / safe).alias("top_ngram_share"),
+    )
+
+
 def token_count_bpe_ish(text: Column) -> Column:
     """BPE-ish token estimate: word-boundary/punctuation regex split, the
     standard cheap proxy for LLM token budgeting."""

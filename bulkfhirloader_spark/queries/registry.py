@@ -2047,6 +2047,37 @@ FROM documents
 """
 
 
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (bigram tier): zero-shuffle
+    sorted-run fold in Spark, cross-checked by a relational unnest+GROUP BY
+    restatement in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, n=2)
+
+
+_TEXT_REPETITION_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+ng AS (SELECT doc_id,
+              CASE WHEN len(t) >= 2
+                   THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+                   ELSE [] END AS grams
+       FROM toks),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM ng),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_ngram_count
+        FROM cnt GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 0) AS n_ngrams,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       coalesce(a.top_ngram_count, 0) AS top_ngram_count,
+       CAST(a.n_ngrams - a.n_distinct AS DOUBLE) / a.n_ngrams AS dup_ngram_frac,
+       CAST(a.top_ngram_count AS DOUBLE) / a.n_ngrams AS top_ngram_share
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — similarity search (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -2929,6 +2960,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint_md5": (text_fingerprint_md5, _TEXT_FP_SQL),
     "text_fingerprint_rolling": (text_fingerprint_rolling, _TEXT_FP_ROLLING_SQL),
     "text_token_count_bpe": (text_token_count_bpe, _TEXT_BPE_SQL),
+    "text_repetition_stats": (text_repetition_stats, _TEXT_REPETITION_SQL),
     # similarity
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, _SIM_TOPK_SQL),
@@ -2968,6 +3000,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # scripts/selfcheck.py.  Grouping of the literal above is preserved for
 # readability; this only changes dict iteration order.
 _DRIVER_WINDOW_PRIORITY = [
+    # new in round 4, never driver-checked
+    "text_repetition_stats",
     # r02 ERR fixes that never got a driver row (highest value)
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",

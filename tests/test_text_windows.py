@@ -87,6 +87,36 @@ def test_quality_stats_match_python_reference_on_random_corpus(spark):
             assert abs(r["punct_ratio"] - n_punct / n_chars) < 1e-9
 
 
+def test_repetition_stats_bigram_golden(spark):
+    """Hand-derived: 'a b a b c' bigrams are [a b, b a, a b, b c] ->
+    4 total, 3 distinct, top count 2; degenerate docs (one token, empty)
+    yield zero counts and NULL ratios, not a divide-by-zero."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "solo"), (3, ""), (4, "x x x x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs, n=2).collect()}
+    r1 = rows[1]
+    assert (r1["n_ngrams"], r1["n_distinct"], r1["top_ngram_count"]) == (4, 3, 2)
+    assert r1["dup_ngram_frac"] == 0.25 and r1["top_ngram_share"] == 0.5
+    for d in (2, 3):
+        assert rows[d]["n_ngrams"] == 0 and rows[d]["n_distinct"] == 0
+        assert rows[d]["dup_ngram_frac"] is None
+    r4 = rows[4]  # 'x x' three times: the boilerplate signature
+    assert (r4["n_ngrams"], r4["n_distinct"], r4["top_ngram_count"]) == (3, 1, 3)
+    assert r4["dup_ngram_frac"] == pytest.approx(2 / 3)
+    assert r4["top_ngram_share"] == 1.0
+
+
+def test_repetition_stats_zero_shuffle_plan(spark):
+    """The sorted-run fold must stay a projection: no Exchange, no
+    Python/pandas UDF in the plan."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = text.repetition_stats(docs, n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_token_count_bpe_ish(spark):
     got = (
         spark.createDataFrame([("don't stop, it's 42!",)], ["t"])
