@@ -260,3 +260,77 @@ def pack_token_shards(
             F.expr(f"(_local_excl + _offset) div {shard_tokens}").alias("shard_id"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_per_mille: dict[str, int],
+    default_per_mille: int = 0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep rows whose hash bucket falls
+    below the stratum's per-mille threshold — the source-mixing knob of a
+    corpus recipe ("keep 60% of curated sources, 25% of the crawl").
+
+    rand()-based sampling re-draws on every run and every repartitioning;
+    hashing the id instead makes the sample REPRODUCIBLE and STABLE — a row's
+    membership never changes when other rows are added, so incremental
+    re-curation keeps prior selections (same property as ``hash_split``,
+    same bucket arithmetic, so split and sample compose consistently).
+    Zero shuffle — a pure filter projection with the tiny rate table inlined
+    as a literal map.
+    """
+    bucket = split_bucket(F.col(id_col))
+    rate_map = F.create_map(
+        *[F.lit(x) for k, v in rates_per_mille.items() for x in (k, v)]
+    )
+    threshold = F.coalesce(
+        rate_map[F.col(strata_col)], F.lit(default_per_mille)
+    )
+    return df.where(bucket < threshold).select(
+        id_col, strata_col, bucket.alias("sample_bucket")
+    )
+
+
+def incremental_merge(
+    base: DataFrame, updates: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Upsert an incremental batch into a corpus snapshot: batch rows REPLACE
+    base rows with the same id, unmatched batch rows append.  The reference
+    only truncate-and-reloads (db.go:134-166 drops collections and rewrites);
+    at 100 TB a re-crawl delta must merge, not reload.
+
+    MERGE INTO without a table format: anti-join the base against the batch's
+    ids, union the batch back.  The batch (a delta — small relative to the
+    corpus) is BROADCAST, so the anti-join is map-side and the corpus never
+    shuffles; output partitioning is the corpus's own.  With a Delta/Iceberg
+    sink the same plan runs as ``MERGE INTO``; this operator is the engine-
+    neutral core.
+    """
+    survivors = base.join(
+        F.broadcast(updates.select(id_col)), on=id_col, how="left_anti"
+    )
+    return survivors.unionByName(updates)
+
+
+def morton_key(a: Column, b: Column, bits: int = 10) -> Column:
+    """Z-order (Morton) key: bit-interleave two bucketized dimensions so that
+    sorting / range-partitioning by the key co-locates rows that are close in
+    BOTH dimensions at once — parquet row-group min/max stats then prune scans
+    on EITHER predicate, where a lexicographic sort only serves its leading
+    column.  The standard multi-dimensional data-layout trick (Delta/Iceberg
+    OPTIMIZE ZORDER) expressed as pure int64 bit arithmetic: zero shuffle to
+    compute; one range exchange to lay out.
+
+    Inputs must already be in [0, 2^bits); compose with ``split_bucket`` /
+    ``least`` to bucketize raw values.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        a_bit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        b_bit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(a_bit, 2 * i)).bitwiseOR(
+            F.shiftleft(b_bit, 2 * i + 1)
+        )
+    return z

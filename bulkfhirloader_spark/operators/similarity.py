@@ -339,3 +339,78 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, "score", "rank")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Per-label mean vectors as ``(c_label, centroid: array<double>)``.
+
+    posexplode → (label, dim)-keyed average → reassemble in dim order.  The
+    partial aggregation collapses each input partition to n_labels × dim
+    running sums before the exchange, so the shuffle is O(labels × dim)
+    regardless of corpus size.  ``round_dp`` rounds each component (engine-
+    stable arithmetic for oracle checks; Spark/DuckDB doubles agree well
+    past 6 dp, and downstream cosines on identical inputs stay identical).
+    """
+    per_dim = (
+        emb.select(label_col, F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(label_col, "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("mean_x"))
+    )
+    component = (
+        (lambda s: F.round(s["mean_x"], round_dp))
+        if round_dp is not None
+        else (lambda s: s["mean_x"])
+    )
+    return per_dim.groupBy(F.col(label_col).alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_x"))), component
+        ).alias("centroid")
+    )
+
+
+def classify_nearest_centroid(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id", "label"),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: every vector gets the
+    label of its highest-cosine centroid — the cheap corpus-labeling /
+    topic-bucketing step of a training-data pipeline (quality tiers, domain
+    routing) once per-class centroids exist.
+
+    Scale shape: ``centroids`` is tiny (one row per class) and is BROADCAST
+    under a cross join — the corpus itself never shuffles for scoring.  The
+    argmax is ``max(struct(score, -c_label))`` under ``groupBy(id_cols)``:
+    partial aggregation collapses the n_classes-way fan-out back to one row
+    per vector map-side, so the only exchange carries one tiny row per
+    input vector.  Ties (after ``round_dp`` rounding) break to the SMALLEST
+    label — deterministic and restatable as a ``row_number`` oracle.
+    """
+    scored = (
+        emb.select(*id_cols, F.col(vec_col).cast("array<double>").alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            *id_cols,
+            F.col("c_label"),
+            F.round(cosine(F.col("_v"), F.col("centroid")), round_dp).alias("score"),
+        )
+    )
+    best = scored.groupBy(*id_cols).agg(
+        F.max(
+            F.struct(
+                F.col("score"), (-F.col("c_label")).alias("neg_label")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        *id_cols,
+        (-F.col("m.neg_label")).alias("predicted_label"),
+        F.col("m.score").alias("score"),
+    )

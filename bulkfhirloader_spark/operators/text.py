@@ -232,3 +232,25 @@ def redact_pii(
         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
         redacted.alias("redacted_text"),
     )
+
+
+def vocab_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top-k — the counting
+    step of one BPE merge round (and the raw material for collocation /
+    PMI statistics): which pairs co-occur often enough to fuse into one
+    vocabulary unit.
+
+    Scale shape: explode per-doc pair arrays → groupBy(pair).  The partial
+    (map-side) aggregation collapses each input partition to its distinct
+    pairs before the exchange, so the shuffle carries (pair, count) rows —
+    zipfian but tiny vs the corpus.  The top-k is orderBy + limit, which
+    Spark plans as TakeOrderedAndProject: per-partition heaps + a k-row
+    driver merge, never a global sort materialization.  Deterministic
+    boundary: ties order by (count desc, pair asc) in engine and oracle.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = docs.select(F.explode(ngram_array(toks, 2)).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_count"))
+    return counts.orderBy(F.desc("pair_count"), "pair").limit(top_k)

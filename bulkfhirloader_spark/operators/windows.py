@@ -9,7 +9,7 @@ bulkfhirloader_spark.streaming wires the same logic behind a file stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bulkfhirloader_spark.functions.scalars import money_cents
@@ -66,4 +66,37 @@ def session_stats(
             "n_events",
             "value_cents",
         )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-EVENT session assignment by inactivity gap — the companion to
+    ``session_stats``: that one aggregates sessions away, this one keeps
+    event granularity and tags each event with its session ordinal (what
+    downstream per-session feature extraction joins against).
+
+    Classic lag + running-sum-of-boundaries: an event starts a new session
+    when it is more than ``gap_seconds`` after the user's previous event;
+    the session ordinal is the running count of boundary flags.  ONE hash
+    shuffle keyed by user (both window passes share the same partitioning —
+    Catalyst plans a single Exchange), state bounded per user.  Timestamps
+    compare as µs epochs: exact integer arithmetic, engine-portable.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    order = [us.asc(), F.col(order_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(us).over(w)
+    is_new = (prev.isNull() | ((us - prev) > gap_seconds * 1_000_000)).cast("long")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        F.col(order_col),
+        F.col(user_col),
+        us.alias("ts_epoch_us"),
+        F.sum(is_new).over(running).alias("session_seq"),
     )

@@ -2078,6 +2078,27 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def text_vocab_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair top-100 (one BPE merge round's
+    counting step): explode → partial-agg groupBy → TakeOrdered top-k,
+    deterministic (count desc, pair) boundary in engine and oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_pair_counts(docs, top_k=100)
+
+
+_TEXT_VOCAB_PAIRS_SQL = r"""
+WITH t AS (SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+p AS (SELECT unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS pair
+      FROM t)
+SELECT pair, count(*) AS pair_count
+FROM p GROUP BY 1
+ORDER BY pair_count DESC, pair
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — similarity search (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -2203,6 +2224,28 @@ s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY e
 SELECT user_id, CAST(min(e) AS BIGINT) AS session_start_us, count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, sid
+"""
+
+
+def win_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event gap sessionization (windows.sessionize): lag + running sum
+    of boundary flags tags every event with its per-user session ordinal —
+    event granularity survives, unlike the session_window aggregate.
+    Exact µs-epoch arithmetic; oracle is the same two windows in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.sessionize(ev, gap_seconds=3600)
+
+
+_WIN_SESSIONIZE_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+f AS (SELECT event_id, user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 3600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT event_id, user_id, us AS ts_epoch_us,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM f
 """
 
 
@@ -2372,6 +2415,37 @@ SELECT vec_id, scale,
                      ELSE greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS INTEGER))) END),
            ',') AS q_csv
 FROM s
+"""
+
+
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification (similarity.classify_nearest_centroid):
+    every vector takes the label of its highest-cosine class centroid — the
+    cheap corpus-labeling / domain-routing step once per-class centroids
+    exist.  Centroid components rounded to 6 dp on both engines so the
+    downstream cosine arithmetic is identical; the 10-row centroid table is
+    broadcast and argmax'd with a map-side-collapsing struct-max, so the
+    corpus never shuffles bodies.  Oracle restates the argmax as a
+    row_number window (same (score desc, label asc) order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.label_centroids(emb, round_dp=6)
+    return similarity.classify_nearest_centroid(emb, centroids)
+
+
+_EMB_KNN_SQL = """
+WITH d AS (SELECT label, u.x AS x, u.dim AS dim
+           FROM embeddings,
+                LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                                generate_subscripts(embedding, 1) AS dim) u),
+c AS (SELECT label AS c_label, list(round(mean_x, 6) ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, avg(x) AS mean_x FROM d GROUP BY 1, 2)
+      GROUP BY 1),
+s AS (SELECT e.vec_id, e.label, c.c_label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), centroid), 6) AS score
+      FROM embeddings e, c),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) AS rnk
+      FROM s)
+SELECT vec_id, label, c_label AS predicted_label, score FROM r WHERE rnk = 1
 """
 
 
@@ -2627,6 +2701,100 @@ co AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 97 <> 0)
 SELECT co.doc_id, count(*) AS n_shared_ngrams
 FROM co JOIN ev USING (shingle)
 GROUP BY 1
+"""
+
+
+def cur_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling (curation.stratified_sample): keep
+    60% of five 'curated' sources and 25% of the rest by hash bucket — the
+    corpus-recipe mixing knob, reproducible and stable under re-runs and
+    appends (rand() is neither).  Zero shuffle: a literal-map filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs,
+        rates_per_mille={f"src{i}": 600 for i in range(5)},
+        default_per_mille=250,
+    )
+
+
+_CUR_STRAT_SQL = """
+WITH b AS (SELECT doc_id, source,
+                  ((doc_id % 2147483647) * 2654435761) % 2147483647 % 1000 AS bucket
+           FROM documents)
+SELECT doc_id, source, bucket AS sample_bucket
+FROM b
+WHERE bucket < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 600 ELSE 250 END
+"""
+
+
+def cur_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a delta batch into the corpus (curation.incremental_merge):
+    rewritten docs (id % 7 == 0, 'v2 ' texts) replace their base rows and
+    brand-new ids (id % 11 == 0, shifted by 1e6) append — MERGE INTO
+    semantics from a broadcast anti-join + union; the corpus side never
+    shuffles.  The reference can only truncate-and-reload (db.go:134-166)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    updates = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 3).alias("n_chars"),
+    )
+    new_docs = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), *cols[1:]
+    )
+    merged = curation.incremental_merge(
+        docs.select(*cols), updates.unionByName(new_docs)
+    )
+    return merged.select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("text_sha"), "n_chars"
+    )
+
+
+_CUR_MERGE_SQL = """
+WITH upd AS (SELECT doc_id, 'v2 ' || text AS text, lang, source, n_chars + 3 AS n_chars
+             FROM documents WHERE doc_id % 7 = 0),
+new_docs AS (SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+             FROM documents WHERE doc_id % 11 = 0),
+batch AS (SELECT * FROM upd UNION ALL SELECT * FROM new_docs),
+merged AS (SELECT doc_id, text, lang, source, n_chars FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = d.doc_id)
+           UNION ALL SELECT * FROM batch)
+SELECT doc_id, source, sha256(text) AS text_sha, n_chars FROM merged
+"""
+
+
+def cur_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (curation.morton_key): interleave a length bucket
+    with an id-hash bucket so range-partitioning by the key keeps parquet
+    row-group min/max stats tight on BOTH dimensions (Delta/Iceberg
+    OPTIMIZE ZORDER, as pure int64 bit arithmetic — zero shuffle to
+    compute).  Oracle restates the 10-bit interleave with the same shift/
+    mask expression in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    len_key = F.least(F.col("n_chars").cast("long"), F.lit(1023))
+    hash_key = curation.split_bucket(F.col("doc_id"), n_buckets=1024)
+    return docs.select(
+        "doc_id",
+        len_key.alias("len_key"),
+        hash_key.alias("hash_key"),
+        curation.morton_key(len_key, hash_key, bits=10).cast("long").alias("zkey"),
+    )
+
+
+_CUR_ZORDER_BITS = " | ".join(
+    f"((((len_key >> {i}) & 1) << {2 * i}) | (((hash_key >> {i}) & 1) << {2 * i + 1}))"
+    for i in range(10)
+)
+_CUR_ZORDER_SQL = f"""
+WITH k AS (SELECT doc_id, least(n_chars, 1023) AS len_key,
+                  ((doc_id % 2147483647) * 2654435761) % 2147483647 % 1024 AS hash_key
+           FROM documents)
+SELECT doc_id, len_key, hash_key, CAST({_CUR_ZORDER_BITS} AS BIGINT) AS zkey
+FROM k
 """
 
 
@@ -2961,6 +3129,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint_rolling": (text_fingerprint_rolling, _TEXT_FP_ROLLING_SQL),
     "text_token_count_bpe": (text_token_count_bpe, _TEXT_BPE_SQL),
     "text_repetition_stats": (text_repetition_stats, _TEXT_REPETITION_SQL),
+    "text_vocab_pair_counts": (text_vocab_pair_counts, _TEXT_VOCAB_PAIRS_SQL),
     # similarity
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, _SIM_TOPK_SQL),
@@ -2969,6 +3138,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "win_tumbling": (win_tumbling, _WIN_TUMBLING_SQL),
     "win_sliding": (win_sliding, _WIN_SLIDING_SQL),
     "win_session": (win_session, _WIN_SESSION_SQL),
+    "win_sessionize_gap": (win_sessionize_gap, _WIN_SESSIONIZE_SQL),
     "events_json_extract": (events_json_extract, _EVENTS_JSON_SQL),
     "ext_distinct_users_exact": (ext_distinct_users_exact, _EXT_DISTINCT_SQL),
     "ext_approx_distinct_users": (ext_approx_distinct_users, None),
@@ -2979,11 +3149,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_pivot_status_counts": (ext_pivot_status_counts, _EXT_PIVOT_SQL),
     "emb_label_centroids": (emb_label_centroids, _EMB_CENTROIDS_SQL),
     "emb_quantize_int8": (emb_quantize_int8, _EMB_QUANT_SQL),
+    "emb_knn_classify": (emb_knn_classify, _EMB_KNN_SQL),
     "cur_hash_split": (cur_hash_split, _CUR_SPLIT_SQL),
     "cur_tfidf_top_terms": (cur_tfidf_top_terms, _CUR_TFIDF_SQL),
     "cur_select_for_training": (cur_select_for_training, _CUR_SELECT_SQL),
     "cur_pack_token_shards": (cur_pack_token_shards, _CUR_PACK_SQL),
     "cur_decontaminate": (cur_decontaminate, _CUR_DECON_SQL),
+    "cur_stratified_sample": (cur_stratified_sample, _CUR_STRAT_SQL),
+    "cur_incremental_merge": (cur_incremental_merge, _CUR_MERGE_SQL),
+    "cur_zorder_layout": (cur_zorder_layout, _CUR_ZORDER_SQL),
     "text_redact_pii": (text_redact_pii, _TEXT_REDACT_SQL),
     # multimodal
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),
@@ -3047,6 +3221,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "mm_payload_stats",
     "mm_sample_frames",
     "mm_resize_thumbnails",
+    # new in round 4, never driver-checked
+    "text_vocab_pair_counts",
+    "win_sessionize_gap",
+    "emb_knn_classify",
+    "cur_stratified_sample",
+    "cur_incremental_merge",
+    "cur_zorder_layout",
 ]
 assert set(_DRIVER_WINDOW_PRIORITY) <= set(REGISTRY), (
     sorted(set(_DRIVER_WINDOW_PRIORITY) - set(REGISTRY))

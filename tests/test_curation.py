@@ -172,3 +172,114 @@ class TestShardPackingProperty:
 @pytest.fixture(scope="session")
 def spark_holder(spark):
     return [spark]
+
+
+def test_stratified_sample_thresholds_and_stability(spark):
+    """Every kept row's bucket is below its stratum threshold; strata not in
+    the rate map use the default; the sample is identical after an
+    arbitrary repartition (the reproducibility rand() lacks)."""
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    rates = {"src0": 700, "src1": 100}
+    out = curation.stratified_sample(docs, rates, default_per_mille=300)
+    rows = out.collect()
+    assert rows, "sample must be non-empty"
+    for r in rows:
+        thr = rates.get(r["source"], 300)
+        assert r["sample_bucket"] < thr
+    again = set(
+        (r["doc_id"], r["sample_bucket"])
+        for r in curation.stratified_sample(
+            docs.repartition(7), rates, default_per_mille=300
+        ).collect()
+    )
+    assert again == {(r["doc_id"], r["sample_bucket"]) for r in rows}
+    # per-stratum keep-rate tracks the per-mille threshold (hash uniformity)
+    n0 = sum(1 for r in rows if r["source"] == "src0")
+    n1 = sum(1 for r in rows if r["source"] == "src1")
+    assert n0 > n1
+
+
+def test_incremental_merge_upserts_and_appends(spark):
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "two-v2"), (4, "four")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in curation.incremental_merge(base, updates).collect()
+    }
+    assert got == {1: "one", 2: "two-v2", 3: "three", 4: "four"}
+
+
+def test_incremental_merge_broadcasts_the_batch(spark):
+    """The anti-join must be broadcast (map-side): the corpus side never
+    shuffles for the merge."""
+    base = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    updates = spark.createDataFrame([(2, "b")], "doc_id long, text string")
+    plan = (
+        curation.incremental_merge(base, updates)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_morton_key_golden_and_monotone_locality(spark):
+    """morton(3, 5) with 3=0b011, 5=0b101: z = a0 + 2*b0 + 4*a1 + 32*b2
+    = 1 + 2 + 4 + 32 = 39; interleaving is order-preserving per dimension
+    when the other is fixed."""
+    df = spark.range(1).select(
+        curation.morton_key(F.lit(3), F.lit(5)).alias("z"),
+        curation.morton_key(F.lit(0), F.lit(0)).alias("z0"),
+        curation.morton_key(F.lit(1023), F.lit(1023)).alias("zmax"),
+    )
+    row = df.first()
+    assert row["z"] == 39
+    assert row["z0"] == 0
+    assert row["zmax"] == (1 << 20) - 1
+    # fixing one dim, z grows with the other
+    zs = (
+        spark.range(8)
+        .select(curation.morton_key(F.col("id"), F.lit(2)).alias("z"), "id")
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["z"] for r in zs] == sorted(r["z"] for r in zs)
+
+
+def test_zorder_layout_tightens_both_dims(spark):
+    """Range-partitioning by the Morton key must bound BOTH dimensions per
+    partition better than partitioning by either single key bounds the
+    other — the data-skipping property (min/max pruning serves both
+    predicates).  Measured as the summed per-partition span of the
+    NON-leading dimension."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1024), rng.randrange(1024)) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    z = df.select(
+        "a", "b", curation.morton_key(F.col("a"), F.col("b")).alias("zkey")
+    )
+
+    def spans(pdf, col):
+        agg = (
+            pdf.groupBy(F.spark_partition_id().alias("p"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r["span"] for r in agg)
+
+    by_a = df.repartitionByRange(16, "a")
+    by_z = z.repartitionByRange(16, "zkey")
+    # partitioning on 'a' alone leaves 'b' unconstrained (~full 1023 span
+    # in every partition); the z-order layout must do meaningfully better
+    # on BOTH dims at once
+    assert spans(by_z, "b") < spans(by_a, "b") * 0.6
+    assert spans(by_z, "a") < 16 * 1023 * 0.6

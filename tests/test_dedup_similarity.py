@@ -325,3 +325,42 @@ def test_ivf_topk_survives_zero_vector_in_corpus(spark):
     got = similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=4, n_probe=2).collect()
     assert len(got) == 5
     assert all(not any(r["score"] != r["score"] for r in got) for _ in [0])
+
+
+def test_classify_nearest_centroid_separable_clusters(spark):
+    """Two well-separated clusters: every vector must take its own
+    cluster's centroid label, including vectors whose true label is
+    'wrong' (a label-noise point sitting in the other cluster)."""
+    rows = [
+        (1, 0, [1.0, 0.0, 0.1]),
+        (2, 0, [0.9, 0.1, 0.0]),
+        (3, 1, [0.0, 1.0, 0.1]),
+        (4, 1, [0.1, 0.9, 0.0]),
+        (5, 0, [0.0, 1.0, 0.0]),  # labeled 0 but sits in cluster 1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    # centroids from the clean points only, so the noisy point can't drag
+    cents = similarity.label_centroids(emb.filter("vec_id <= 4"), round_dp=6)
+    got = {
+        r["vec_id"]: r["predicted_label"]
+        for r in similarity.classify_nearest_centroid(emb, cents).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+def test_classify_nearest_centroid_tie_breaks_to_smallest_label(spark):
+    """Identical centroids (same mean vector for labels 3 and 7): the
+    rounded scores tie exactly, so the smaller label must win — the
+    determinism the oracle's row_number restatement relies on."""
+    emb = spark.createDataFrame(
+        [
+            (1, 3, [1.0, 0.0]),
+            (2, 7, [1.0, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    cents = similarity.label_centroids(emb, round_dp=6)
+    out = similarity.classify_nearest_centroid(emb, cents).collect()
+    assert all(r["predicted_label"] == 3 for r in out)

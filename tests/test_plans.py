@@ -231,6 +231,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "cur_tfidf_top_terms",      # 1-row corpus doc count for idf
     "q11_important_parts",      # 1-row grand-total threshold
     "q22_dormant_customers",    # 1-row avg-balance threshold
+    "emb_knn_classify",         # n_classes-row broadcast centroid table
 }
 _PLAN_LINT_SKIP = {
     "stream_user_totals",       # executes a streaming query on invocation

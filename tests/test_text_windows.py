@@ -190,3 +190,68 @@ def test_redact_pii_masks_and_counts(spark):
     assert rows[2]["redacted_text"] == "no pii here at all"
     assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 2
     assert rows[3]["redacted_text"] == "two mails [EMAIL] [EMAIL] and [PHONE] [PHONE]"
+
+
+def test_vocab_pair_counts_golden(spark):
+    """'a b a b' contributes [a b, b a, a b]; across two docs the top pair
+    and deterministic (count desc, pair asc) tie-break are exact."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = text.vocab_pair_counts(docs, top_k=10).collect()
+    assert [(r["pair"], r["pair_count"]) for r in rows] == [
+        ("a b", 3),
+        ("b a", 1),
+        ("b c", 1),
+    ]
+
+
+def test_vocab_pair_counts_topk_is_take_ordered(spark):
+    """top-k must plan as TakeOrderedAndProject (per-partition heaps),
+    never a global Sort materialization."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        text.vocab_pair_counts(docs, top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Events 0s/30s/largegap/+10s for one user with a 60s gap: sessions
+    must break exactly when the gap strictly exceeds the threshold; a
+    second user's numbering is independent."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    rows = [
+        (1, 10, ts(0)),
+        (2, 10, ts(30)),
+        (3, 10, ts(90)),     # exactly 60s after prev: NOT a new session (>)
+        (4, 10, ts(151)),    # 61s after prev: new session
+        (5, 20, ts(500)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in windows.sessionize(ev, gap_seconds=60).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes share the user partitioning — the plan must
+    contain exactly one Exchange."""
+    ev = spark.createDataFrame(
+        [(1, 10, datetime.datetime(2024, 1, 1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    plan = (
+        windows.sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
