@@ -2510,6 +2510,84 @@ FROM events GROUP BY 1
 """
 
 
+_STREAM_SESS_DIRS: dict[tuple[str, str], str] = {}
+
+
+def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization (streaming.stateful.stream_sessionize)
+    as a driver-checked query: events are chunked into three TIME-ORDERED
+    files (sequential writes, so the file source replays them in event-time
+    order) and drained with availableNow + maxFilesPerTrigger=1, forcing
+    per-user session state to carry across micro-batches and event-time
+    timeouts to fire between them.  Per-event session tags must equal the
+    batch lag+running-sum restatement exactly — the operator's docstring
+    proves state expiry cannot change an assignment on in-order input."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.stateful import stream_sessionize
+
+    global _STREAM_Q_SEQ
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _STREAM_SESS_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_sess_")
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        bounds = ev.select(
+            F.expr(
+                "percentile(cast(ts as double), "
+                "array(cast(1.0/3 as double), cast(2.0/3 as double)))"
+            ).alias("b")
+        ).first()["b"]
+        ts_d = F.col("ts").cast("double")
+        chunks = [
+            ev.filter(ts_d <= bounds[0]),
+            ev.filter((ts_d > bounds[0]) & (ts_d <= bounds[1])),
+            ev.filter(ts_d > bounds[1]),
+        ]
+        for i, chunk in enumerate(chunks):  # sequential => ordered mod times
+            chunk.coalesce(1).write.parquet(
+                _os.path.join(src, "in", f"chunk-{i:03d}")
+            )
+        _STREAM_SESS_DIRS[key] = src
+    in_glob = _os.path.join(src, "in", "*")
+    schema = spark.read.parquet(in_glob).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_sessionize_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_glob)
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "event_id", "user_id", "ts_epoch_us", "session_start_us"
+    )
+
+
+_STREAM_SESSIONIZE_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+f AS (SELECT event_id, user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+      FROM f)
+SELECT event_id, user_id, us AS ts_epoch_us,
+       CAST(min(us) OVER (PARTITION BY user_id, grp) AS BIGINT) AS session_start_us
+FROM s
+"""
+
+
 _STREAM_DOC_DIRS: dict[tuple[int, str], str] = {}
 
 
@@ -3078,6 +3156,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ref_ingest_streaming": (ref_ingest_streaming, _REF_INGEST_COLL_SQL),
     "stream_user_totals": (stream_user_totals, _STREAM_USER_TOTALS_SQL),
     "stream_dedup_exact": (stream_dedup_exact, _STREAM_DEDUP_SQL),
+    "stream_sessionize_gap": (stream_sessionize_gap, _STREAM_SESSIONIZE_SQL),
     "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),

@@ -3,6 +3,7 @@
 from bulkfhirloader_spark.streaming.ingest import stream_bundles, stream_ingest_available_now
 from bulkfhirloader_spark.streaming.stateful import (
     running_user_totals,
+    stream_sessionize,
     stream_tumbling_counts,
     streaming_exact_dedup,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "stream_bundles",
     "stream_ingest_available_now",
     "running_user_totals",
+    "stream_sessionize",
     "stream_tumbling_counts",
     "streaming_exact_dedup",
 ]

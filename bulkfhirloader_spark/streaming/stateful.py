@@ -102,3 +102,90 @@ def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.select(F.sha2(F.col(text_col), 256).alias("content_sha"))
         .dropDuplicates(["content_sha"])
     )
+
+
+SESSIONIZE_SCHEMA = (
+    "event_id bigint, user_id bigint, ts_epoch_us bigint, session_start_us bigint"
+)
+_SESSIONIZE_STATE = "last_us bigint, session_start_us bigint"
+
+
+def stream_sessionize(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
+    """Streaming gap sessionization — the stateful-streaming twin of
+    operators.windows.sessionize: tag every event, as it arrives, with its
+    session's START timestamp (a stable session id; an ordinal would not
+    survive state expiry).
+
+    State per user is TWO numbers: (last event µs, current session start µs).
+    GroupStateTimeout.EventTimeTimeout expires idle users' state once the
+    watermark passes last_event + gap.  Dropping state is SEMANTICALLY SAFE
+    here, not just an approximation: the watermark delay is set to ``gap``,
+    so a timeout at watermark w implies last + gap < w, and any later event
+    for that user (necessarily at ts >= w - gap in an in-order stream, since
+    older rows are watermark-filtered) is > gap past the last one — it would
+    have opened a new session regardless.  So the state store is bounded by
+    the ACTIVE user set, and output equals the batch operator exactly on
+    per-user-in-order input (e.g. time-range-chunked files).
+
+    Per-batch work is numpy-vectorized over the Arrow group (diff → boundary
+    flags → cumsum → per-group first), not a Python per-row loop.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us, sess_start = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts_epoch_us", "event_id"])
+            us = pdf["ts_epoch_us"].to_numpy(dtype="int64")
+            is_new = np.empty(len(us), dtype=bool)
+            is_new[0] = last_us is None or us[0] - last_us > gap_us
+            if len(us) > 1:
+                is_new[1:] = (us[1:] - us[:-1]) > gap_us
+            grp = np.cumsum(is_new)  # 0 = continuing the carried session
+            group_firsts = us[is_new]
+            starts = np.where(
+                grp == 0,
+                sess_start if sess_start is not None else 0,
+                group_firsts[np.maximum(grp - 1, 0)],
+            )
+            last_us = int(us[-1])
+            sess_start = int(starts[-1])
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+                    "user_id": np.full(len(us), key[0], dtype="int64"),
+                    "ts_epoch_us": us,
+                    "session_start_us": starts.astype("int64"),
+                }
+            )
+        if last_us is not None:
+            state.update((last_us, sess_start))
+            # ms epoch; > current watermark because last_us is post-watermark
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    tagged = events.withWatermark("ts", f"{gap_seconds} seconds").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_epoch_us"),
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSIONIZE_SCHEMA,
+        stateStructType=_SESSIONIZE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -236,6 +236,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
 _PLAN_LINT_SKIP = {
     "stream_user_totals",       # executes a streaming query on invocation
     "stream_dedup_exact",
+    "stream_sessionize_gap",
     "ref_ingest_streaming",
 }
 

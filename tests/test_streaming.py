@@ -124,3 +124,72 @@ def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
     emitted = [r["content_sha"] for r in spark.table("t_stream_dedup").collect()]
     assert len(emitted) == 3  # alpha once, beta, gamma
     assert len(set(emitted)) == 3
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Drain the events table through a 3-chunk time-ordered stream and
+    compare per-event session tags against the batch sessionize operator.
+    Chunks are written SEQUENTIALLY by time range so the file source
+    replays them in event-time order (per-user order is what the parity
+    guarantee needs); state timeouts firing between chunks must not change
+    any assignment (the docstring's safety argument)."""
+    from pyspark.sql import Window
+
+    from bulkfhirloader_spark.operators import windows
+    from bulkfhirloader_spark.streaming import stream_sessionize
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    bounds = ev.select(
+        F.expr(
+            "percentile(cast(ts as double), array(cast(1.0/3 as double), cast(2.0/3 as double)))"
+        ).alias("b")
+    ).first()["b"]
+    chunks = [
+        ev.filter(F.col("ts").cast("double") <= bounds[0]),
+        ev.filter(
+            (F.col("ts").cast("double") > bounds[0])
+            & (F.col("ts").cast("double") <= bounds[1])
+        ),
+        ev.filter(F.col("ts").cast("double") > bounds[1]),
+    ]
+    for i, chunk in enumerate(chunks):  # sequential writes => ordered mod times
+        chunk.coalesce(1).write.parquet(str(in_dir / f"chunk-{i:03d}"))
+
+    gap = 1800
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=gap)
+        .writeStream.format("memory")
+        .queryName("sessionized")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["user_id"], r["ts_epoch_us"], r["session_start_us"])
+        for r in spark.sql("SELECT * FROM sessionized").collect()
+    }
+
+    batch = windows.sessionize(ev, gap_seconds=gap).withColumn(
+        "session_start_us",
+        F.min("ts_epoch_us").over(
+            Window.partitionBy("user_id", "session_seq")
+        ),
+    )
+    want = {
+        r["event_id"]: (r["user_id"], r["ts_epoch_us"], r["session_start_us"])
+        for r in batch.collect()
+    }
+    assert len(got) == len(want)
+    assert got == want
