@@ -2510,28 +2510,24 @@ FROM events GROUP BY 1
 """
 
 
-_STREAM_SESS_DIRS: dict[tuple[str, str], str] = {}
+_STREAM_SESS_DIRS: dict[tuple[str, str, tuple[str, ...]], str] = {}
 
 
-def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming gap sessionization (streaming.stateful.stream_sessionize)
-    as a driver-checked query: events are chunked into three TIME-ORDERED
-    files (sequential writes, so the file source replays them in event-time
-    order) and drained with availableNow + maxFilesPerTrigger=1, forcing
-    per-user session state to carry across micro-batches and event-time
-    timeouts to fire between them.  Per-event session tags must equal the
-    batch lag+running-sum restatement exactly — the operator's docstring
-    proves state expiry cannot change an assignment on in-order input."""
+def _ordered_event_chunks(
+    spark: SparkSession, sf_dir: str, cols: tuple[str, ...]
+) -> str:
+    """Materialize the events table as three TIME-ORDERED parquet chunks
+    (sequential writes => ordered file mod times, so the file stream source
+    replays them in event-time order) and return the read glob.  In-order
+    replay is what makes the stateful streaming queries' batch parity exact
+    — see stream_sessionize / stream_interval_join docstrings."""
     import os as _os
 
-    from bulkfhirloader_spark.streaming.stateful import stream_sessionize
-
-    global _STREAM_Q_SEQ
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, cols)
     src = _STREAM_SESS_DIRS.get(key)
     if src is None:
-        src = tempfile.mkdtemp(prefix="bfls_stream_sess_")
-        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        src = tempfile.mkdtemp(prefix="bfls_stream_ord_")
+        ev = load_table(spark, sf_dir, "events").select(*cols)
         bounds = ev.select(
             F.expr(
                 "percentile(cast(ts as double), "
@@ -2549,7 +2545,22 @@ def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _os.path.join(src, "in", f"chunk-{i:03d}")
             )
         _STREAM_SESS_DIRS[key] = src
-    in_glob = _os.path.join(src, "in", "*")
+    return _os.path.join(src, "in", "*")
+
+
+def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization (streaming.stateful.stream_sessionize)
+    as a driver-checked query: events are chunked into three TIME-ORDERED
+    files (sequential writes, so the file source replays them in event-time
+    order) and drained with availableNow + maxFilesPerTrigger=1, forcing
+    per-user session state to carry across micro-batches and event-time
+    timeouts to fire between them.  Per-event session tags must equal the
+    batch lag+running-sum restatement exactly — the operator's docstring
+    proves state expiry cannot change an assignment on in-order input."""
+    from bulkfhirloader_spark.streaming.stateful import stream_sessionize
+
+    global _STREAM_Q_SEQ
+    in_glob = _ordered_event_chunks(spark, sf_dir, ("event_id", "user_id", "ts"))
     schema = spark.read.parquet(in_glob).schema
     _STREAM_Q_SEQ += 1
     qname = f"bfls_sessionize_{_STREAM_Q_SEQ}"
@@ -2563,7 +2574,9 @@ def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
-        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=f"bfls_ckpt_{qname}_")
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -2585,6 +2598,83 @@ s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
 SELECT event_id, user_id, us AS ts_epoch_us,
        CAST(min(us) OVER (PARTITION BY user_id, grp) AS BIGINT) AS session_start_us
 FROM s
+"""
+
+
+def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming.joins) as a
+    driver-checked query: clicks and purchases are read as two streams from
+    the same time-ordered chunks and inner-joined on user within a 30-minute
+    lookback.  The pair SET is arrival-order-insensitive and — on in-order
+    replay — eviction-loss-free for any watermark delay (the operator
+    docstring's argument), so it must equal DuckDB's batch inequality join
+    exactly, while the watermark bounds both sides' state for the unbounded
+    case."""
+    from bulkfhirloader_spark.streaming.joins import stream_interval_join
+
+    global _STREAM_Q_SEQ
+    in_glob = _ordered_event_chunks(
+        spark, sf_dir, ("event_id", "user_id", "event_type", "ts")
+    )
+    schema = spark.read.parquet(in_glob).schema
+
+    def read_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_glob)
+        )
+
+    clicks = (
+        read_stream()
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        read_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id", lookback_seconds=1800
+    )
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_interval_join_{_STREAM_Q_SEQ}"
+    q = (
+        joined.select(
+            "event_id",
+            "p_event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_epoch_us"),
+            F.unix_micros("p_ts").alias("p_ts_epoch_us"),
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=f"bfls_ckpt_{qname}_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+p AS (SELECT event_id AS p_event_id, user_id, us AS p_us
+      FROM e WHERE event_type = 'purchase')
+SELECT c.event_id, p.p_event_id, c.user_id,
+       c.us AS ts_epoch_us, p.p_us AS p_ts_epoch_us
+FROM c JOIN p ON c.user_id = p.user_id
+     AND p.p_us >= c.us - CAST(1800 AS BIGINT) * 1000000
+     AND p.p_us <= c.us
 """
 
 
@@ -3157,6 +3247,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_user_totals": (stream_user_totals, _STREAM_USER_TOTALS_SQL),
     "stream_dedup_exact": (stream_dedup_exact, _STREAM_DEDUP_SQL),
     "stream_sessionize_gap": (stream_sessionize_gap, _STREAM_SESSIONIZE_SQL),
+    "stream_interval_join_clicks": (stream_interval_join_clicks, _STREAM_INTERVAL_JOIN_SQL),
     "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),

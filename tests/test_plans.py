@@ -237,6 +237,7 @@ _PLAN_LINT_SKIP = {
     "stream_user_totals",       # executes a streaming query on invocation
     "stream_dedup_exact",
     "stream_sessionize_gap",
+    "stream_interval_join_clicks",
     "ref_ingest_streaming",
 }
 

@@ -193,3 +193,86 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Clicks x purchases within 30 minutes, drained as two streams over
+    time-ordered chunks: the emitted pair set must equal the batch
+    inequality join exactly (inner interval joins are order-insensitive;
+    in-order replay makes them eviction-loss-free for any watermark)."""
+    from bulkfhirloader_spark.streaming import stream_interval_join
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    mid = ev.select(
+        F.expr("percentile(cast(ts as double), cast(0.5 as double))").alias("m")
+    ).first()["m"]
+    for i, chunk in enumerate(
+        [
+            ev.filter(F.col("ts").cast("double") <= mid),
+            ev.filter(F.col("ts").cast("double") > mid),
+        ]
+    ):
+        chunk.coalesce(1).write.parquet(str(in_dir / f"chunk-{i:03d}"))
+
+    schema = ev.schema
+
+    def read_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir / "*"))
+        )
+
+    clicks = (
+        read_stream()
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    purchases = (
+        read_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    q = (
+        stream_interval_join(clicks, purchases, lookback_seconds=1800)
+        .select("event_id", "p_event_id")
+        .writeStream.format("memory")
+        .queryName("interval_joined")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["p_event_id"])
+        for r in spark.sql("SELECT * FROM interval_joined").collect()
+    }
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    want = {
+        (r["event_id"], r["p_event_id"])
+        for r in c.join(
+            p,
+            (c["user_id"] == p["p_user_id"])
+            & (p["p_us"] >= c["us"] - 1800 * 1_000_000)
+            & (p["p_us"] <= c["us"]),
+        ).collect()
+    }
+    assert want, "fixture must produce at least one pair"
+    assert got == want
