@@ -39,7 +39,9 @@ from bulkfhirloader_spark.functions.scalars import (
 )
 from bulkfhirloader_spark.schemas import (
     BUNDLE_SCHEMA,
+    BUNDLE_SCHEMA_PERMISSIVE,
     CONDITION_DIM_SCHEMA,
+    CORRUPT_RECORD_COL,
     COUSUB_DIM_SCHEMA,
 )
 
@@ -95,19 +97,32 @@ def bundle_id_column(scan_root: str) -> Column:
     return F.regexp_replace(rel, r"\.json$", "")
 
 
-def read_bundles(spark: SparkSession, path: str) -> DataFrame:
+def read_bundles(
+    spark: SparkSession, path: str, capture_corrupt: bool = False
+) -> DataFrame:
     """S1+S2 (main.go:111, main.go:211-228, main.go:241-255): recursive
     directory walk with a `.json` suffix filter, whole-file JSON parse with
     the explicit bundle schema.  One file = one bundle; bundle_id is the
     file's scan-root-relative path (stable, unique within a load, mirrors
-    the reference's one-goroutine-per-file unit of work)."""
-    df = (
+    the reference's one-goroutine-per-file unit of work).
+
+    With ``capture_corrupt`` the read runs PERMISSIVE with a
+    ``_corrupt_record`` column: a malformed file becomes one row carrying
+    its raw text instead of an indistinguishable all-null bundle.  The
+    reference silently discards the parse error (main.go:255 ignores
+    json.Unmarshal's return), leaving no trace of bad inputs."""
+    reader = (
         spark.read.option("multiLine", "true")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.json")
-        .schema(BUNDLE_SCHEMA)
-        .json(path)
     )
+    if capture_corrupt:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", CORRUPT_RECORD_COL
+        )
+        df = reader.schema(BUNDLE_SCHEMA_PERMISSIVE).json(path)
+    else:
+        df = reader.schema(BUNDLE_SCHEMA).json(path)
     return df.withColumn("bundle_id", bundle_id_column(path))
 
 
@@ -402,28 +417,51 @@ def run_pipeline(
 
     Single-pass like the reference (main.go:103 counts while loading):
     - A5 is an `observe` metric on the bundle scan, so the count rides the
-      resources-write job instead of re-scanning the input (multiLine JSON
+      quarantine-write job instead of re-scanning the input (multiLine JSON
       has no fast count path — a separate .count() re-parses every file).
-    - `entries` is persisted DISK_ONLY between the two sinks: parse the
-      JSON once, serve both the resources write and the rawstat derivation
-      from the columnar cached form.  At 100 TB that halves the expensive
-      parse work; blocks that don't fit local disk fall back to recompute,
-      so this degrades gracefully rather than OOMing.
+    - `bundles` is persisted DISK_ONLY: parse the JSON once, then serve the
+      corrupt-file quarantine, the resources write, and the rawstat
+      derivation from the columnar cached form (the downstream explode /
+      rewrite steps are pure projections — cheap to recompute per sink; the
+      JSON parse is the expensive part).  Blocks that don't fit local disk
+      fall back to recompute, so this degrades gracefully rather than
+      OOMing.
+    - Malformed bundle files are captured, not crashed-on and not silently
+      emptied (the reference drops the Unmarshal error, main.go:255):
+      their raw text lands in ``out_dir/quarantine`` keyed by bundle_id —
+      the re-fetch list an operator actually needs — and they are excluded
+      from every downstream count and fact.
     """
     obs = Observation("a5_record_counter")
-    bundles = read_bundles(spark, bundles_path).observe(
-        obs, F.count(F.lit(1)).alias("bundles")
+    corrupt_flag = F.col(CORRUPT_RECORD_COL).isNotNull()
+    bundles = (
+        read_bundles(spark, bundles_path, capture_corrupt=True)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("bundles"),
+            F.sum(corrupt_flag.cast("long")).alias("corrupt"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
     )
-    entries = rewrite_references(assign_ids(explode_entries(bundles)))
-    cousub = load_cousub_dim(spark, cousub_dim_path)
-    conddim = load_condition_dim(spark, condition_dim_path)
-
-    entries = entries.persist(StorageLevel.DISK_ONLY)
     try:
+        bundles.filter(corrupt_flag).select(
+            "bundle_id", F.col(CORRUPT_RECORD_COL).alias("raw_text")
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "quarantine"))
+        counts = obs.get  # first action done — metrics available
+        good = bundles.filter(~corrupt_flag).drop(CORRUPT_RECORD_COL)
+        entries = rewrite_references(assign_ids(explode_entries(good)))
+        cousub = load_cousub_dim(spark, cousub_dim_path)
+        conddim = load_condition_dim(spark, condition_dim_path)
         rawstat = derive_rawstat(entries, cousub, conddim, as_of)
         write_resources(entries, os.path.join(out_dir, "resources"))
-        n_bundles = int(obs.get["bundles"])  # A5 (main.go:103, main.go:285)
         write_rawstat(rawstat, os.path.join(out_dir, "rawstat"))
     finally:
-        entries.unpersist()
-    return {"bundles": n_bundles, "out_dir": out_dir}
+        bundles.unpersist()
+    n_corrupt = int(counts["corrupt"] or 0)
+    # A5 (main.go:103, main.go:285) counts loaded bundles; corrupt files
+    # are reported separately, not inside the loaded count.
+    return {
+        "bundles": int(counts["bundles"]) - n_corrupt,
+        "corrupt_bundles": n_corrupt,
+        "out_dir": out_dir,
+    }

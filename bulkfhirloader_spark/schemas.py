@@ -90,6 +90,17 @@ BUNDLE_SCHEMA = T.StructType(
     ]
 )
 
+# PERMISSIVE-mode variant: a malformed bundle file parses to one row with
+# the raw text captured here instead of failing the job or vanishing.  The
+# reference DROPS the json.Unmarshal error entirely (main.go:255: return
+# value ignored), so a corrupt file silently becomes an empty bundle with
+# no trace; at 100 TB the operator needs the bad-file list (which files,
+# what bytes) to re-fetch them — that's the quarantine output.
+CORRUPT_RECORD_COL = "_corrupt_record"
+BUNDLE_SCHEMA_PERMISSIVE = BUNDLE_SCHEMA.add(
+    T.StructField(CORRUPT_RECORD_COL, T.StringType())
+)
+
 # ---------------------------------------------------------------------------
 # Dimension tables (main.go:137-202)
 # ---------------------------------------------------------------------------

@@ -357,3 +357,52 @@ def test_streaming_ingest_available_now(ingest_env, spark):
     # exactly-once property the reference lacks)
     stream_ingest_available_now(spark, bundles, out)
     assert spark.read.parquet(out + "/resources").count() == first
+
+
+def test_corrupt_bundle_quarantine(spark, tmp_path):
+    """A malformed .json file must not fail the load OR silently become an
+    empty bundle (the reference ignores the Unmarshal error, main.go:255):
+    it lands in out/quarantine with its raw text, is excluded from the A5
+    count and from every sink, and the good bundles are unaffected."""
+    bdir = tmp_path / "bundles"
+    bdir.mkdir()
+    good = {
+        "resourceType": "Bundle",
+        "type": "transaction",
+        "entry": [
+            {"fullUrl": "urn:uuid:p1",
+             "resource": {"resourceType": "Patient", "id": "x",
+                          "gender": "male", "birthDate": "1980-01-01"}},
+        ],
+    }
+    (bdir / "good.json").write_text(json.dumps(good))
+    (bdir / "bad.json").write_text('{"resourceType": "Bundle", "entry": [')
+    cousub = spark.createDataFrame(
+        [("Boston", "025", "07000")],
+        "cs_name string, ct_fips string, cs_fips string",
+    )
+    conddim = spark.createDataFrame(
+        [(101, 11, "Diabetes", SNOMED, "44054006")],
+        "condition_id int, disease_id int, condition_name string, "
+        "code_system string, code string",
+    )
+    cousub.write.parquet(str(tmp_path / "cousub"))
+    conddim.write.parquet(str(tmp_path / "conddim"))
+
+    out = ing.run_pipeline(
+        spark,
+        str(bdir),
+        str(tmp_path / "cousub"),
+        str(tmp_path / "conddim"),
+        str(tmp_path / "out"),
+        as_of=F.lit("2020-01-01").cast("date"),
+    )
+    assert out["bundles"] == 1
+    assert out["corrupt_bundles"] == 1
+    quarantined = spark.read.parquet(str(tmp_path / "out" / "quarantine")).collect()
+    assert [r["bundle_id"] for r in quarantined] == ["bad"]
+    assert quarantined[0]["raw_text"].startswith('{"resourceType"')
+    # the bad file reached no sink
+    rawstat = spark.read.parquet(str(tmp_path / "out" / "rawstat"))
+    assert [r["id"] for r in rawstat.select("id").collect()] != []
+    assert rawstat.filter(F.col("bundle_id") == "bad").count() == 0
