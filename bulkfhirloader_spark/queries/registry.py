@@ -2294,6 +2294,35 @@ def ext_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi join (skew.salted_join): lineitem⋈orders with the
+    fact side salted 16 ways and the dim side replicated per salt — a hot
+    orderkey spreads over 16 reducers instead of one straggler.  Must equal
+    the plain join exactly (each matching pair meets exactly once); oracle
+    is the unsalted SQL join."""
+    from bulkfhirloader_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = skew.salted_join(li, orders, on="okey", num_salts=16)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty_sum"),
+    )
+
+
+_EXT_SALTED_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 def ext_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (SURVEY §2.5 'sort-agg' family):
     Spark percentile == DuckDB quantile_cont (both use the (n-1)*p linear
@@ -2966,6 +2995,40 @@ FROM k
 """
 
 
+_JSONL_DIRS: dict[tuple[str, str], str] = {}
+
+
+def src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus round-trip (sources.corpus): the documents table is
+    written as 4 JSON-Lines shards (the format LLM corpora actually ship
+    as — line-splittable, explicit schema) and read back; every field and
+    the full text (by sha) must survive the encode/decode exactly.  Oracle
+    reads the ORIGINAL parquet — the comparison proves round-trip
+    fidelity, not just self-consistency."""
+    from bulkfhirloader_spark.sources import corpus
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _JSONL_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bfls_jsonl_") + "/docs"
+        docs = load_table(spark, sf_dir, "documents")
+        corpus.write_jsonl(docs, path, num_shards=4)
+        _JSONL_DIRS[key] = path
+    back = corpus.read_jsonl(spark, path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+_SRC_JSONL_SQL = """
+SELECT doc_id, lang, source, n_chars, sha256(text) AS text_sha FROM documents
+"""
+
+
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction exercised on planted PII: a deterministic email and
     phone string derived from doc_id is appended to every document, then
@@ -3313,6 +3376,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_distinct_users_exact": (ext_distinct_users_exact, _EXT_DISTINCT_SQL),
     "ext_approx_distinct_users": (ext_approx_distinct_users, None),
     "ext_salted_distinct_users": (ext_salted_distinct_users, _EXT_DISTINCT_SQL),
+    "ext_salted_join_orders": (ext_salted_join_orders, _EXT_SALTED_JOIN_SQL),
     "ext_asof_join_events": (ext_asof_join_events, _EXT_ASOF_SQL),
     "ext_range_join_counts": (ext_range_join_counts, _EXT_RANGE_JOIN_SQL),
     "ext_value_percentiles": (ext_value_percentiles, _EXT_PERCENTILES_SQL),
@@ -3328,6 +3392,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_stratified_sample": (cur_stratified_sample, _CUR_STRAT_SQL),
     "cur_incremental_merge": (cur_incremental_merge, _CUR_MERGE_SQL),
     "cur_zorder_layout": (cur_zorder_layout, _CUR_ZORDER_SQL),
+    "src_jsonl_documents": (src_jsonl_documents, _SRC_JSONL_SQL),
     "text_redact_pii": (text_redact_pii, _TEXT_REDACT_SQL),
     # multimodal
     "mm_payload_stats": (mm_payload_stats, _MM_PAYLOAD_SQL),

@@ -24,6 +24,7 @@ GROUPS = [
     ("Extension — similarity search & embeddings", "sim_", "emb_"),
     ("Extension — event-time windows & events", "win_", "events_"),
     ("Extension — corpus curation", "cur_"),
+    ("Extension — corpus sources (JSONL interchange)", "src_"),
     ("Extension — multimodal columns", "mm_"),
     ("Extension — structured streaming", "stream_"),
 ]

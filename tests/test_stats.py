@@ -66,3 +66,39 @@ def test_population_facts_binned(rawstat):
     by = _by_key(rows, "cs_fips", "age_id")
     assert by[("00100", 6)]["pop"] == 1
     assert by[("", 2)]["pop"] == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Every matching pair must meet exactly once (left salt is a single
+    value; right exists under all salts), including duplicate keys on both
+    sides; left-outer keeps unmatched left rows; right/outer is refused."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import skew
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "zz")], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (2, "Z")], "k long, rv string"
+    )
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in skew.salted_join(left, right, on="k", num_salts=8).collect()
+    )
+    want = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()
+    )
+    assert got == want
+
+    got_left = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in skew.salted_join(left, right, on="k", num_salts=8, how="left").collect()
+    )
+    want_left = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k", "left").collect()
+    )
+    assert got_left == want_left
+
+    with _pytest.raises(ValueError):
+        skew.salted_join(left, right, on="k", how="right")
