@@ -334,3 +334,49 @@ def morton_key(a: Column, b: Column, bits: int = 10) -> Column:
             F.shiftleft(b_bit, 2 * i + 1)
         )
     return z
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows — the step between
+    curation and shard packing when documents exceed the training sequence
+    length.  ``stride`` < ``chunk_tokens`` gives overlapping windows
+    (context preserved across boundaries); default is non-overlapping.
+
+    One row per (doc, chunk): ``chunk_idx``, the space-rejoined
+    ``chunk_text``, and ``n_chunk_tokens`` (== chunk_tokens except the
+    final remainder).  Zero shuffle — tokenize, build the start-offset
+    sequence, posexplode the window slices; all inside whole-stage codegen.
+    Deterministic, so chunks are stable across re-curations (chunk ids can
+    key downstream caches).
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # start offsets 0, stride, 2*stride, ... < n  (no chunks for empty docs)
+    n_starts = F.when(n > 0, F.ceil(n / F.lit(stride)).cast("int")).otherwise(0)
+    starts = F.sequence(F.lit(0), F.greatest(n_starts - 1, F.lit(0)))
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            starts,
+            lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_toks")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
+        F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
+    )

@@ -385,32 +385,47 @@ def classify_nearest_centroid(
     topic-bucketing step of a training-data pipeline (quality tiers, domain
     routing) once per-class centroids exist.
 
-    Scale shape: ``centroids`` is tiny (one row per class) and is BROADCAST
-    under a cross join — the corpus itself never shuffles for scoring.  The
-    argmax is ``max(struct(score, -c_label))`` under ``groupBy(id_cols)``:
-    partial aggregation collapses the n_classes-way fan-out back to one row
-    per vector map-side, so the only exchange carries one tiny row per
-    input vector.  Ties (after ``round_dp`` rounding) break to the SMALLEST
-    label — deterministic and restatable as a ``row_number`` oracle.
+    Scale shape: the class centroids (with their norms precomputed ONCE)
+    collapse into a single array row that broadcasts under a cross join, and
+    the argmax is ``array_max`` over per-class ``struct(score, -label)`` —
+    corpus scoring is a PURE PROJECTION: zero shuffles, zero aggregates on
+    the corpus path (the groupBy-struct-max alternative plans SortAggregate
+    + a full-corpus exchange).  Each row's own norm is a hoisted sibling
+    column, so the per-pair work is one dot product + one multiply.  Ties
+    (after ``round_dp`` rounding) break to the SMALLEST label —
+    deterministic and restatable as a ``row_number`` oracle.
     """
-    scored = (
-        emb.select(*id_cols, F.col(vec_col).cast("array<double>").alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            *id_cols,
+    cents_row = centroids.select(
+        F.struct(
             F.col("c_label"),
-            F.round(cosine(F.col("_v"), F.col("centroid")), round_dp).alias("score"),
+            F.col("centroid"),
+            l2_norm(F.col("centroid")).alias("c_norm"),
+        ).alias("_c")
+    ).agg(F.collect_list("_c").alias("_cents"))
+    with_norm = emb.select(
+        *id_cols,
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_vn", l2_norm(F.col("_v")))
+    best = F.array_max(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                F.round(
+                    cosine_with_norms(
+                        F.col("_v"), c["centroid"], F.col("_vn"), c["c_norm"]
+                    ),
+                    round_dp,
+                ).alias("score"),
+                (-c["c_label"]).alias("neg_label"),
+            ),
         )
     )
-    best = scored.groupBy(*id_cols).agg(
-        F.max(
-            F.struct(
-                F.col("score"), (-F.col("c_label")).alias("neg_label")
-            )
-        ).alias("m")
-    )
-    return best.select(
-        *id_cols,
-        (-F.col("m.neg_label")).alias("predicted_label"),
-        F.col("m.score").alias("score"),
+    return (
+        with_norm.crossJoin(F.broadcast(cents_row))
+        .withColumn("_m", best)
+        .select(
+            *id_cols,
+            (-F.col("_m.neg_label")).alias("predicted_label"),
+            F.col("_m.score").alias("score"),
+        )
     )

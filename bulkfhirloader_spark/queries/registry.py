@@ -2995,6 +2995,28 @@ FROM k
 """
 
 
+def cur_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length chunking (curation.chunk_documents): 64-token
+    windows at stride 48 (16-token overlap) — the doc→training-window step
+    before shard packing.  Zero-shuffle posexplode of window slices;
+    oracle restates it with DuckDB list_slice over the same offsets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+_CUR_CHUNK_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+s AS (SELECT doc_id, toks,
+             unnest(range(CAST(ceil(n / 48.0) AS BIGINT))) AS ci
+      FROM c WHERE n > 0)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, ci * 48 + 1, ci * 48 + 64)) AS BIGINT) AS n_chunk_tokens
+FROM s
+"""
+
+
 _JSONL_DIRS: dict[tuple[str, str], str] = {}
 
 
@@ -3392,6 +3414,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_stratified_sample": (cur_stratified_sample, _CUR_STRAT_SQL),
     "cur_incremental_merge": (cur_incremental_merge, _CUR_MERGE_SQL),
     "cur_zorder_layout": (cur_zorder_layout, _CUR_ZORDER_SQL),
+    "cur_chunk_documents": (cur_chunk_documents, _CUR_CHUNK_SQL),
     "src_jsonl_documents": (src_jsonl_documents, _SRC_JSONL_SQL),
     "text_redact_pii": (text_redact_pii, _TEXT_REDACT_SQL),
     # multimodal

@@ -328,3 +328,35 @@ def test_jsonl_roundtrip_preserves_text(spark, tmp_path):
     back = corpus.read_jsonl(spark, str(tmp_path / "out"))
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == {r[0]: r[1] for r in rows}
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    """10 tokens at W=6/S=4: chunks [t0..t5], [t4..t9], [t8..t9]; empty
+    doc yields no chunks; invalid stride raises."""
+    toks = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, toks), (2, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in curation.chunk_documents(docs, chunk_tokens=6, stride=4).collect()
+    )
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3 t4 t5", 6),
+        (1, 1, "t4 t5 t6 t7 t8 t9", 6),
+        (1, 2, "t8 t9", 2),
+    ]
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        curation.chunk_documents(docs, chunk_tokens=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -257,3 +257,34 @@ def test_no_cartesian_or_nested_loop_in_any_registered_query(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _PLAN_LINT_ALLOW_NESTED_LOOP:
             bad[name] = "BroadcastNestedLoopJoin"
     assert not bad, f"degenerate join plans: {bad}"
+
+
+def test_knn_classify_corpus_path_is_projection(spark):
+    """Nearest-centroid scoring must be a pure projection over the corpus:
+    the centroid table collapses to one broadcast array row and the argmax
+    is array_max — no aggregate and no exchange keyed by the vector id
+    (the groupBy-struct-max formulation plans SortAggregate + a full-corpus
+    shuffle)."""
+    fn, _ = registry.REGISTRY["emb_knn_classify"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "SortAggregate" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_salted_join_plans_equi_on_salt(spark):
+    """The salted join must stay an EQUI hash join on (key, salt) with the
+    replicated side broadcast/exploded — never a nested loop."""
+    fn, _ = registry.REGISTRY["ext_salted_join_orders"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin [okey" in plan and "_salt" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_stratified_sample_and_zorder_are_single_stage(spark):
+    """Both curation layout ops are zero-shuffle codegen projections with
+    column pruning reaching the scan."""
+    for name in ("cur_stratified_sample", "cur_zorder_layout"):
+        fn, _ = registry.REGISTRY[name]
+        plan = _plan(fn(spark, SF_DIR))
+        assert "Exchange" not in plan, name
+        assert "WholeStageCodegen" in plan or "*(1)" in plan, name
