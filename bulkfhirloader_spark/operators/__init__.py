@@ -3,6 +3,7 @@ from bulkfhirloader_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    profile,
     similarity,
     skew,
     stats,

@@ -314,6 +314,56 @@ def incremental_merge(
     return survivors.unionByName(updates)
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based stratum rebalancing: downsample each stratum g with
+    keep-rate ``(n_min / n_g) ** (1 - alpha)`` so the surviving corpus
+    composition follows ``p_g ∝ n_g ** alpha`` — the multilingual mixing
+    rule of mC4 / XLM-R (alpha=1 keeps the natural distribution, alpha=0
+    flattens every stratum to the smallest one's size).  The smallest
+    stratum is always kept whole; larger ones shed rows deterministically.
+
+    Unlike ``stratified_sample`` the rates are DERIVED FROM THE DATA (one
+    tiny count aggregate), not supplied — this is the knob you turn when the
+    crawl's language mix must not drown low-resource languages.
+
+    Determinism/reproducibility: membership is a ``split_bucket`` hash test
+    against a per-stratum threshold, so a row's fate never changes under
+    re-runs, repartitioning, or appends that keep its stratum's count.  For
+    ``alpha=0.5`` the threshold is ``floor(1e6 * sqrt(n_min/n_g))`` — sqrt,
+    divide, and multiply are all IEEE-exactly-rounded, so the threshold is
+    bit-identical across engines and the output is oracle-checkable; other
+    alphas go through ``pow`` whose last ulp may differ between libms.
+
+    Scale shape: one tiny (stratum, count) aggregate → min over a handful of
+    rows → BROADCAST threshold join → filter.  The corpus itself never
+    shuffles; at 100 TB the only exchange carries one row per stratum.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"need 0 <= alpha <= 1, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # global min via an unpartitioned window over the TINY counts table
+    # (one row per stratum) — stays an equi-plan, no nested-loop join
+    n_min = F.min("_n").over(Window.partitionBy())
+    ratio = n_min / F.col("_n")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    thresholds = counts.select(
+        strata_col,
+        F.floor(F.lit(1_000_000.0) * rate).alias("keep_threshold"),
+    )
+    bucket = split_bucket(F.col(id_col), n_buckets=1_000_000)
+    return (
+        df.select(id_col, strata_col, bucket.alias("sample_bucket"))
+        .join(F.broadcast(thresholds), on=strata_col)
+        .where(F.col("sample_bucket") < F.col("keep_threshold"))
+        .select(id_col, strata_col, "sample_bucket", "keep_threshold")
+    )
+
+
 def morton_key(a: Column, b: Column, bits: int = 10) -> Column:
     """Z-order (Morton) key: bit-interleave two bucketized dimensions so that
     sorting / range-partitioning by the key co-locates rows that are close in

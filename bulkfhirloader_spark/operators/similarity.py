@@ -126,6 +126,51 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def sign_matrix(in_dim: int, out_dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 sign matrix (driver-side, tiny) for random-sign
+    (Achlioptas-style) Johnson–Lindenstrauss projection."""
+    rows = []
+    state = seed
+    for _ in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (state >> 62) & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    emb: DataFrame,
+    signs: list[list[float]],
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id",),
+    scale: bool = True,
+) -> DataFrame:
+    """Random-sign Johnson–Lindenstrauss projection: map each d-dim vector
+    to ``len(signs)`` dims via ``p_k = dot(vec, signs[k]) / sqrt(k_out)``.
+    The cheap dimensionality-reduction step before LSH bucketing or coarse
+    clustering when d is large — distances are preserved within (1±ε) at
+    k_out = O(log n / ε²), and a sign matrix needs no multiply hardware.
+
+    Scale shape: the matrix is a driver-side LITERAL spliced into the
+    expression (no broadcast join, nothing to ship per-task beyond the
+    closure) and the projection is a PURE zero-shuffle codegen projection
+    over the corpus.  Determinism: each output is a left-to-right double
+    fold; sign flips and the final ``/ sqrt(k_out)`` are IEEE-exactly-
+    rounded, so outputs are bit-identical across engines (oracle-checked).
+    """
+    k_out = len(signs)
+    if k_out == 0 or not signs[0]:
+        raise ValueError("signs must be a non-empty matrix")
+    vec = F.col(vec_col)
+    comps = [dot(vec, F.array(*[F.lit(v) for v in row])) for row in signs]
+    if scale:
+        denom = F.sqrt(F.lit(float(k_out)))
+        comps = [c / denom for c in comps]
+    return emb.select(*id_cols, F.array(*comps).alias("projection"))
+
+
 def l2_normalize(vec: Column, norm: Column) -> Column:
     """Unit-normalize an array vector in double precision (cosine on
     normalized vectors == dot product; IVF's Euclidean KMeans then orders

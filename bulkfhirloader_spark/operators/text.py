@@ -254,3 +254,54 @@ def vocab_pair_counts(
     pairs = docs.select(F.explode(ngram_array(toks, 2)).alias("pair"))
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_count"))
     return counts.orderBy(F.desc("pair_count"), "pair").limit(top_k)
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    max_postings: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build a term → posting-list index: one row per distinct term with its
+    TRUE document frequency and the first ``max_postings`` doc ids (sorted)
+    serialized as a CSV string — the retrieval-side structure a dedup or
+    contamination audit drills into ("which documents contain this
+    benchmark phrase?").
+
+    Scale shape: per-doc term dedup happens MAP-SIDE via ``array_distinct``
+    (no global distinct shuffle — (term, doc) is already unique once deduped
+    within each doc), then ONE exchange on term feeds both the posting
+    ranking and the aggregate: ``row_number`` per term ranks doc ids, the
+    groupBy reuses the window's partitioning (no second exchange), df is
+    ``max(rn)`` (true frequency, not capped), and only ranks <=
+    ``max_postings`` enter the collected list — the stop-term posting list
+    is BOUNDED, never materialized whole, which is what keeps zipfian heads
+    from blowing executor memory at 100 TB.  Postings are CSV so results
+    stay driver-hashable (array columns are not).
+    """
+    if min_df < 1 or max_postings < 1:
+        raise ValueError("min_df and max_postings must be >= 1")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    )
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("_doc"))
+    ranked = tok.withColumn("_rn", rn)
+    idx = ranked.groupBy("term").agg(
+        F.max("_rn").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_postings, F.col("_doc"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return idx.where(F.col("df") >= min_df) if min_df > 1 else idx

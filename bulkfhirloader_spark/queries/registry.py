@@ -46,6 +46,7 @@ from bulkfhirloader_spark.operators import (
     dedup,
     joins,
     multimodal,
+    profile,
     similarity,
     stats,
     text,
@@ -3017,6 +3018,134 @@ FROM s
 """
 
 
+def cur_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (curation.temperature_sample,
+    alpha=0.5): per-lang keep-rate sqrt(n_min/n_lang), so the surviving mix
+    follows p_lang ∝ n_lang^0.5 (mC4/XLM-R's multilingual sampling rule) —
+    the smallest language is kept whole, dominant ones shed rows by a
+    deterministic hash test.  Corpus never shuffles: one tiny count agg +
+    broadcast threshold join.  sqrt/divide/floor are IEEE-exactly-rounded,
+    so the thresholds (and the sample) are bit-identical in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.temperature_sample(docs, alpha=0.5, strata_col="lang")
+
+
+_CUR_TEMP_SQL = """
+WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS n_min FROM c),
+r AS (SELECT lang, CAST(floor(1000000.0 * sqrt(n_min / n)) AS BIGINT) AS keep_threshold
+      FROM c, m),
+b AS (SELECT doc_id, lang,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 % 1000000 AS sample_bucket
+      FROM documents)
+SELECT b.doc_id, b.lang, b.sample_bucket, r.keep_threshold
+FROM b JOIN r USING (lang)
+WHERE b.sample_bucket < r.keep_threshold
+"""
+
+
+def ext_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (profile.profile_table): per-column null
+    count and exact cardinality over five orders columns — the data-quality
+    triage scan.  ONE aggregate (Expand-planned multi-distinct) then a
+    driver-free posexplode unpivot; the approx variant (HLL++) drops the
+    Expand for the 100 TB default."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profile.profile_table(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
+_EXT_PROFILE_SQL = """
+WITH s AS (
+  SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+         count(DISTINCT o_orderdate) FROM orders
+)
+SELECT * FROM s
+"""
+
+
+_JL_SIGNS = similarity.sign_matrix(64, 8)
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-sign JL projection (similarity.random_projection): 64-dim
+    embeddings down to 8 dims via a deterministic ±1 matrix, scaled by
+    1/sqrt(8) — the cheap dim-reduction step before LSH/clustering.  Pure
+    zero-shuffle codegen projection; the matrix is a driver-side literal.
+    Left-fold double sums + IEEE-exact scaling make it bit-identical to the
+    DuckDB restatement (same explicit left-assoc term chain)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.random_projection(emb, _JL_SIGNS)
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col("projection")[k], 6).alias(f"p{k}") for k in range(8)],
+    )
+
+
+def _jl_oracle_sql() -> str:
+    # DuckDB types `1.0` literals as DECIMAL and FLOAT*DECIMAL stays single
+    # precision — cast elements to DOUBLE once so every term is a double
+    # multiply, matching Spark's cast-then-fold exactly.
+    cols = []
+    for k, row in enumerate(_JL_SIGNS):
+        terms = " + ".join(
+            f"e[{j + 1}] * CAST({s:.1f} AS DOUBLE)" for j, s in enumerate(row)
+        )
+        cols.append(f"round(({terms}) / sqrt(8.0), 6) AS p{k}")
+    return (
+        "WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        "FROM embeddings) SELECT vec_id, " + ", ".join(cols) + " FROM t"
+    )
+
+
+_EMB_JL_SQL = _jl_oracle_sql()
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → posting-list index (text.inverted_index): true df + first 16
+    sorted doc ids per term, terms with df >= 5.  Map-side per-doc term
+    dedup (array_distinct, no global distinct shuffle), ONE term exchange
+    shared by the posting ranking and the aggregate, and a BOUNDED posting
+    list (rank filter before collect) so zipfian stop-term heads can't blow
+    memory at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(docs, min_df=5, max_postings=16)
+
+
+_TEXT_INVIDX_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tok
+)
+SELECT term,
+       CAST(max(rn) AS INT) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id) FILTER (rn <= 16), ',') AS postings
+FROM r
+GROUP BY term
+HAVING max(rn) >= 5
+"""
+
+
 _JSONL_DIRS: dict[tuple[str, str], str] = {}
 
 
@@ -3415,6 +3544,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_incremental_merge": (cur_incremental_merge, _CUR_MERGE_SQL),
     "cur_zorder_layout": (cur_zorder_layout, _CUR_ZORDER_SQL),
     "cur_chunk_documents": (cur_chunk_documents, _CUR_CHUNK_SQL),
+    "cur_temperature_sample": (cur_temperature_sample, _CUR_TEMP_SQL),
+    "ext_profile_orders": (ext_profile_orders, _EXT_PROFILE_SQL),
+    "emb_random_projection": (emb_random_projection, _EMB_JL_SQL),
+    "text_inverted_index": (text_inverted_index, _TEXT_INVIDX_SQL),
     "src_jsonl_documents": (src_jsonl_documents, _SRC_JSONL_SQL),
     "text_redact_pii": (text_redact_pii, _TEXT_REDACT_SQL),
     # multimodal

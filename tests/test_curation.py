@@ -360,3 +360,39 @@ def test_chunk_documents_zero_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_sample_rates_and_composition(spark):
+    """3 strata with counts 4/16/64 at alpha=0.5: thresholds are
+    1e6*sqrt(4/n) -> smallest kept whole (1e6), 16 -> 500000, 64 -> 250000;
+    every surviving row passes its own stratum's bucket test; alpha=1 keeps
+    everything; invalid alpha raises."""
+    rows = [(i, "a" if i < 4 else ("b" if i < 20 else "c")) for i in range(84)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.temperature_sample(df, alpha=0.5, strata_col="lang")
+    got = out.collect()
+    thr = {r["lang"]: r["keep_threshold"] for r in got}
+    assert thr["a"] == 1_000_000 and thr["b"] == 500_000 and thr["c"] == 250_000
+    assert all(r["sample_bucket"] < r["keep_threshold"] for r in got)
+    langs = {r["lang"] for r in got}
+    assert "a" in langs  # smallest stratum survives in full
+    assert sum(1 for r in got if r["lang"] == "a") == 4
+    assert curation.temperature_sample(df, alpha=1.0).count() == 84
+    with pytest.raises(ValueError):
+        curation.temperature_sample(df, alpha=1.5)
+
+
+def test_temperature_sample_corpus_side_never_shuffles(spark):
+    """The only exchange aggregates (stratum, count); the corpus path is a
+    broadcast join + filter. Assert no hashpartitioning on the doc id."""
+    docs = spark.createDataFrame(
+        [(i, "x" if i % 3 else "y") for i in range(30)], "doc_id long, lang string"
+    )
+    plan = (
+        curation.temperature_sample(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan

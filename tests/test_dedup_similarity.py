@@ -364,3 +364,44 @@ def test_classify_nearest_centroid_tie_breaks_to_smallest_label(spark):
     cents = similarity.label_centroids(emb, round_dp=6)
     out = similarity.classify_nearest_centroid(emb, cents).collect()
     assert all(r["predicted_label"] == 3 for r in out)
+
+
+def test_random_projection_preserves_relative_distance(spark):
+    """JL with a k=32 sign matrix: a vector pair that is far apart in the
+    original 16-d space stays farther apart (in expectation, and with this
+    fixed seed, concretely) than a near-identical pair; output dim and
+    scaling are as declared; empty matrix raises."""
+    import math
+
+    a = [1.0] * 16
+    b = [1.0] * 15 + [0.9]          # near-dup of a
+    c = [-1.0] * 16                 # far from a
+    emb = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "vec_id long, embedding array<double>"
+    )
+    signs = similarity.sign_matrix(16, 32)
+    got = {
+        r["vec_id"]: r["projection"]
+        for r in similarity.random_projection(emb, signs).collect()
+    }
+    assert all(len(v) == 32 for v in got.values())
+    d_ab = math.dist(got[1], got[2])
+    d_ac = math.dist(got[1], got[3])
+    assert d_ab < d_ac
+    # scaled projection of a ±1 vector has per-component magnitude <= sqrt(16)/sqrt(32)*16... bound loosely
+    with pytest.raises(ValueError):
+        similarity.random_projection(emb, [])
+
+
+def test_random_projection_zero_shuffle_plan(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        similarity.random_projection(emb, similarity.sign_matrix(2, 4))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -255,3 +255,42 @@ def test_sessionize_single_exchange(spark):
         windows.sessionize(ev)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_inverted_index_df_true_and_postings_capped(spark):
+    """'x' appears in docs 1,2,3,10 (df=4) but postings are capped at 2 and
+    numerically sorted (1,2 — not lexicographic); within-doc repeats don't
+    inflate df; min_df filters; bad args raise."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y"),
+            (2, "x"),
+            (3, "x z"),
+            (10, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in text.inverted_index(docs, max_postings=2).collect()
+    }
+    assert got["x"] == (4, "1,2")
+    assert got["y"] == (1, "1")
+    assert got["z"] == (1, "3")
+    only = text.inverted_index(docs, min_df=4).collect()
+    assert [(r["term"], r["df"]) for r in only] == [("x", 4)]
+    with pytest.raises(ValueError):
+        text.inverted_index(docs, max_postings=0)
+
+
+def test_inverted_index_single_exchange(spark):
+    """The window's term partitioning must be reused by the groupBy — one
+    Exchange total, and no global distinct shuffle for per-doc term dedup."""
+    docs = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
+    plan = (
+        text.inverted_index(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
