@@ -139,3 +139,81 @@ def range_join_binned(
         rename[c] for c in right.columns if c not in keys
     ]
     return joined.select(*out_cols)
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    build_on: str | None = None,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+    seed: int = 99,
+) -> DataFrame:
+    """Semi join with an explicit Bloom-filter runtime prefilter: build a
+    bloom over the build side's keys, drop probe rows that cannot match
+    MAP-SIDE (before any shuffle of the probe), then exact-verify the
+    survivors with a real semi join.  Output is EXACTLY the plain semi
+    join — the bloom's false-positive rate only inflates the intermediate,
+    never the answer — so the operator is oracle-checkable.
+
+    This is Spark's InjectRuntimeFilter / DPP pattern made explicit and
+    tunable: at 100 TB the win is that the probe's shuffle (or its scan,
+    once pushed to a bloom-supporting source) carries ~fpp + selectivity of
+    the data instead of all of it, while the bloom itself is ``n_bits/8``
+    bytes — far smaller than broadcasting the exact key set when the build
+    side has hundreds of millions of keys (Spark's own
+    ``might_contain``/``bloom_filter_agg`` are not SQL-registered in 4.1,
+    so the filter is built from first principles and stays plan-auditable).
+
+    Mechanics, all pure Catalyst expressions under ANSI mode:
+    - positions via double hashing ``(h1 + i*h2) mod m`` with both hashes
+      pre-reduced mod m so no product can overflow int64;
+    - build: explode k positions per key -> (word, bit) -> ``bit_or`` of
+      bit masks per 64-bit word (tiny: <= m/64 rows) -> ONE map row,
+      broadcast;
+    - probe: k ``element_at`` lookups + bit tests per row — a zero-shuffle
+      projection (the single-row attach is a broadcast nested loop over
+      one row, the same shape as the centroid-classify literal attach).
+    """
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    if not (1 <= n_hashes <= 16):
+        raise ValueError("n_hashes must be in [1, 16]")
+    m = F.lit(n_bits).cast("long")
+
+    def positions(key: Column) -> list[Column]:
+        h1 = F.pmod(F.xxhash64(key), m)
+        h2 = F.pmod(F.xxhash64(key, F.lit(seed)), m).bitwiseOR(F.lit(1).cast("long"))
+        return [F.pmod(h1 + F.lit(i).cast("long") * h2, m) for i in range(n_hashes)]
+
+    keys = build.select(F.col(build_on or on).alias("_k")).dropDuplicates(["_k"])
+    pos = keys.select(
+        F.explode(F.array(*positions(F.col("_k")))).alias("_p")
+    )
+    # F.shiftleft only takes a literal shift amount — use the SQL form,
+    # which accepts column operands
+    words = pos.groupBy(F.floor(F.col("_p") / 64).alias("_w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(_p % 64 as int))")).alias("_bits")
+    )
+    bloom_row = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias("_bf")
+    )
+
+    with_pos = probe.crossJoin(F.broadcast(bloom_row))
+    tests = []
+    for i, p in enumerate(positions(F.col(on))):
+        with_pos = with_pos.withColumn(f"_w{i}", F.floor(p / 64)).withColumn(
+            f"_b{i}", (p % 64).cast("int")
+        )
+        tests.append(
+            f"(shiftright(coalesce(element_at(_bf, _w{i}), 0L), _b{i}) & 1L) = 1L"
+        )
+    temp = ["_bf"] + [c for i in range(n_hashes) for c in (f"_w{i}", f"_b{i}")]
+    candidates = with_pos.where(F.expr(" AND ".join(tests))).drop(*temp)
+    # exact verify: NOT broadcast-hinted — the premise is a build side too
+    # big to broadcast whole; the shuffle carries only bloom survivors
+    # (AQE still auto-broadcasts when the build side turns out small).
+    return candidates.join(
+        keys.withColumnRenamed("_k", on), on=on, how="left_semi"
+    )

@@ -3146,6 +3146,34 @@ HAVING max(rn) >= 5
 """
 
 
+def ext_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (joins.bloom_semi_join): lineitems of
+    URGENT orders.  The bloom (built from first principles — double-hashed
+    bit positions, bit_or'd words, ONE broadcast map row) drops non-matching
+    lineitems MAP-SIDE before any shuffle; the exact semi-join verify makes
+    the output identical to the plain semi join, so false positives never
+    reach the answer.  Spark's own InjectRuntimeFilter pattern, explicit."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return joins.bloom_semi_join(
+        lineitem.select("l_orderkey", "l_linenumber", "l_quantity"),
+        urgent,
+        on="l_orderkey",
+        build_on="o_orderkey",
+        n_bits=1 << 16,
+    )
+
+
+_EXT_BLOOM_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
 _JSONL_DIRS: dict[tuple[str, str], str] = {}
 
 
@@ -3166,6 +3194,60 @@ def src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.write_jsonl(docs, path, num_shards=4)
         _JSONL_DIRS[key] = path
     back = corpus.read_jsonl(spark, path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+_SRC_FMT_DIRS: dict[tuple[str, str, str], str] = {}
+
+
+def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str, write) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, fmt)
+    path = _SRC_FMT_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"bfls_{fmt}_") + "/docs"
+        write(load_table(spark, sf_dir, "documents"), path)
+        _SRC_FMT_DIRS[key] = path
+    return path
+
+
+def src_csv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus round-trip (sources.corpus.write_csv/read_csv): documents
+    written as 4 headered CSV shards and read back with an EXPLICIT schema;
+    every field and the full text (by sha — texts contain commas/quotes
+    that exercise RFC quoting) must survive exactly.  Oracle reads the
+    ORIGINAL parquet, proving encode/decode fidelity, not
+    self-consistency."""
+    from bulkfhirloader_spark.sources import corpus
+
+    path = _roundtrip_dir(
+        spark, sf_dir, "csv", lambda df, p: corpus.write_csv(df, p, num_shards=4)
+    )
+    back = corpus.read_csv(spark, path)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+    )
+
+
+def src_orc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC corpus round-trip (sources.corpus.write_orc/read_orc): columnar
+    alternative for Hive/Trino-first stacks; self-describing schema.
+    Oracle reads the ORIGINAL parquet."""
+    from bulkfhirloader_spark.sources import corpus
+
+    path = _roundtrip_dir(
+        spark, sf_dir, "orc", lambda df, p: corpus.write_orc(df, p, num_shards=4)
+    )
+    back = corpus.read_orc(spark, path)
     return back.select(
         "doc_id",
         "lang",
@@ -3548,6 +3630,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_profile_orders": (ext_profile_orders, _EXT_PROFILE_SQL),
     "emb_random_projection": (emb_random_projection, _EMB_JL_SQL),
     "text_inverted_index": (text_inverted_index, _TEXT_INVIDX_SQL),
+    "ext_bloom_semi_lineitem": (ext_bloom_semi_lineitem, _EXT_BLOOM_SQL),
+    "src_csv_documents": (src_csv_documents, _SRC_JSONL_SQL),
+    "src_orc_documents": (src_orc_documents, _SRC_JSONL_SQL),
     "src_jsonl_documents": (src_jsonl_documents, _SRC_JSONL_SQL),
     "text_redact_pii": (text_redact_pii, _TEXT_REDACT_SQL),
     # multimodal

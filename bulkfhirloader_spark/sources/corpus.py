@@ -83,3 +83,77 @@ def write_jsonl(
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+    capture_corrupt: bool = False,
+    header: bool = True,
+    multiline: bool = False,
+) -> DataFrame:
+    """Read a CSV document corpus with an explicit schema — the interchange
+    format of tabular metadata drops (and, regrettably, of some text
+    corpora).  Same contract as ``read_jsonl``: explicit schema (no
+    double-read inference), PERMISSIVE corrupt-row capture on request.
+
+    Scale note: the default read is newline-SPLITTABLE, which silently
+    mangles quoted text containing embedded newlines (the row splits
+    mid-record).  Corpora whose text can hold newlines must pass
+    ``multiline=True`` — correct, but each file becomes ONE read task, so
+    shard accordingly (or prefer JSONL, which escapes newlines in-band
+    and stays splittable; that trade-off is why JSONL won this format
+    war).  Quoting/escaping is Spark-default RFC-ish ('"' quote).
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("recursiveFileLookup", "true")
+        .option("multiLine", "true" if multiline else "false")
+    )
+    if capture_corrupt:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", CORRUPT_RECORD_COL
+        )
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_RECORD_COL, T.StringType())]
+        )
+    return reader.schema(schema).csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    num_shards: int | None = None,
+    compression: str | None = None,
+    mode: str = "error",
+    header: bool = True,
+) -> None:
+    """Write a corpus as CSV shards (same sharding/codec contract as
+    ``write_jsonl``)."""
+    if num_shards is not None:
+        df = df.repartition(num_shards)
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    num_shards: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Write a corpus as ORC — the columnar alternative when the downstream
+    stack is Hive/Trino-first.  Columnar + striped: predicate pushdown and
+    column pruning work exactly as with parquet; always splittable."""
+    if num_shards is not None:
+        df = df.repartition(num_shards)
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC corpus (schema from file metadata — ORC is self-
+    describing, unlike CSV/JSONL where inference would double-read)."""
+    return spark.read.option("recursiveFileLookup", "true").orc(path)

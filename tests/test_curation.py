@@ -396,3 +396,40 @@ def test_temperature_sample_corpus_side_never_shuffles(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(doc_id" not in plan
+
+
+def test_csv_roundtrip_quotes_and_newline_modes(spark, tmp_path):
+    """Commas and quotes survive the splittable CSV round-trip; embedded
+    newlines are mangled by the splittable read (documented) and survive
+    only with multiline=True (single-task-per-file)."""
+    from bulkfhirloader_spark.sources import corpus
+
+    rows = [
+        (1, "plain", "en", "s", 5),
+        (2, 'comma, "quote"', "en", "s", 14),
+        (3, "line\nbreak", "en", "s", 10),
+    ]
+    df = spark.createDataFrame(rows, corpus.DOCUMENT_SCHEMA)
+    p = str(tmp_path / "csv")
+    corpus.write_csv(df, p)
+    split_read = {
+        r["doc_id"]: r["text"] for r in corpus.read_csv(spark, p).collect()
+    }
+    assert split_read[1] == "plain" and split_read[2] == 'comma, "quote"'
+    assert split_read.get(3) != "line\nbreak"  # the documented hazard
+    multi = {
+        r["doc_id"]: r["text"]
+        for r in corpus.read_csv(spark, p, multiline=True).collect()
+    }
+    assert multi == {r[0]: r[1] for r in rows}
+
+
+def test_orc_roundtrip_exact(spark, tmp_path):
+    from bulkfhirloader_spark.sources import corpus
+
+    rows = [(1, "a\nb", "en", "s", 3), (2, "c", "de", "t", 1)]
+    df = spark.createDataFrame(rows, corpus.DOCUMENT_SCHEMA)
+    p = str(tmp_path / "orc")
+    corpus.write_orc(df, p)
+    back = sorted(tuple(r) for r in corpus.read_orc(spark, p).collect())
+    assert back == sorted(rows)

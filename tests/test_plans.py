@@ -232,6 +232,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "q11_important_parts",      # 1-row grand-total threshold
     "q22_dormant_customers",    # 1-row avg-balance threshold
     "emb_knn_classify",         # n_classes-row broadcast centroid table
+    "ext_bloom_semi_lineitem",  # 1-row broadcast bloom map attach
 }
 _PLAN_LINT_SKIP = {
     "stream_user_totals",       # executes a streaming query on invocation
