@@ -69,3 +69,47 @@ def profile_table(
         F.col("_s.n_nulls").alias("n_nulls"),
         F.col("_s.n_distinct").alias("n_distinct"),
     )
+
+
+def clip_outliers(
+    df: DataFrame,
+    value_col: str,
+    lower_pct: float = 0.01,
+    upper_pct: float = 0.99,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Winsorize a numeric column: clamp values outside the exact
+    [lower_pct, upper_pct] percentile band — the outlier treatment applied
+    to document lengths / quality scores before they feed selection
+    policies (a handful of 2 GB pathological documents otherwise dominate
+    any mean-based threshold).
+
+    Scale shape: the two thresholds come from ONE ``percentile`` aggregate
+    (Spark's exact implementation — a single reduce, no sort of the full
+    column) producing a SINGLE row that broadcasts under a cross join; the
+    clamp itself is a zero-shuffle projection.  Exact percentiles keep the
+    operator oracle-checkable (DuckDB ``quantile_cont`` interpolates with
+    the same linear rule); swap in ``approx_percentile`` at 100 TB if the
+    ±rsd wobble is acceptable — the plan shape is identical.
+    """
+    if not (0.0 <= lower_pct < upper_pct <= 1.0):
+        raise ValueError("need 0 <= lower_pct < upper_pct <= 1")
+    v = F.col(value_col)
+    bounds = df.agg(
+        F.percentile(v, F.lit(lower_pct)).alias("_lo"),
+        F.percentile(v, F.lit(upper_pct)).alias("_hi"),
+    )
+    out_cols = [*id_cols, value_col] if id_cols else df.columns
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            *out_cols,
+            F.col("_lo").alias("lower_bound"),
+            F.col("_hi").alias("upper_bound"),
+            F.greatest(F.least(v.cast("double"), F.col("_hi")), F.col("_lo")).alias(
+                "clipped"
+            ),
+            (v.cast("double") < F.col("_lo")).alias("was_low"),
+            (v.cast("double") > F.col("_hi")).alias("was_high"),
+        )
+    )

@@ -2153,6 +2153,35 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized exact top-k (similarity.cosine_topk_pandas): same
+    semantics as the brute-force tier, scored by per-batch numpy dgemm
+    inside mapInPandas — the production path for WIDE embeddings where
+    per-element codegen folds lose to BLAS.  Output drops scores (BLAS sum
+    order differs from a left fold in the last ulps) and oracle-checks the
+    RANKING, which is stable because neighbor score gaps dwarf fp noise."""
+    q, emb = _query_vectors(spark, sf_dir)
+    out = similarity.cosine_topk_pandas(
+        q.select(F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")),
+        emb,
+        k=5,
+    )
+    return out.select("query_id", "vec_id", F.col("rank").alias("rnk"))
+
+
+_SIM_PANDAS_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (SELECT qid AS query_id, e.vec_id,
+                  list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS s
+           FROM q, embeddings e WHERE e.vec_id <> qid),
+ranked AS (SELECT query_id, vec_id,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS INTEGER) AS rnk
+           FROM scored)
+SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer + probed inverted lists) —
     approximate, rows-only check; recall pytest-asserted vs brute force."""
@@ -3203,6 +3232,107 @@ def src_jsonl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_winsorize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize document lengths (profile.clip_outliers): clamp n_chars
+    to the exact [p10, p90] band — the outlier treatment before
+    length-based selection policies.  ONE exact-percentile aggregate →
+    single broadcast row → zero-shuffle clamp projection; DuckDB
+    quantile_cont interpolates with the same linear rule (both rounded
+    6dp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = profile.clip_outliers(
+        docs, "n_chars", lower_pct=0.10, upper_pct=0.90, id_cols=["doc_id"]
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.round("lower_bound", 6).alias("lower_bound"),
+        F.round("upper_bound", 6).alias("upper_bound"),
+        F.round("clipped", 6).alias("clipped"),
+        "was_low",
+        "was_high",
+    )
+
+
+_EXT_WINSOR_SQL = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.10) AS lo, quantile_cont(n_chars, 0.90) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       round(lo, 6) AS lower_bound,
+       round(hi, 6) AS upper_bound,
+       round(greatest(least(CAST(n_chars AS DOUBLE), hi), lo), 6) AS clipped,
+       CAST(n_chars AS DOUBLE) < lo AS was_low,
+       CAST(n_chars AS DOUBLE) > hi AS was_high
+FROM documents, b
+"""
+
+
+def ext_ntile_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer account-balance deciles via ntile(10) with a
+    deterministic (acctbal, custkey) tiebreak — the quantile-bucket
+    assignment step of per-group threshold policies.  Partitioned window
+    (bounded per-nation fanout), never a global single-partition sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    )
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        money_cents(F.col("c_acctbal")).alias("acctbal_cents"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+_EXT_NTILE_SQL = """
+SELECT c_custkey, c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       ntile(10) OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+       ) AS decile
+FROM customer
+"""
+
+
+def src_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned event store round-trip + partition pruning
+    (sources.partitioned): events written Hive-style one directory per
+    event_date (repartitioned to one file per day — the small-file
+    antidote), then ONE day read back with a partition filter that prunes
+    at planning time (PartitionFilters, plan-asserted in tests) and
+    aggregated.  Oracle filters the ORIGINAL parquet to the same day —
+    proving the partition derivation and the pruned read lose nothing."""
+    from bulkfhirloader_spark.sources import partitioned
+
+    _utc(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, "events_part")
+    path = _SRC_FMT_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bfls_evpart_") + "/events"
+        partitioned.write_events_partitioned(load_table(spark, sf_dir, "events"), path)
+        _SRC_FMT_DIRS[key] = path
+    day = partitioned.read_events_day(spark, path, "2024-01-05")
+    return day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("value_micros"),
+    )
+
+
+_SRC_EVPART_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       sum(CAST(round(value * 1000000) AS BIGINT)) AS value_micros
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+GROUP BY event_type
+"""
+
+
 _SRC_FMT_DIRS: dict[tuple[str, str, str], str] = {}
 
 
@@ -3600,6 +3730,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, _SIM_TOPK_SQL),
     "sim_topk_ivf": (sim_topk_ivf, None),
+    "sim_topk_pandas": (sim_topk_pandas, _SIM_PANDAS_SQL),
     # windows + events scalars
     "win_tumbling": (win_tumbling, _WIN_TUMBLING_SQL),
     "win_sliding": (win_sliding, _WIN_SLIDING_SQL),
@@ -3633,6 +3764,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_bloom_semi_lineitem": (ext_bloom_semi_lineitem, _EXT_BLOOM_SQL),
     "src_csv_documents": (src_csv_documents, _SRC_JSONL_SQL),
     "src_orc_documents": (src_orc_documents, _SRC_JSONL_SQL),
+    "ext_winsorize_doclen": (ext_winsorize_doclen, _EXT_WINSOR_SQL),
+    "ext_ntile_acctbal_deciles": (ext_ntile_acctbal_deciles, _EXT_NTILE_SQL),
+    "src_partitioned_events": (src_partitioned_events, _SRC_EVPART_SQL),
     "src_jsonl_documents": (src_jsonl_documents, _SRC_JSONL_SQL),
     "text_redact_pii": (text_redact_pii, _TEXT_REDACT_SQL),
     # multimodal

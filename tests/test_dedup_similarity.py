@@ -405,3 +405,31 @@ def test_random_projection_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cosine_topk_pandas_matches_codegen_bruteforce(spark):
+    """The Arrow/BLAS tier must return the same neighbors and ranks as the
+    Catalyst-fold tier, with scores equal to ~1e-9 (sum-order noise only);
+    zero-norm corpus vectors are dropped; empty query set raises."""
+    import math
+
+    rows = [
+        (i, [math.sin(i * 7 + j) for j in range(8)]) for i in range(30)
+    ] + [(99, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 3)
+    fold = similarity.cosine_topk_bruteforce(
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")),
+        emb,
+        k=4,
+    )
+    blas = similarity.cosine_topk_pandas(q, emb, k=4)
+    f = {(r["query_id"], r["rank"]): (r["vec_id"], r["score"]) for r in fold.collect()}
+    b = {(r["query_id"], r["rank"]): (r["vec_id"], r["score"]) for r in blas.collect()}
+    assert set(f) == set(b)
+    for key in f:
+        assert f[key][0] == b[key][0], key
+        assert abs(f[key][1] - b[key][1]) < 1e-9
+    assert all(vid != 99 for vid, _ in b.values())
+    with pytest.raises(ValueError):
+        similarity.cosine_topk_pandas(emb.where(F.col("vec_id") < 0), emb)

@@ -233,6 +233,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "q22_dormant_customers",    # 1-row avg-balance threshold
     "emb_knn_classify",         # n_classes-row broadcast centroid table
     "ext_bloom_semi_lineitem",  # 1-row broadcast bloom map attach
+    "ext_winsorize_doclen",     # 1-row broadcast percentile bounds
 }
 _PLAN_LINT_SKIP = {
     "stream_user_totals",       # executes a streaming query on invocation
@@ -289,3 +290,28 @@ def test_stratified_sample_and_zorder_are_single_stage(spark):
         plan = _plan(fn(spark, SF_DIR))
         assert "Exchange" not in plan, name
         assert "WholeStageCodegen" in plan or "*(1)" in plan, name
+
+
+def test_partitioned_events_read_prunes_partitions(spark, tmp_path):
+    """The one-day read must carry the date in PartitionFilters (planning-
+    time pruning against directory names) and scan only that partition —
+    no post-scan date filter over other days' rows."""
+    from bulkfhirloader_spark.sources import partitioned
+
+    events = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d} 12:00:00", i % 5) for i in range(60)],
+        "event_id long, ts_s string, user_id long",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    path = str(tmp_path / "ev")
+    partitioned.write_events_partitioned(events, path)
+    day = partitioned.read_events_day(spark, path, "2024-01-02")
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    got = day.count()
+    assert got == 20
+    # one file per day: the repartition(event_date) write collapses
+    # tasks x partitions into one file per directory
+    import glob
+
+    files = glob.glob(f"{path}/event_date=2024-01-02/*.parquet")
+    assert len(files) == 1, files

@@ -34,3 +34,22 @@ def test_profile_approx_single_pass_no_expand(spark):
     # HLL++ at rsd=0.05 is exact at these tiny cardinalities
     assert got["s"]["n_distinct"] == 7
     assert got["id"]["n_rows"] == 100
+
+
+def test_clip_outliers_bounds_and_flags(spark):
+    """1..100 at [p10,p90]: DuckDB/Spark linear interpolation gives
+    lo=10.9, hi=90.1; values outside clamp with flags; invalid band
+    raises."""
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    got = {
+        r["v"]: r
+        for r in profile.clip_outliers(df, "v", 0.10, 0.90).collect()
+    }
+    r5, r50, r95 = got[5], got[50], got[95]
+    assert abs(r50["lower_bound"] - 10.9) < 1e-9
+    assert abs(r50["upper_bound"] - 90.1) < 1e-9
+    assert r5["clipped"] == r5["lower_bound"] and r5["was_low"] and not r5["was_high"]
+    assert r95["clipped"] == r95["upper_bound"] and r95["was_high"]
+    assert r50["clipped"] == 50.0 and not r50["was_low"] and not r50["was_high"]
+    with pytest.raises(ValueError):
+        profile.clip_outliers(df, "v", 0.9, 0.1)
