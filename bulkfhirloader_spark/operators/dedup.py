@@ -587,3 +587,44 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def survivors_by_score(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware survivor selection: cluster the near-dup pairs, then
+    keep the HIGHEST-scoring member of each cluster (ties to the smallest
+    id) — what production dedup actually does instead of keep-min-id: when
+    a crawl holds five near-copies, you keep the cleanest one, not the one
+    with the lowest id.
+
+    One row per cluster: ``component``, ``cluster_size``, ``keep_id``,
+    ``keep_score``.  Scale shape: components come from the iterative
+    min-label propagation (O(diameter) rounds over (node, component) pairs
+    only); the score attach is an equi join on the node id; the argmax is
+    ``max(struct(score, -id))`` under ``groupBy(component)`` — partial
+    aggregation collapses cluster members map-side, so the exchange
+    carries one small row per cluster member, never document bodies.
+    """
+    comp = connected_components(pairs, left_col, right_col)
+    scored = comp.join(
+        scores.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        on="node",
+    )
+    agg = scored.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max(F.struct(F.col("_s").alias("s"), (-F.col("node")).alias("neg_id"))).alias(
+            "_m"
+        ),
+    )
+    return agg.select(
+        "component",
+        "cluster_size",
+        (-F.col("_m.neg_id")).alias("keep_id"),
+        F.col("_m.s").alias("keep_score"),
+    )

@@ -1895,6 +1895,61 @@ FROM labels GROUP BY component
 """
 
 
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (dedup.survivors_by_score): the
+    near-dup clusters keep their LONGEST member (token count, ties to the
+    smallest id) instead of min-id — what production dedup does: keep the
+    cleanest copy.  Argmax is a map-side-collapsing struct-max per
+    cluster; the oracle restates it as a row_number over the recursive-CTE
+    transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_near_dup_pairs(docs, num_hashes=32, bands=8, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(docs, candidates=cand, threshold=0.5)
+    scores = docs.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return dedup.survivors_by_score(pairs, scores, score_col="n_toks")
+
+
+_DEDUP_SURV_SQL = r"""
+WITH RECURSIVE
+toks AS (SELECT doc_id,
+                regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+         FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(len(t) - 2),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM toks),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT id_a, id_b FROM inter
+          WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS node, least(src, min(dst)) AS component
+           FROM reach GROUP BY src),
+scored AS (SELECT l.component, l.node,
+                  len(regexp_extract_all(d.text, '\S+')) AS n_toks
+           FROM labels l JOIN documents d ON d.doc_id = l.node),
+ranked AS (SELECT component, node, n_toks,
+                  row_number() OVER (PARTITION BY component
+                                     ORDER BY n_toks DESC, node ASC) AS rn,
+                  count(*) OVER (PARTITION BY component) AS cluster_size
+           FROM scored)
+SELECT component, cluster_size, node AS keep_id, CAST(n_toks AS BIGINT) AS keep_score
+FROM ranked WHERE rn = 1
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline (full scan
     opt-in; oracle via DuckDB's list_cosine_similarity)."""
@@ -2880,6 +2935,63 @@ FROM ranked WHERE source_rank <= 50
 """
 
 
+def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP end-to-end corpus pipeline: composed selection policy
+    (quality gates ∧ language-ID ∧ exact-dedup survivorship ∧ per-source
+    cap) → sequence-length chunking (64-token windows) → token-budget
+    shard packing over the chunk stream — raw corpus in, training shards
+    out, every stage the oracle-checked operator.  The composition is the
+    point: it proves the operators fit together exactly (ids, ordering,
+    tokenizers all line up cross-engine).  Scale: selection output is a
+    tiny id list (broadcast join back), chunking is zero-shuffle, packing
+    is the parallel two-level prefix sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    selected = curation.select_for_training(docs, per_source_cap=50).select("doc_id")
+    kept = docs.join(selected, "doc_id")
+    chunks = curation.chunk_documents(kept, chunk_tokens=64).withColumn(
+        "chunk_id", F.col("doc_id") * 10_000 + F.col("chunk_idx")
+    )
+    packed = curation.pack_token_shards(
+        chunks, id_col="chunk_id", text_col="chunk_text",
+        shard_tokens=5_000, bucket_size=64,
+    )
+    return packed.select(
+        F.floor(F.col("chunk_id") / 10_000).alias("doc_id"),
+        (F.col("chunk_id") % 10_000).cast("int").alias("chunk_idx"),
+        "n_tokens",
+        "shard_id",
+    )
+
+
+_CUR_FULL_SQL = (
+    _CUR_SELECT_SQL[: _CUR_SELECT_SQL.index("SELECT doc_id, source,")]
+    + r""",
+sel AS (SELECT doc_id FROM ranked WHERE source_rank <= 50),
+t2 AS (SELECT d.doc_id, regexp_extract_all(d.text, '\S+') AS tk
+       FROM documents d JOIN sel USING (doc_id)),
+c2 AS (SELECT doc_id, tk, len(tk) AS n FROM t2),
+s2 AS (SELECT doc_id, tk, unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS ci
+       FROM c2 WHERE n > 0),
+ch AS (SELECT doc_id * 10000 + ci AS chunk_id,
+              array_to_string(list_slice(tk, ci * 64 + 1, ci * 64 + 64), ' ') AS chunk_text
+       FROM s2),
+tok2 AS (SELECT chunk_id,
+                CAST(len(regexp_extract_all(chunk_text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+         FROM ch),
+cum AS (SELECT chunk_id, n_tokens,
+               coalesce(sum(n_tokens) OVER (ORDER BY chunk_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS excl
+        FROM tok2)
+SELECT CAST(chunk_id // 10000 AS BIGINT) AS doc_id,
+       CAST(chunk_id % 10000 AS INT) AS chunk_idx,
+       n_tokens,
+       CAST(excl // 5000 AS BIGINT) AS shard_id
+FROM cum
+"""
+)
+
+
 def cur_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing via the parallel two-level prefix sum;
     oracle is the naive single-window global cumulative sum — the outputs
@@ -3717,6 +3829,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),
     "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, _DEDUP_EMB_SQL),
     "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
+    "dedup_survivors_quality": (dedup_survivors_quality, _DEDUP_SURV_SQL),
     # text analysis
     "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),
     "text_quality_stats": (text_quality_stats, _TEXT_QUALITY_SQL),
@@ -3758,6 +3871,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_zorder_layout": (cur_zorder_layout, _CUR_ZORDER_SQL),
     "cur_chunk_documents": (cur_chunk_documents, _CUR_CHUNK_SQL),
     "cur_temperature_sample": (cur_temperature_sample, _CUR_TEMP_SQL),
+    "cur_full_pipeline": (cur_full_pipeline, _CUR_FULL_SQL),
     "ext_profile_orders": (ext_profile_orders, _EXT_PROFILE_SQL),
     "emb_random_projection": (emb_random_projection, _EMB_JL_SQL),
     "text_inverted_index": (text_inverted_index, _TEXT_INVIDX_SQL),

@@ -433,3 +433,19 @@ def test_cosine_topk_pandas_matches_codegen_bruteforce(spark):
     assert all(vid != 99 for vid, _ in b.values())
     with pytest.raises(ValueError):
         similarity.cosine_topk_pandas(emb.where(F.col("vec_id") < 0), emb)
+
+
+def test_survivors_by_score_picks_best_member(spark):
+    """Two clusters {1,2,3} and {10,11}: survivor is the highest score,
+    ties break to the smaller id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 1), (11, 4)], "doc_id long, score long"
+    )
+    got = {
+        r["component"]: (r["cluster_size"], r["keep_id"], r["keep_score"])
+        for r in dedup.survivors_by_score(pairs, scores).collect()
+    }
+    assert got == {1: (3, 2, 9), 10: (2, 11, 4)}
