@@ -34,6 +34,9 @@ HEADLINE = [
     "text_quality_stats",
     "sim_topk_bruteforce",
     "win_session",
+    "ext_bloom_semi_lineitem",
+    "sim_topk_pandas",
+    "cur_full_pipeline",
 ]
 
 
@@ -46,10 +49,18 @@ def main() -> None:
     spark = get_spark(app_name="bulkfhirloader-bench")
 
     # Warmup: force JVM + codegen + parquet footer reads outside the timings.
-    from bulkfhirloader_spark.sources.tables import load_tables
+    # Fail-soft per table: a single broken source must cost its consumers'
+    # rows, not the round's entire perf signal (the r4 lesson — one loader
+    # regression zeroed BENCH_r04).
+    from bulkfhirloader_spark.sources.tables import load_table
+    from bulkfhirloader_spark.schemas import TESTDATA_TABLES
 
-    for df in load_tables(spark, sf_dir).values():
-        df.limit(1).collect()
+    errors: dict[str, str] = {}
+    for name in TESTDATA_TABLES:
+        try:
+            load_table(spark, sf_dir, name).limit(1).collect()
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[f"warmup:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Measured empty-job floor: plan + schedule + collect round-trip with no
     # data.  At toy scale every query pays roughly this constant regardless
@@ -68,17 +79,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
-        fn, _sql = REGISTRY[name]
-        t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.monotonic() - t0, 3)
-        t0 = time.monotonic()
-        fn(spark, sf_dir).collect()
-        warm[name] = round(time.monotonic() - t0, 3)
+        try:
+            fn, _sql = REGISTRY[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            warm[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query = one lost row
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
     net = {k: round(max(v - floor, 0.0), 3) for k, v in timings.items()}
-    ingest = bench_ingest(spark, sf)
+    try:
+        ingest = bench_ingest(spark, sf)
+    except Exception as exc:  # noqa: BLE001
+        ingest = None
+        errors["ingest"] = f"{type(exc).__name__}: {exc}"[:300]
     print(
         json.dumps(
             {
@@ -92,6 +110,7 @@ def main() -> None:
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
                 "ingest": ingest,
+                "errors": errors,
                 "sf": sf,
             }
         )

@@ -14,6 +14,7 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bulkfhirloader_spark.schemas import TESTDATA_TABLES
 
@@ -48,18 +49,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, path: str) -> DataFrame:
-    """The events table is written with INT64 TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright (PARQUET_TYPE_ILLEGAL) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is on — a runtime-settable conf.
-    Read ts as raw nanos and truncate to microseconds, which is exactly what
-    DuckDB does when it reads the same file (its TIMESTAMP is µs), so oracle
-    comparisons agree.
+    """Load events.parquet with a dtype-adaptive ``ts`` normalization.
+
+    The testdata generator has shipped two physical encodings of ``ts``:
+
+    - INT64 TIMESTAMP(NANOS): Spark's parquet reader rejects it
+      (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+      is on, in which case it surfaces as a raw-nanos LongType.  Truncate to
+      microseconds — exactly what DuckDB does reading the same file (its
+      TIMESTAMP is µs) — so oracle comparisons agree.
+    - plain ``timestamp[us]`` (no UTC adjustment): Spark reads it as
+      TIMESTAMP_NTZ.  Cast to TIMESTAMP so every downstream consumer
+      (``unix_micros``, ``F.window``, ``session_window``) sees one type; in
+      the UTC session (session.py) the cast is epoch-preserving and matches
+      DuckDB's naive-timestamp semantics.
+
+    Either way callers always get a TimestampType ``ts`` with µs precision.
     """
+    # Harmless for µs files (the conf only affects TIMESTAMP(NANOS) columns),
+    # required before the read for legacy nanos files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # `div` is exact integral division on longs; `/` would round-trip through
-    # double and lose sub-µs precision on ~1.7e18 nanosecond epochs.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # `div` is exact integral division on longs; `/` would round-trip
+        # through double and lose sub-µs precision on ~1.7e18 ns epochs.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
