@@ -1,0 +1,193 @@
+"""User-journey / event-sequence analytics.
+
+The reference's event handling stops at per-type routing (main.go:245-324
+analog); a production analytics engine over the same event stream also needs
+the classic sequence shapes: funnels, retention cohorts, transition matrices,
+rolling aggregates, and CDC latest-per-key compaction.  Every operator here
+is designed around ONE shuffle-and-sort per user (or zero, for
+latest_per_key's map-side argmax):
+
+- All per-user window computations share a single Window spec, so Catalyst
+  plans ONE Exchange(hashpartitioning(user)) + ONE sort, with every derived
+  column computed in the same Window operator pass.
+- A groupBy on the same user key directly after a user-partitioned window
+  reuses the partitioning — no second exchange for the per-user collapse.
+- Nothing here collects per-user event lists (collect_list on a whale user
+  with 10^8 events is an OOM); running conditional mins/lags keep state O(1)
+  per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each prefix of ``steps``, the number
+    of users with events matching that prefix IN ORDER (step k strictly
+    after the user's earliest completion of steps 1..k-1).
+
+    Plan shape: chained running conditional minimums over ONE
+    user-partitioned, ts-ordered window spec — step k's running completion
+    time is a running min of ts over rows of type step[k] falling strictly
+    after the step k-1 running completion.  The K Window operators cannot
+    fuse into one (each consumes the previous one's output column) but they
+    all require the same distribution+ordering, so Catalyst plans exactly
+    one Exchange(hashpartitioning(user)) and one Sort for the whole chain
+    (plan-asserted in tests/test_sequences.py).  The per-user collapse
+    groups on the same key and reuses the partitioning; only the final tiny
+    per-step count aggregation moves data again.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = events
+    prev_done = None
+    done_cols = []
+    for i, step in enumerate(steps):
+        col = f"_t{i}"
+        if prev_done is None:
+            cand = F.when(F.col(type_col) == step, F.col(ts_col))
+        else:
+            cand = F.when(
+                (F.col(type_col) == step) & (F.col(ts_col) > F.col(prev_done)),
+                F.col(ts_col),
+            )
+        cur = cur.withColumn(col, F.min(cand).over(w))
+        prev_done = col
+        done_cols.append(col)
+    per_user = cur.groupBy(user_col).agg(
+        *[F.min(c).alias(c) for c in done_cols]
+    )
+    counts = per_user.agg(
+        *[
+            F.sum(F.col(c).isNotNull().cast("long")).alias(f"_n{i}")
+            for i, c in enumerate(done_cols)
+        ]
+    )
+    # K rows out: (step_index, step_name, n_users) — small enough to build
+    # from one literal explode over the single aggregate row.
+    steps_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_index"),
+                F.lit(s).alias("step_name"),
+                F.col(f"_n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(steps_arr).alias("s")).select("s.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604_800,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen period, counted
+    per (cohort_period, period_offset) they were active in.
+
+    Periods are integer epoch divisions (default weekly) — engine-agnostic,
+    unlike date_trunc('week') whose week-start convention varies.  The
+    cohort period comes from an unframed min over the user partition (same
+    exchange as any per-user work); the distinct-user count per cell then
+    partially aggregates map-side before its own small shuffle.
+    """
+    period = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(period_seconds * 1_000_000))
+    w = Window.partitionBy(user_col)
+    with_cohort = events.select(
+        F.col(user_col),
+        period.cast("long").alias("_period"),
+    ).withColumn("_cohort", F.min("_period").over(w))
+    return (
+        with_cohort.groupBy(
+            F.col("_cohort").alias("cohort_period"),
+            (F.col("_period") - F.col("_cohort")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    (prev_type, next_type, n) for consecutive events.  One lag over the
+    user-partitioned ordered window, then a count on the tiny (type, type)
+    key space — partial aggregation collapses it map-side.  Ordering ties
+    on ts are broken by ``tiebreak_col`` so results are deterministic (and
+    restatable in ANSI SQL)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    return (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def rolling_window_stats(
+    events: DataFrame,
+    n_preceding: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing-window aggregate (here: last N+1 events' value sum
+    and count per user) — the moving-average primitive.  Values are summed
+    as exact integer cents inside the frame so the output hashes stably
+    across engines; a single frame spec means a single Exchange+Sort."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-n_preceding, Window.currentRow)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.sum(cents).over(w).alias("window_value_cents"),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """CDC/compaction: keep each key's latest row by ``order_cols``
+    (lexicographic).  Implemented as a struct-max argmax — max(struct(order
+    ..., payload...)) — NOT a row_number window: the aggregate combines
+    map-side (a partial SortAggregate runs below the exchange, so each
+    input partition contributes ONE candidate struct per key), and a key
+    with 10^9 updates shuffles one row per upstream partition instead of
+    sorting 10^9 rows in a single reducer's window.  Same shape as dedup
+    survivor selection (dedup.survivors_by_score)."""
+    packed = F.struct(
+        *[F.col(c) for c in order_cols], *[F.col(c) for c in payload_cols]
+    )
+    agg = df.groupBy(*key_cols).agg(F.max(packed).alias("_latest"))
+    return agg.select(
+        *key_cols,
+        *[F.col(f"_latest.{c}").alias(c) for c in order_cols],
+        *[F.col(f"_latest.{c}").alias(c) for c in payload_cols],
+    )

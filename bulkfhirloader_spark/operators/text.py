@@ -305,3 +305,65 @@ def inverted_index(
         ).alias("postings"),
     )
     return idx.where(F.col("df") >= min_df) if min_df > 1 else idx
+
+
+def collocation_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 10,
+) -> DataFrame:
+    """Bigram collocation mining: for every adjacent lowercase token pair
+    occurring at least ``min_pair_count`` times, emit its corpus counts and
+    an integer-ppm lift score (the PMI ratio without the log:
+    P(ab) / (P(a)·P(b)), scaled to parts-per-million and floored).
+
+    Lift is emitted as a floored integer ppm rather than a float PMI so the
+    value hashes identically across engines: one double multiply + one
+    divide + one multiply + floor, in a fixed order, is bit-reproducible
+    IEEE-754, whereas log() implementations differ in the last ulp.
+
+    Shape: two explode→count aggregations over the token stream (bigrams
+    and unigrams) and one join of bigram rows against the unigram counts of
+    each side.  The unigram table after filtering to terms that appear in a
+    surviving bigram is small; at corpus scale the join keys are words —
+    Zipf-skewed, but the bigram side is already aggregated (one row per
+    distinct bigram), so per-key fan-out is bounded by vocabulary, not
+    corpus size.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    tok_df = docs.select(toks.alias("t"))
+    uni = (
+        tok_df.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    bi = (
+        tok_df.select(F.explode(ngram_array(F.col("t"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+        .withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bigram"), " ").getItem(1))
+    )
+    n_tokens = tok_df.select(
+        F.sum(F.size("t")).cast("double").alias("_n_uni")
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+    )
+    # lift = (n_ab * N) / (n_a * n_b), in ppm.  Evaluation order is pinned:
+    # (double(n_ab) * N) / (double(n_a) * double(n_b)) * 1e6, then floor.
+    lift_ppm = F.floor(
+        (F.col("n_ab").cast("double") * F.col("_n_uni"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return joined.select(
+        "bigram",
+        "n_ab",
+        "n_a",
+        "n_b",
+        lift_ppm.alias("lift_ppm"),
+    )

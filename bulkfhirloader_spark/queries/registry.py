@@ -47,6 +47,7 @@ from bulkfhirloader_spark.operators import (
     joins,
     multimodal,
     profile,
+    sequences,
     similarity,
     stats,
     text,
@@ -1833,9 +1834,16 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set exactly — a strictly stronger statement than the old rows-only
     check.  Scores are dropped from the output because a signature estimate
     is not SQL-restatable; the estimate itself is exercised by
-    dedup_minhash_verified and pytest."""
+    dedup_minhash_verified and pytest.
+
+    Geometry: K=16 hashes in 8 bands of 2 — measured to reproduce the exact
+    pair set at sf0.01 AND sf0.1 while paying half the signature-fold and
+    shuffle cost of K=32 (8×2 banding is MORE permissive than 8×4, so
+    recall only improves; the est>=0.5 filter still removed every false
+    positive at both scales).  K=16/bands=4 loses a true pair at sf0.1 —
+    do not tighten further."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_near_dup_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    cand = dedup.minhash_near_dup_pairs(docs, num_hashes=16, bands=8, threshold=0.5)
     return cand.select("id_a", "id_b")
 
 
@@ -2740,6 +2748,48 @@ def _ordered_event_chunks(
             )
         _STREAM_SESS_DIRS[key] = src
     return _os.path.join(src, "in", "*")
+
+
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Markov transition matrix (streaming.stateful
+    .stream_transitions) as a driver-checked query: time-ordered chunks +
+    maxFilesPerTrigger=1 force each user's chaining cursor (last event)
+    to carry across micro-batches — the cross-batch pairs are exactly the
+    rows a stateless per-batch count would MISS.  Summing the per-batch
+    partials must reproduce the batch operator's matrix, so this shares
+    ext_markov_transitions' oracle."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.stateful import stream_transitions
+
+    global _STREAM_Q_SEQ
+    in_glob = _ordered_event_chunks(
+        spark, sf_dir, ("event_id", "user_id", "ts", "event_type")
+    )
+    schema = spark.read.parquet(in_glob).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_markov_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_glob)
+    )
+    ckpt = tempfile.mkdtemp(prefix="bfls_markov_ckpt_")
+    q = (
+        stream_transitions(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(ckpt, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("n_transitions"))
+    )
 
 
 def stream_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3837,6 +3887,244 @@ FROM st
 # ---------------------------------------------------------------------------
 
 # name -> (spark_callable, oracle_sql | None)
+# ---------------------------------------------------------------------------
+# Extension — user-journey / sequence analytics (operators.sequences)
+# ---------------------------------------------------------------------------
+
+
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def ext_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup→click→purchase (sequences.funnel_counts):
+    chained running conditional minimums, all K steps in ONE
+    user-partitioned Exchange+Sort.  The oracle restates the same chained
+    windows as nested CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequences.funnel_counts(ev, _FUNNEL_STEPS)
+
+
+_EXT_FUNNEL_SQL = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0
+  FROM events),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t1
+  FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t2
+  FROM w2),
+pu AS (SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+       FROM w3 GROUP BY 1),
+c AS (SELECT CAST(count(t0) AS BIGINT) AS n0, CAST(count(t1) AS BIGINT) AS n1,
+             CAST(count(t2) AS BIGINT) AS n2 FROM pu)
+SELECT CAST(1 AS INTEGER) AS step_index, 'signup' AS step_name, n0 AS n_users FROM c
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', n1 FROM c
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', n2 FROM c
+"""
+
+
+def ext_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (sequences.retention_cohorts):
+    first-seen period via unframed per-user window min, then a
+    distinct-user count per (cohort, offset) cell."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequences.retention_cohorts(ev)
+
+
+_EXT_RETENTION_SQL = """
+WITH p AS (SELECT user_id,
+                  CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS period
+           FROM events),
+c AS (SELECT user_id, period,
+             min(period) OVER (PARTITION BY user_id) AS cohort
+      FROM p)
+SELECT cohort AS cohort_period, period - cohort AS period_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+def ext_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (sequences.transition_counts):
+    one lag over the user-ordered window, count on the tiny (type, type)
+    key space."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequences.transition_counts(ev)
+
+
+_EXT_MARKOV_SQL = """
+WITH l AS (SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM l WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def ext_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 3-event value sum/count per user
+    (sequences.rolling_window_stats) — the moving-average primitive, integer
+    cents for hash stability."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequences.rolling_window_stats(ev, n_preceding=2)
+
+
+_EXT_ROLLING_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS window_value_cents,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS window_n
+FROM events
+"""
+
+
+def cur_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/compaction latest-per-key (sequences.latest_per_key): keep each
+    user's latest event via map-side struct-max argmax — one candidate row
+    per key per input partition crosses the wire, no per-key sort.  The
+    oracle restates it as the row_number form."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return sequences.latest_per_key(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        payload_cols=["event_type", "value_cents"],
+    )
+
+
+_CUR_LATEST_SQL = """
+WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, ts_us, event_id, event_type, value_cents FROM r WHERE rn = 1
+"""
+
+
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining (text.collocation_lift): corpus bigram /
+    unigram counts joined into an integer-ppm lift score (PMI ratio without
+    the log — log() differs across engines in the last ulp, a fixed-order
+    multiply/divide/floor does not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.collocation_lift(docs, min_pair_count=10)
+
+
+_TEXT_COLLOC_SQL = r"""
+WITH toks AS (SELECT list_transform(regexp_extract_all(text, '\S+'),
+                                    t -> lower(t)) AS t
+              FROM documents),
+n AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS n_uni FROM toks),
+un AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM un GROUP BY 1),
+big AS (SELECT CASE WHEN len(t) >= 2
+                    THEN list_transform(range(len(t) - 1),
+                                        i -> t[i+1] || ' ' || t[i+2])
+                    ELSE [] END AS bs
+        FROM toks),
+bc AS (SELECT unnest(bs) AS bigram FROM big),
+bn AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM bc
+       GROUP BY 1 HAVING count(*) >= 10),
+j AS (SELECT bigram, n_ab,
+             string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2
+      FROM bn)
+SELECT bigram, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+       CAST(floor((CAST(n_ab AS DOUBLE) * n_uni)
+                  / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS lift_ppm
+FROM j
+JOIN uc a ON j.w1 = a.w
+JOIN uc b ON j.w2 = b.w
+CROSS JOIN n
+"""
+
+
+def cur_median_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-gated curation: keep documents strictly longer than the
+    corpus-wide exact median length.  The 1-row median aggregate broadcasts
+    into the filter — the corpus itself never shuffles.  Both engines use
+    the same linear-interpolated exact percentile."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("_med"))
+    return (
+        docs.crossJoin(F.broadcast(med))
+        .filter(F.col("n_chars") > F.col("_med"))
+        .select("doc_id", "n_chars")
+    )
+
+
+_CUR_MEDIAN_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > (SELECT quantile_cont(n_chars, 0.5) FROM documents)
+"""
+
+
+def ext_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact percentile certification (the tolerance-boolean
+    trick, same as ext_approx_distinct_users): emit the exact per-type
+    p50/p90 of event value in cents plus a boolean asserting the
+    approx_percentile sketch landed within 5% relative error.  The sketch
+    side is engine-specific; the exact side and the bound are
+    SQL-restatable."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, array(0.5D, 0.9D))")
+    approx = F.expr("approx_percentile(value, array(0.5D, 0.9D), 10000)")
+    agg = ev.groupBy("event_type").agg(
+        exact.alias("_ex"), approx.alias("_ap")
+    )
+    ok = (
+        (
+            F.abs(F.col("_ap")[0] - F.col("_ex")[0])
+            / F.abs(F.col("_ex")[0])
+            < 0.05
+        )
+        & (
+            F.abs(F.col("_ap")[1] - F.col("_ex")[1])
+            / F.abs(F.col("_ex")[1])
+            < 0.05
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("_ex")[0] * 100).cast("long").alias("p50_cents"),
+        F.round(F.col("_ex")[1] * 100).cast("long").alias("p90_cents"),
+        ok.alias("approx_ok"),
+    )
+
+
+_EXT_APPROX_PCT_SQL = """
+SELECT event_type,
+       CAST(round(quantile_cont(value, 0.5) * 100) AS BIGINT) AS p50_cents,
+       CAST(round(quantile_cont(value, 0.9) * 100) AS BIGINT) AS p90_cents,
+       TRUE AS approx_ok
+FROM events GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # reference parity — aggregations / filters / projections
     "ref_a1_population_facts": (ref_a1_population_facts, _REF_A1_SQL),
@@ -3866,6 +4154,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_dedup_exact": (stream_dedup_exact, _STREAM_DEDUP_SQL),
     "stream_sessionize_gap": (stream_sessionize_gap, _STREAM_SESSIONIZE_SQL),
     "stream_interval_join_clicks": (stream_interval_join_clicks, _STREAM_INTERVAL_JOIN_SQL),
+    "stream_markov_transitions": (stream_markov_transitions, _EXT_MARKOV_SQL),
     "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),
@@ -3968,6 +4257,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mm_extract_features": (mm_extract_features, _MM_FEATURES_SQL),
     "mm_sample_frames": (mm_sample_frames, _MM_FRAMES_SQL),
     "mm_resize_thumbnails": (mm_resize_thumbnails, _MM_RESIZE_SQL),
+    # user-journey / sequence analytics
+    "ext_funnel_conversion": (ext_funnel_conversion, _EXT_FUNNEL_SQL),
+    "ext_retention_cohorts": (ext_retention_cohorts, _EXT_RETENTION_SQL),
+    "ext_markov_transitions": (ext_markov_transitions, _EXT_MARKOV_SQL),
+    "ext_rolling_user_value": (ext_rolling_user_value, _EXT_ROLLING_SQL),
+    "cur_latest_event_per_user": (cur_latest_event_per_user, _CUR_LATEST_SQL),
+    "text_collocations_lift": (text_collocations_lift, _TEXT_COLLOC_SQL),
+    "cur_median_length_filter": (cur_median_length_filter, _CUR_MEDIAN_SQL),
+    "ext_approx_percentile_check": (ext_approx_percentile_check, _EXT_APPROX_PCT_SQL),
 }
 
 # DISCLOSED ITERATION-ORDER ROTATION — see AUDIT.md at the repo root.

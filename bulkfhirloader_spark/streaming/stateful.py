@@ -104,6 +104,71 @@ def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+TRANSITIONS_SCHEMA = "prev_type string, next_type string, n bigint"
+_TRANSITIONS_STATE = "last_us bigint, last_id bigint, last_type string"
+
+
+def stream_transitions(events: DataFrame) -> DataFrame:
+    """Streaming first-order Markov transition counting — the stateful twin
+    of operators.sequences.transition_counts: per user, count consecutive
+    (prev_type, next_type) event pairs as they arrive, chaining ACROSS
+    micro-batches through a 3-field GroupState holding the user's last seen
+    event (ts, id, type).
+
+    Emits per-user per-batch partial counts in update mode; the caller
+    sums them (`groupBy(prev, next).sum(n)`) — on in-order replay the total
+    equals the batch transition matrix exactly, because the state hands the
+    boundary event of batch k to the first pair of batch k+1.  State is
+    O(1) per user (two longs + a type string) at any event volume; no
+    timeout is needed because the state is a chaining cursor, not a window
+    (an idle user costs ~40 bytes, and an eviction would silently DROP the
+    cross-batch transition — correctness over memory here, unlike
+    sessionization where event-time timeout is provably safe).
+
+    Within a batch, the group's rows are sorted by (ts, event_id) before
+    pairing — the same deterministic tiebreak the batch operator and its
+    DuckDB oracle use; cross-batch order is the source's contract (the
+    registry harness replays time-ordered files)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:  # defensive: NoTimeout means data-only invocations
+            yield pd.DataFrame({"prev_type": [], "next_type": [], "n": []})
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = (batch["ts"].astype("int64") // 1_000).to_numpy()
+        ids = batch["event_id"].to_numpy()
+        types = batch["event_type"].to_numpy()
+        if state.exists:
+            last_us, last_id, last_type = state.get
+            prev = [last_type] + list(types[:-1])
+        else:
+            prev = [None] + list(types[:-1])
+        pairs = pd.DataFrame({"prev_type": prev, "next_type": types})
+        pairs = pairs[pairs["prev_type"].notna()]
+        counts = (
+            pairs.groupby(["prev_type", "next_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        state.update((int(ts_us[-1]), int(ids[-1]), str(types[-1])))
+        yield counts
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_TRANSITIONS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SESSIONIZE_SCHEMA = (
     "event_id bigint, user_id bigint, ts_epoch_us bigint, session_start_us bigint"
 )

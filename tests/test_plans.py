@@ -234,12 +234,15 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "emb_knn_classify",         # n_classes-row broadcast centroid table
     "ext_bloom_semi_lineitem",  # 1-row broadcast bloom map attach
     "ext_winsorize_doclen",     # 1-row broadcast percentile bounds
+    "cur_median_length_filter", # 1-row broadcast exact-median threshold
+    "text_collocations_lift",   # 1-row broadcast corpus token total
 }
 _PLAN_LINT_SKIP = {
     "stream_user_totals",       # executes a streaming query on invocation
     "stream_dedup_exact",
     "stream_sessionize_gap",
     "stream_interval_join_clicks",
+    "stream_markov_transitions",
     "ref_ingest_streaming",
 }
 

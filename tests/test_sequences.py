@@ -1,0 +1,152 @@
+"""Semantics + plan-shape tests for operators.sequences (user-journey
+analytics): funnel, retention cohorts, transitions, rolling windows, and
+latest-per-key compaction.  Registry oracle rows cover the hash-exact
+comparison against DuckDB; these tests pin the semantics on hand-built
+fixtures (where expected values are human-checkable) and the plan
+properties that matter at scale (one Exchange for the whole funnel,
+map-side-combinable argmax for latest_per_key)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bulkfhirloader_spark.operators import sequences
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture()
+def tiny_events(spark):
+    rows = [
+        # user 1: full ordered funnel signup(1) -> click(3) -> purchase(5)
+        (1, _ts(1), 1, "signup", 10.0),
+        (2, _ts(3), 1, "click", 20.0),
+        (3, _ts(5), 1, "purchase", 30.0),
+        # user 2: purchase BEFORE click -> only reaches step 1
+        (4, _ts(1), 2, "signup", 5.0),
+        (5, _ts(2), 2, "purchase", 5.0),
+        (6, _ts(4), 2, "click", 5.0),
+        # user 3: never signs up -> reaches no step
+        (7, _ts(1), 3, "click", 1.0),
+        (8, _ts(2), 3, "purchase", 1.0),
+        # user 4: signup and click at the SAME timestamp -> strict
+        # ordering means the tied click does not count, the later one does
+        (9, _ts(1), 4, "signup", 2.0),
+        (10, _ts(1), 4, "click", 2.0),
+        (11, _ts(2), 4, "click", 2.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_funnel_ordered_semantics(tiny_events):
+    out = {
+        r.step_name: r.n_users
+        for r in sequences.funnel_counts(
+            tiny_events, ["signup", "click", "purchase"]
+        ).collect()
+    }
+    # signup: users 1,2,4.  click-after-signup: 1 (m3), 2 (m4), 4 (m2 —
+    # the m1 click ties the signup and strict > excludes it, the m2 click
+    # counts).  purchase-after-click: only user 1 (user 2's purchase
+    # precedes their click; user 4 never purchases).
+    assert out == {"signup": 3, "click": 3, "purchase": 1}
+
+
+def test_funnel_single_exchange_for_all_steps(spark, tiny_events):
+    """The K chained running-min Window operators (each step depends on the
+    previous one's output, so they cannot fuse into one Window) must still
+    share a single Exchange(hashpartitioning(user_id)) + single Sort; the
+    per-user collapse reuses the partitioning, and the only other exchange
+    is the tiny SinglePartition one into the final count agg."""
+    plan = (
+        sequences.funnel_counts(tiny_events, ["signup", "click", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("Sort [") == 1, plan
+    assert plan.count("Exchange") == 2, plan  # user hash + SinglePartition
+
+
+def test_retention_cohorts_offsets(spark):
+    week = 604_800
+    base = dt.datetime(2024, 1, 4)  # inside epoch-week W
+    rows = [
+        (1, base, 1, "view", 0.0),
+        (2, base + dt.timedelta(seconds=week), 1, "view", 0.0),   # W+1
+        (3, base + dt.timedelta(seconds=3 * week), 1, "view", 0.0),  # W+3
+        (4, base + dt.timedelta(seconds=week), 2, "view", 0.0),   # cohort W+1
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = sequences.retention_cohorts(ev)
+    got = {(r.cohort_period, r.period_offset): r.n_users for r in out.collect()}
+    cohorts = {c for c, _ in got}
+    assert len(cohorts) == 2
+    w = min(cohorts)
+    assert got[(w, 0)] == 1 and got[(w, 1)] == 1 and got[(w, 3)] == 1
+    assert got[(w + 1, 0)] == 1
+    assert (w, 2) not in got
+
+
+def test_transition_counts(tiny_events):
+    out = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in sequences.transition_counts(tiny_events).collect()
+    }
+    # user1: s->c, c->p; user2: s->p, p->c; user3: c->p;
+    # user4 (tie broken by event_id): s->c, c->c
+    assert out[("signup", "click")] == 2
+    assert out[("click", "purchase")] == 2
+    assert out[("signup", "purchase")] == 1
+    assert out[("purchase", "click")] == 1
+    assert out[("click", "click")] == 1
+    assert sum(out.values()) == 7
+
+
+def test_rolling_window_stats(tiny_events):
+    out = {
+        r.event_id: (r.window_value_cents, r.window_n)
+        for r in sequences.rolling_window_stats(tiny_events, n_preceding=2).collect()
+    }
+    # user 1 values 10, 20, 30 -> cents 1000, 3000, 6000 over trailing 3
+    assert out[1] == (1000, 1)
+    assert out[2] == (3000, 2)
+    assert out[3] == (6000, 3)
+    # user 3: 1.0 then 1.0
+    assert out[8] == (200, 2)
+
+
+def test_latest_per_key_argmax_and_plan(spark, tiny_events):
+    ev = tiny_events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    out = sequences.latest_per_key(
+        ev, ["user_id"], ["ts_us", "event_id"], ["event_type"]
+    )
+    got = {r.user_id: (r.event_id, r.event_type) for r in out.collect()}
+    assert got[1] == (3, "purchase")
+    assert got[2] == (6, "click")
+    assert got[4] == (11, "click")  # ts tie at m1 irrelevant; m2 click wins
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # struct-max aggregates map-side (partial_max below the Exchange, so
+    # one candidate row per key per partition crosses the wire) and never
+    # plans a Window — the row_number formulation would
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert plan.index("partial_max") > plan.index("Exchange"), (
+        "partial_max must appear below (after, in toString order) the "
+        "Exchange — i.e. evaluated before it\n" + plan
+    )

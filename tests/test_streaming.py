@@ -276,3 +276,49 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert want, "fixture must produce at least one pair"
     assert got == want
+
+
+def test_stream_transitions_chain_across_batches(spark, tmp_path):
+    """Two time-ordered files, one event per user in EACH -> every
+    transition spans the micro-batch boundary, so a correct result is
+    possible only if the GroupState cursor hands batch 1's last event to
+    batch 2 (a stateless per-batch count would emit zero rows)."""
+    import datetime as dt
+
+    from bulkfhirloader_spark.streaming.stateful import stream_transitions
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows1 = [(1, ts(1), 1, "signup"), (2, ts(2), 2, "view")]
+    rows2 = [(3, ts(3), 1, "click"), (4, ts(4), 2, "purchase")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "chunk-0")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "chunk-1")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "in" / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("stream_transitions_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "SELECT prev_type, next_type, sum(n) AS n FROM stream_transitions_t "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == {("signup", "click"): 1, ("view", "purchase"): 1}
