@@ -113,3 +113,40 @@ def clip_outliers(
             (v.cast("double") > F.col("_hi")).alias("was_high"),
         )
     )
+
+
+def histogram_equi_width(
+    df: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram: ONE aggregate pass for (min, max), the 1-row
+    bounds broadcast into a zero-shuffle bin projection, then a count on
+    n_bins keys (partial aggregation collapses it map-side).  The corpus
+    never shuffles — the same two-pass shape as clip_outliers.
+
+    The bin rule — ``least(floor((x - lo) / width), n_bins - 1)`` with
+    ``width = (hi - lo) / n_bins`` — is plain double arithmetic in a fixed
+    order, so DuckDB restates it bit-identically (its width_bucket doesn't
+    exist and Spark's width_bucket differs at the hi edge anyway; the
+    explicit formula keeps both engines on one definition: the top edge
+    folds into the last bin).
+
+    Spark's own histogram_numeric is NOT used: its bins are
+    centroid-based (Ben-Haim/Tom-Tov streaming histogram), approximate and
+    merge-order-dependent — fine for plotting, not reproducible.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    c = F.col(col).cast("double")
+    bounds = df.agg(
+        F.min(c).alias("_lo"), F.max(c).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_idx = F.least(
+        F.floor((c - F.col("_lo")) / width), F.lit(n_bins - 1).cast("long")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bin_idx.alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

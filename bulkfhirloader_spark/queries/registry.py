@@ -4125,6 +4125,57 @@ FROM events GROUP BY 1
 """
 
 
+def ext_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of lineitem extended price
+    (profile.histogram_equi_width): one bounds pass, zero-shuffle binning,
+    n_bins-key count.  The oracle restates the identical floor/least bin
+    rule — see the operator docstring for why width_bucket/histogram_numeric
+    are avoided."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile.histogram_equi_width(li, "l_extendedprice", n_bins=12)
+
+
+_EXT_HISTOGRAM_SQL = """
+WITH b AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                  max(CAST(l_extendedprice AS DOUBLE)) AS hi
+           FROM lineitem)
+SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                        / ((hi - lo) / 12.0)), 11) AS BIGINT) AS bin_idx,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem CROSS JOIN b
+GROUP BY 1
+"""
+
+
+def ext_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalization of the rollup/cube entries: one
+    pass emits per-status totals, per-priority totals, and the grand total
+    (Catalyst plans a single Expand + aggregate, reading orders ONCE
+    instead of three unioned scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+
+
+_EXT_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # reference parity — aggregations / filters / projections
     "ref_a1_population_facts": (ref_a1_population_facts, _REF_A1_SQL),
@@ -4266,6 +4317,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_collocations_lift": (text_collocations_lift, _TEXT_COLLOC_SQL),
     "cur_median_length_filter": (cur_median_length_filter, _CUR_MEDIAN_SQL),
     "ext_approx_percentile_check": (ext_approx_percentile_check, _EXT_APPROX_PCT_SQL),
+    "ext_histogram_price": (ext_histogram_price, _EXT_HISTOGRAM_SQL),
+    "ext_grouping_sets_orders": (ext_grouping_sets_orders, _EXT_GROUPING_SETS_SQL),
 }
 
 # DISCLOSED ITERATION-ORDER ROTATION — see AUDIT.md at the repo root.

@@ -236,6 +236,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "ext_winsorize_doclen",     # 1-row broadcast percentile bounds
     "cur_median_length_filter", # 1-row broadcast exact-median threshold
     "text_collocations_lift",   # 1-row broadcast corpus token total
+    "ext_histogram_price",      # 1-row broadcast (min, max) bounds
 }
 _PLAN_LINT_SKIP = {
     "stream_user_totals",       # executes a streaming query on invocation
@@ -318,3 +319,32 @@ def test_partitioned_events_read_prunes_partitions(spark, tmp_path):
 
     files = glob.glob(f"{path}/event_date=2024-01-02/*.parquet")
     assert len(files) == 1, files
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    """compact_store on a store shattered into many tiny files must (a)
+    round-trip every row exactly, (b) cut the per-day file count to ~rows/
+    target, and (c) never mix days in one output file beyond the Hive
+    layout (files live under their event_date= dirs by construction)."""
+    import glob
+    import os
+
+    from bulkfhirloader_spark.sources import partitioned
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "store")
+    # shatter: many tasks x partitionBy => small files per day
+    events.repartition(16).withColumn(
+        "event_date", F.to_date("ts")
+    ).write.partitionBy("event_date").parquet(src)
+    n_src_files = len(glob.glob(os.path.join(src, "event_date=*", "*.parquet")))
+
+    out = str(tmp_path / "compact")
+    partitioned.compact_store(spark, src, out, target_rows_per_file=10_000)
+    n_out_files = len(glob.glob(os.path.join(out, "event_date=*", "*.parquet")))
+    assert n_out_files < n_src_files / 4, (n_src_files, n_out_files)
+
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

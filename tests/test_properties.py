@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis): the sequence operators against
+straight-line Python simulations on randomized event streams.  The registry
+oracles pin these operators against DuckDB on the fixed corpus; these
+properties pin them against an independent reimplementation on adversarial
+shapes hypothesis likes to find (ties, empty users, single-event users,
+all-same-type streams).
+
+Example counts are kept small: each example pays a Spark job (~0.5 s), so
+the suite budget is ~15 examples per property, plus @example pins for the
+regressions we care most about.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from bulkfhirloader_spark.operators import sequences
+
+STEPS = ["signup", "click", "purchase"]
+TYPES = STEPS + ["view"]
+
+# (user_id, minute, type_idx, event_id is positional)
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, raw):
+    rows = [
+        (i + 1, dt.datetime(2024, 1, 1, 0, m), u, TYPES[t])
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _funnel_sim(raw):
+    """Reference simulation: per user, scan events in (ts, event_id) order
+    and advance a step cursor on strictly-later matches."""
+    per_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, m, t) in enumerate(raw):
+        per_user.setdefault(u, []).append((m, i + 1, TYPES[t]))
+    reached = [0] * len(STEPS)
+    for evs in per_user.values():
+        evs.sort()
+        done: list[int | None] = [None] * len(STEPS)
+        for m, _eid, typ in evs:
+            for k, step in enumerate(STEPS):
+                if typ != step:
+                    continue
+                prev_ok = k == 0 or (done[k - 1] is not None and m > done[k - 1])
+                if prev_ok and done[k] is None:
+                    done[k] = m
+        for k in range(len(STEPS)):
+            if done[k] is not None:
+                reached[k] += 1
+    return {s: reached[k] for k, s in enumerate(STEPS)}
+
+
+@given(EVENTS)
+@example([(1, 1, 0), (1, 1, 1), (1, 2, 2)])  # tie at step boundary
+@example([(1, 0, 2), (1, 1, 0), (1, 2, 1), (1, 3, 2)])  # pre-signup purchase
+@_SETTINGS
+def test_funnel_matches_simulation(spark, raw):
+    got = {
+        r.step_name: r.n_users
+        for r in sequences.funnel_counts(_df(spark, raw), STEPS).collect()
+    }
+    assert got == _funnel_sim(raw)
+
+
+@given(EVENTS)
+@example([(1, 3, 0), (1, 3, 1), (1, 3, 2)])  # all-tied timestamps
+@_SETTINGS
+def test_latest_per_key_matches_simulation(spark, raw):
+    from pyspark.sql import functions as F
+
+    ev = _df(spark, raw).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+    )
+    got = {
+        r.user_id: (r.ts_us, r.event_id, r.event_type)
+        for r in sequences.latest_per_key(
+            ev, ["user_id"], ["ts_us", "event_id"], ["event_type"]
+        ).collect()
+    }
+    want: dict[int, tuple[int, int, str]] = {}
+    for i, (u, m, t) in enumerate(raw):
+        us = int(dt.datetime(2024, 1, 1, 0, m).timestamp() * 1_000_000)
+        cand = (us, i + 1, TYPES[t])
+        if u not in want or cand[:2] > want[u][:2]:
+            want[u] = cand
+    assert got == want
+
+
+@given(EVENTS)
+@_SETTINGS
+def test_transitions_match_simulation(spark, raw):
+    got = {
+        (r.prev_type, r.next_type): r.n_transitions
+        for r in sequences.transition_counts(_df(spark, raw)).collect()
+    }
+    per_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, m, t) in enumerate(raw):
+        per_user.setdefault(u, []).append((m, i + 1, TYPES[t]))
+    want: dict[tuple[str, str], int] = {}
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
