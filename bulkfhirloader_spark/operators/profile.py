@@ -141,8 +141,10 @@ def histogram_equi_width(
         F.min(c).alias("_lo"), F.max(c).alias("_hi")
     )
     width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
-    bin_idx = F.least(
-        F.floor((c - F.col("_lo")) / width), F.lit(n_bins - 1).cast("long")
+    # constant column => zero width => (x-lo)/width is 0/0 = NaN (doubles
+    # don't throw under ANSI); fold the degenerate case into bin 0
+    bin_idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("long")).otherwise(
+        F.least(F.floor((c - F.col("_lo")) / width), F.lit(n_bins - 1).cast("long"))
     )
     return (
         df.crossJoin(F.broadcast(bounds))

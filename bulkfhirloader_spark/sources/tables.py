@@ -69,6 +69,11 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     # Harmless for µs files (the conf only affects TIMESTAMP(NANOS) columns),
     # required before the read for legacy nanos files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->TIMESTAMP cast below interprets the naive wall-clock in the
+    # SESSION timezone; DuckDB treats the same values as-is.  Pin UTC here
+    # (runtime-settable, idempotent — same move as queries._utc) so the
+    # epoch is caller-session-independent and the oracles always agree.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):

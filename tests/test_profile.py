@@ -53,3 +53,20 @@ def test_clip_outliers_bounds_and_flags(spark):
     assert r50["clipped"] == 50.0 and not r50["was_low"] and not r50["was_high"]
     with pytest.raises(ValueError):
         profile.clip_outliers(df, "v", 0.9, 0.1)
+
+
+def test_histogram_constant_column_single_bin(spark):
+    from bulkfhirloader_spark.operators.profile import histogram_equi_width
+
+    df = spark.createDataFrame([(7.0,)] * 5, "x double")
+    out = histogram_equi_width(df, "x", n_bins=4).collect()
+    assert [(r.bin_idx, r.n) for r in out] == [(0, 5)]
+
+
+def test_histogram_counts_and_edges(spark):
+    from bulkfhirloader_spark.operators.profile import histogram_equi_width
+
+    # 0..10 over 5 bins of width 2; the top edge (10.0) folds into bin 4
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "x double")
+    got = {r.bin_idx: r.n for r in histogram_equi_width(df, "x", n_bins=5).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
