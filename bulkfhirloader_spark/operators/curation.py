@@ -430,3 +430,36 @@ def chunk_documents(
         F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
         F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
     )
+
+
+def deterministic_shuffle(
+    docs: DataFrame, id_col: str = "doc_id", seed: str = "epoch0"
+) -> DataFrame:
+    """Seeded deterministic corpus shuffle: assign every row a stable
+    1-based position in a pseudorandom-but-reproducible global order —
+    the "shuffle the training corpus" step, done so that re-running the
+    pipeline (or resuming a failed run) yields byte-identical shard
+    contents, unlike orderBy(rand()) whose sample is partitioning- and
+    retry-dependent.
+
+    Order key is md5(id || '/' || seed) — cryptographic diffusion makes the
+    order independent of id locality, a new seed string is a fresh epoch
+    permutation, and md5 (unlike xxhash64) has bit-identical
+    implementations in every engine, so the order is restatable in plain
+    SQL for the oracle.
+
+    Scale shape: ONE global sort (row_number over the hash order).  A total
+    order at 100 TB is a range-partitioned sort — Spark samples the hash
+    key space and assigns contiguous hash ranges to tasks; because the key
+    is uniform, the ranges are balanced by construction.  When only
+    per-shard locality matters (not a global position), skip the
+    row_number and `repartitionByRange` on the hash instead.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws("/", F.col(id_col).cast("string"), F.lit(seed)))
+    w = Window.orderBy(key.asc(), F.col(id_col).asc())
+    return docs.select(
+        F.col(id_col),
+        F.row_number().over(w).cast("long").alias("shuffle_pos"),
+    )

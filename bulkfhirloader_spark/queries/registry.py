@@ -4176,6 +4176,23 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def cur_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded reproducible corpus shuffle (curation.deterministic_shuffle):
+    md5-keyed global positions, restatable in SQL because md5 is
+    bit-identical across engines (xxhash64 is not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.deterministic_shuffle(docs, seed="epoch0")
+
+
+_CUR_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '/' || 'epoch0'), doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # reference parity — aggregations / filters / projections
     "ref_a1_population_facts": (ref_a1_population_facts, _REF_A1_SQL),
@@ -4319,6 +4336,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_approx_percentile_check": (ext_approx_percentile_check, _EXT_APPROX_PCT_SQL),
     "ext_histogram_price": (ext_histogram_price, _EXT_HISTOGRAM_SQL),
     "ext_grouping_sets_orders": (ext_grouping_sets_orders, _EXT_GROUPING_SETS_SQL),
+    "cur_deterministic_shuffle": (cur_deterministic_shuffle, _CUR_SHUFFLE_SQL),
 }
 
 # DISCLOSED ITERATION-ORDER ROTATION — see AUDIT.md at the repo root.
