@@ -463,3 +463,38 @@ def deterministic_shuffle(
         F.col(id_col),
         F.row_number().over(w).cast("long").alias("shuffle_pos"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    rate: float = 1.0,
+    seed: str = "ws0",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling: keep each row
+    with probability ``rate * weight / max(weight)`` — importance sampling
+    by a quality/length weight, reproducible across reruns, retries, and
+    repartitionings (F.rand() is none of those).
+
+    The per-row uniform comes from md5(id || seed): the first 13 hex chars
+    (52 bits, inside double's exact-integer range) scale to [0, 1).  The
+    keep test is rewritten multiply-only — ``u * max_w < rate * w`` — so
+    every arithmetic step (hex parse, one multiply each side, compare) is
+    IEEE-exact and engine-independent; no pow/log (libm-dependent last
+    ulps) and no division anywhere near the decision boundary.  max(weight)
+    is a 1-row aggregate broadcast into the filter — the corpus never
+    shuffles.  A new seed string is a fresh sample.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("/", F.col(id_col).cast("string"),
+                                             F.lit(seed))), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+    max_w = docs.agg(F.max(F.col(weight_col).cast("double")).alias("_max_w"))
+    return (
+        docs.crossJoin(F.broadcast(max_w))
+        .filter(u * F.col("_max_w") < F.lit(rate) * F.col(weight_col).cast("double"))
+        .drop("_max_w")
+    )

@@ -33,18 +33,25 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the right row with
-    the greatest ``right_ts`` <= ``left_ts`` within the same key group
-    (at-or-before semantics — a right row at exactly ``left_ts`` matches).
+    """As-of join: for every left row, attach the nearest right row within
+    the same key group — ``direction="backward"`` (default) takes the
+    greatest ``right_ts`` <= ``left_ts`` (at-or-before; a right row at
+    exactly ``left_ts`` matches), ``direction="forward"`` the smallest
+    ``right_ts`` >= ``left_ts`` (at-or-after — "next scheduled event"
+    lookups).  Both directions are the SAME single-Exchange single-Sort
+    union+window plan; forward just reverses the within-key sort.
 
     Returns all left columns plus, per value column ``v``, ``asof_v``, and
     ``asof_ts`` (the matched right timestamp) — all NULL when no right row
-    precedes the left row (left-outer semantics).
+    precedes (resp. follows) the left row (left-outer semantics).
 
     The right side must be unique per (key, right_ts); pre-aggregate
     otherwise (ties at the same timestamp would be order-dependent).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [
@@ -63,10 +70,16 @@ def asof_join(
     unioned = left_tagged.unionByName(right_tagged, allowMissingColumns=True)
 
     # Right rows sort BEFORE left rows at an equal timestamp so a same-ts
-    # right row is visible to the left row (>= semantics).
+    # right row is visible to the left row (inclusive-equality semantics in
+    # both directions).  Backward scans time ascending carrying the latest
+    # right row forward; forward scans time DESCENDING carrying the
+    # earliest following right row backward.
+    ts_order = (
+        F.col("_asof_ts").asc() if direction == "backward" else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_asof_ts").asc(), F.col("_is_right").desc())
+        .orderBy(ts_order, F.col("_is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -3722,6 +3722,50 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_epoch_us >= p.ts_us
 """
 
 
+def ext_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (direction='forward'): every click picks up the
+    same user's NEXT purchase at-or-after it — the "time to conversion"
+    primitive.  Identical single-Exchange union+window plan as backward,
+    with the within-key sort reversed; oracle is DuckDB's native ASOF with
+    the <= comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("click_epoch_us")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("ts_us"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = joins.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_epoch_us",
+        right_ts="ts_us",
+        value_cols=["purchase_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_epoch_us",
+        F.col("asof_ts").alias("purchase_epoch_us"),
+        F.col("asof_purchase_value").alias("purchase_value"),
+    )
+
+
+_EXT_ASOF_FWD_SQL = """
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS click_epoch_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.click_epoch_us,
+       p.ts_us AS purchase_epoch_us, p.purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.click_epoch_us <= p.ts_us
+"""
+
+
 def ext_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval self-join via the binned range join: for each event, count
     the same user's events in the strictly-preceding 5 minutes.  The bin
@@ -4176,6 +4220,26 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sample
+    (curation.weighted_sample): keep probability ∝ n_chars, md5-seeded
+    uniforms, multiply-only keep test (IEEE-exact both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample(docs, weight_col="n_chars", rate=0.5).select(
+        "doc_id", "n_chars"
+    )
+
+
+_CUR_WEIGHTED_SQL = """
+WITH m AS (SELECT max(CAST(n_chars AS DOUBLE)) AS max_w FROM documents)
+SELECT doc_id, n_chars
+FROM documents CROSS JOIN m
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '/' || 'ws0'), 1, 13))::BIGINT
+        / 4503599627370496.0) * max_w
+      < 0.5 * CAST(n_chars AS DOUBLE)
+"""
+
+
 def cur_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded reproducible corpus shuffle (curation.deterministic_shuffle):
     md5-keyed global positions, restatable in SQL because md5 is
@@ -4292,6 +4356,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_salted_distinct_users": (ext_salted_distinct_users, _EXT_DISTINCT_SQL),
     "ext_salted_join_orders": (ext_salted_join_orders, _EXT_SALTED_JOIN_SQL),
     "ext_asof_join_events": (ext_asof_join_events, _EXT_ASOF_SQL),
+    "ext_asof_forward_events": (ext_asof_forward_events, _EXT_ASOF_FWD_SQL),
     "ext_range_join_counts": (ext_range_join_counts, _EXT_RANGE_JOIN_SQL),
     "ext_value_percentiles": (ext_value_percentiles, _EXT_PERCENTILES_SQL),
     "ext_pivot_status_counts": (ext_pivot_status_counts, _EXT_PIVOT_SQL),
@@ -4337,6 +4402,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_histogram_price": (ext_histogram_price, _EXT_HISTOGRAM_SQL),
     "ext_grouping_sets_orders": (ext_grouping_sets_orders, _EXT_GROUPING_SETS_SQL),
     "cur_deterministic_shuffle": (cur_deterministic_shuffle, _CUR_SHUFFLE_SQL),
+    "cur_weighted_sample": (cur_weighted_sample, _CUR_WEIGHTED_SQL),
 }
 
 # DISCLOSED ITERATION-ORDER ROTATION — see AUDIT.md at the repo root.

@@ -433,3 +433,25 @@ def test_orc_roundtrip_exact(spark, tmp_path):
     corpus.write_orc(df, p)
     back = sorted(tuple(r) for r in corpus.read_orc(spark, p).collect())
     assert back == sorted(rows)
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    """Same seed => identical sample regardless of partitioning; a fresh
+    seed resamples; heavier rows are kept at a higher empirical rate."""
+    from bulkfhirloader_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1 + (i % 10) * 100) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = {r.doc_id for r in weighted_sample(docs, "n_chars", rate=0.6).collect()}
+    b = {
+        r.doc_id
+        for r in weighted_sample(
+            docs.repartition(7), "n_chars", rate=0.6
+        ).collect()
+    }
+    assert a == b  # partitioning-independent
+    c = {r.doc_id for r in weighted_sample(docs, "n_chars", rate=0.6, seed="x").collect()}
+    assert c != a  # new seed, new sample
+    light = sum(1 for d in a if d % 10 == 0) / 40  # weight 1
+    heavy = sum(1 for d in a if d % 10 == 9) / 40  # weight 901
+    assert light < 0.1 and heavy > 0.4

@@ -189,3 +189,36 @@ def test_bloom_prefilter_actually_prunes(spark):
     build = spark.createDataFrame([(7,), (1999,)], "k long")
     out = joins.bloom_semi_join(probe, build, on="k", n_bits=1 << 14)
     assert sorted(r["k"] for r in out.collect()) == [7, 1999]
+
+
+def test_asof_forward_semantics(spark):
+    from bulkfhirloader_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 1, "d")],
+        "k long, ts long, v string",
+    )
+    out = {
+        (r.k, r.ts): (r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, on="k", direction="forward"
+        ).collect()
+    }
+    # at-or-after: ts=10 matches the equal-ts right row, not the next one
+    assert out[(1, 10)] == (10, "a")
+    assert out[(1, 25)] == (30, "c")
+    # no right row at-or-after ts=5 for k=2 except ts=1? 1 < 5 -> no match
+    assert out[(2, 5)] == (None, None)
+
+
+def test_asof_direction_validation(spark):
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators.joins import asof_join
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on="id", direction="nearest")

@@ -237,6 +237,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "cur_median_length_filter", # 1-row broadcast exact-median threshold
     "text_collocations_lift",   # 1-row broadcast corpus token total
     "ext_histogram_price",      # 1-row broadcast (min, max) bounds
+    "cur_weighted_sample",      # 1-row broadcast max-weight threshold
 }
 _PLAN_LINT_SKIP = {
     "stream_user_totals",       # executes a streaming query on invocation
