@@ -3575,6 +3575,47 @@ GROUP BY event_type
 """
 
 
+def src_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (sources.partitioned.compact_store):
+    the partitioned store is deliberately SHATTERED (16 tasks × partitionBy
+    = ~16 files/day), compacted with data-derived per-day file counts, and
+    the compacted copy aggregated per day.  The oracle computes the same
+    aggregate from the ORIGINAL events — a green row proves compaction is
+    lossless; the file-count reduction itself is pytest-asserted
+    (tests/test_plans.py)."""
+    import os as _os
+
+    from bulkfhirloader_spark.sources import partitioned
+
+    _utc(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, "events_compacted")
+    out = _SRC_FMT_DIRS.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="bfls_evcomp_")
+        src = _os.path.join(root, "shattered")
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(16).withColumn(
+            "event_date", F.to_date("ts")
+        ).write.partitionBy("event_date").parquet(src)
+        out = _os.path.join(root, "compacted")
+        partitioned.compact_store(spark, src, out, target_rows_per_file=2_000)
+        _SRC_FMT_DIRS[key] = out
+    comp = spark.read.parquet(out)
+    return comp.groupBy(F.col("event_date").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("value_micros"),
+    )
+
+
+_SRC_EVCOMP_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT)) AS value_micros
+FROM events
+GROUP BY 1
+"""
+
+
 _SRC_FMT_DIRS: dict[tuple[str, str, str], str] = {}
 
 
@@ -4403,6 +4444,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_grouping_sets_orders": (ext_grouping_sets_orders, _EXT_GROUPING_SETS_SQL),
     "cur_deterministic_shuffle": (cur_deterministic_shuffle, _CUR_SHUFFLE_SQL),
     "cur_weighted_sample": (cur_weighted_sample, _CUR_WEIGHTED_SQL),
+    "src_compacted_events": (src_compacted_events, _SRC_EVCOMP_SQL),
 }
 
 # DISCLOSED ITERATION-ORDER ROTATION — see AUDIT.md at the repo root.
