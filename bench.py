@@ -37,6 +37,8 @@ HEADLINE = [
     "ext_bloom_semi_lineitem",
     "sim_topk_pandas",
     "cur_full_pipeline",
+    "ext_funnel_conversion",
+    "cur_latest_event_per_user",
 ]
 
 
