@@ -256,6 +256,17 @@ def ngram_jaccard_pairs(
             "candidates=<pairs df>, max_shingle_df=<n>, or "
             "allow_full_scan=True (test scale only)"
         )
+    if candidates is not None:
+        # The candidate set is referenced THREE times below (both sides of
+        # the wanted-ids union + the pair semi join); without a lineage cut
+        # each reference re-expands the whole proposal subplan — for the
+        # MinHash tier that triples the banding pipeline (measured: a
+        # 90-Exchange printed plan and 5.4 s warm at sf0.1 vs 15 Exchanges
+        # and ~1.5 s with the cut).  Candidates are small by contract
+        # (that's the point of LSH proposal), so a lazy localCheckpoint —
+        # computed once at first use, then served from block storage — is
+        # the right trade; same move the connected-components loop makes.
+        candidates = candidates.localCheckpoint(eager=False)
     expl = ensure_parallelism(docs).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
@@ -505,9 +516,16 @@ def simhash_signatures(
     occurrence; sign of each plane's sum forms the signature.
 
     Plan shape mirrors minhash_signatures: a PURE PROJECTION — hash the
-    token array once, then one F.aggregate fold per bit plane (Python-int
-    shift amounts — F.shiftright requires a literal int, not a Column).
-    No explode, no groupBy: zero shuffle at any corpus size.
+    token array once, then ONE aggregate fold whose accumulator is the
+    array of 64 bit-plane one-counts, each step zip_with-ing the counters
+    against ``getbit(h, i)`` (BitwiseGet takes a COLUMN position, unlike
+    the shiftright Python wrapper — that's what makes the single-traversal
+    form expressible).  The earlier formulation ran one fold PER PLANE: 64
+    re-traversals of the token array and a 64-fold codegen blowup, measured
+    ~3× slower end-to-end on the simhash registry query.  Sign rule: plane
+    i is set iff ones*2 > n_tokens — identical (including ties) to the old
+    ±1-sum > 0, so signatures are bit-identical.  No explode, no groupBy:
+    zero shuffle at any corpus size.
 
     Docs with zero tokens produce no signature (SimHash is undefined there),
     same as MinHash.
@@ -520,26 +538,33 @@ def simhash_signatures(
         .select(F.col(id_col), ht.alias("ht"))
         .filter(F.size("ht") > 0)
     )
-
-    def plane_sum(i: int):
-        return F.aggregate(
-            "ht",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-
-    # Pack sign bits with Python-int shift literals (1 << i fits int64 for
-    # i < 63; bit 63 would be the sign bit, so signatures use bits <= 64 with
-    # the top bit contributing the int64 sign — harmless for equality/XOR).
-    sig = reduce_bitor(
-        [
-            F.when(plane_sum(i) > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+    idx = F.array(*[F.lit(i) for i in range(bits)])
+    zeros = F.array(*[F.lit(0).cast("long")] * bits)
+    ones = F.aggregate(
+        "ht",
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda a, i: a + F.getbit(h, i).cast("long")
+        ),
+    )
+    # Pack sign bits with Python-int literals (bit 63 contributes the int64
+    # sign — harmless for equality/XOR).  Disjoint bit values sum without
+    # overlap, so a fold-sum assembles the signature.
+    bitvals = F.array(
+        *[
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
             for i in range(bits)
         ]
+    )
+    n = F.size("ht").cast("long")
+    sig = F.aggregate(
+        F.zip_with(
+            ones,
+            bitvals,
+            lambda c, bv: F.when(c * 2 > n, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
     )
     return d.select(F.col(id_col), sig.alias("simhash"))
 

@@ -1888,14 +1888,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-proposed, exact-verified near-dup tier, hash-checked against
     ground truth.  Banding at 8 bits × 8 bands makes the pigeonhole
     guarantee cover Hamming ≤ 7 (any pair within 7 bits of a 64-bit
-    signature agrees on one of 8 bands), which on this corpus recalls every
-    true Jaccard ≥ 0.5 pair (their Hamming distances top out at 5); exact
-    n-gram Jaccard then re-scores ONLY those candidates.  The oracle is the
-    full-scan exact SQL, so a green row certifies the bucketed SimHash path
-    reproduces the quadratic baseline exactly — replacing the old rows-only
-    check.  The default geometry (16-bit bands, Hamming ≤ 3) remains the
-    production setting for fingerprint-style dedup; this entry's looser
-    geometry trades bucket selectivity for provable recall at Jaccard 0.5."""
+    signature agrees on one of 8 bands); at the correctness scale (sf0.01,
+    where the harness compares) every true Jaccard ≥ 0.5 pair sits within
+    Hamming 5, so the candidates recall ALL of them and the green row
+    certifies the bucketed SimHash path reproduces the quadratic baseline
+    exactly.  SimHash recall degrades with corpus diversity — measured
+    241/256 (94%) at sf0.1 — which is the honest operating profile of
+    64-bit SimHash at Jaccard 0.5; pairs that MUST be caught at that
+    looseness belong to the MinHash tier (dedup_minhash_verified, 100%
+    recall at both scales).  Exact n-gram Jaccard re-scores only the
+    candidates, so false positives never reach the answer.  The default
+    geometry (16-bit bands, Hamming ≤ 3) remains the production setting
+    for fingerprint-style dedup."""
     docs = load_table(spark, sf_dir, "documents")
     cand = dedup.simhash_near_dup_pairs(docs, band_bits=8, max_hamming=7)
     return dedup.ngram_jaccard_pairs(
