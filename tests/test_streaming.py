@@ -322,3 +322,58 @@ def test_stream_transitions_chain_across_batches(spark, tmp_path):
         ).collect()
     }
     assert got == {("signup", "click"): 1, ("view", "purchase"): 1}
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """The watermark's state-bounding contract, observed from the outside:
+    an event arriving after the watermark has EVICTED its window's state
+    must be dropped — the mechanism that lets an unbounded stream run in
+    bounded memory.  Nuance this test pins deliberately: eviction happens
+    at batch boundaries, so a late row landing in the SAME batch whose
+    watermark first passes its window still joins the live state (observed
+    empirically; Spark guarantees "at least delay tolerated", drop only
+    after eviction).  Hence three batches: batch 0 reaches 01:50, batch 1
+    advances/evicts (watermark 01:40 closes the 01:00–01:10 window), and
+    only then batch 2 delivers the 01:07 straggler — which must vanish
+    from the finalized window count."""
+    import datetime as dt
+    import time
+
+    from bulkfhirloader_spark.streaming import stream_tumbling_counts
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 1, minute)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    chunks = [
+        [(1, ts(0), 1, "view", 1.0), (2, ts(5), 1, "view", 1.0),
+         (3, ts(50), 1, "view", 1.0)],
+        [(5, ts(55), 1, "view", 1.0)],                    # evicts window 0
+        [(4, ts(7), 1, "view", 1.0), (6, ts(58), 1, "view", 1.0)],  # straggler
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / "in" / f"chunk-{i}"))
+        time.sleep(1.1)  # distinct mtimes => deterministic file replay order
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "in" / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_tumbling_counts(stream, "10 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_drop_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"].minute: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_drop_t").collect()
+    }
+    # the 01:00 window finalized with the 2 on-time events; event 4 (01:07,
+    # arriving after eviction) was dropped — a batch GROUP BY would say 3
+    assert got.get(0) == 2, got
