@@ -2295,15 +2295,18 @@ SELECT query_id, vec_id, rnk FROM ranked WHERE rnk <= 5
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer + probed inverted lists),
-    hash-checked against the exact brute-force SQL: scores are exact
-    cosines inside the probed lists, so the comparison asserts the coarse
-    quantizer at 6-of-8 probes recalls every true top-5 neighbor on this
-    corpus — same certification pattern as sim_topk_lsh.  The
-    cost/recall knob stays real (pytest exercises the sparser
-    n_probe=3 setting and asserts partial recall); this entry pins the
-    geometry where IVF provably equals ground truth."""
+    hash-checked against the exact brute-force SQL at the exhaustive
+    setting n_probe = n_clusters: probing every list makes IVF a
+    partition-exact search at ANY scale, so the green row certifies the
+    MACHINERY — quantizer assignment, per-list exact cosine scoring,
+    tie-breaking — is lossless (an earlier 6-of-8 pin was exact at sf0.01
+    but lost 8/25 neighbors at sf0.1: partial-probe recall is
+    data-dependent and does not belong in a hash-equality gate).  The
+    accuracy/cost dial itself is exercised by pytest at sparse probes
+    (n_probe=3, partial-recall assertions) — that is the honest home for
+    an approximate knob."""
     q, emb = _query_vectors(spark, sf_dir)
-    out = similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=8, n_probe=6)
+    out = similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=8, n_probe=8)
     return out.select(
         "query_id",
         "vec_id",
@@ -2433,14 +2436,17 @@ def ext_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick: the sketch estimate itself is engine-specific (DuckDB's
     approx_count_distinct uses a different HLL), so emit the EXACT count
     (SQL-restatable) plus a boolean asserting the sketch landed within 5%
-    relative error of it — HLL++ at default precision guarantees ~2.3%
-    standard error, so the bound holds deterministically here.  The oracle
-    restates the exact side and the literal TRUE."""
+    relative error of it.  The sketch precision is pinned to rsd=1% —
+    Spark's DEFAULT rsd is 5%, which makes a 5% tolerance a coin flip (one
+    standard error; it held at sf0.01 and broke at sf0.1 in the
+    cross-scale sweep); at 1% rsd the 5% bound is five standard errors,
+    measured 0.47% actual error at sf0.1.  The oracle restates the exact
+    side and the literal TRUE."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("_approx"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
             F.count_distinct("user_id").alias("n_users_exact"),
         )
         .select(
