@@ -191,3 +191,65 @@ def latest_per_key(
         *[F.col(f"_latest.{c}").alias(c) for c in order_cols],
         *[F.col(f"_latest.{c}").alias(c) for c in payload_cols],
     )
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    step_seconds: int = 86_400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed grid with
+    forward fill: one row per (user, step) from the user's first to last
+    active step, carrying the last-observed value through gaps — the
+    resample-and-ffill primitive behind dashboards and feature snapshots.
+
+    Shape: per-bucket collapse first (struct-max argmax keeps the LAST
+    event's value per (user, step) — map-side combining, same as
+    latest_per_key), then the per-user [min_step, max_step] span from one
+    more aggregate on the already-tiny bucket rows, an F.sequence explode
+    to mint the grid (fan-out = span/step, a caller-controlled constant,
+    NOT corpus-sized), a left join of buckets onto the grid, and a
+    last(ignorenulls) forward fill.  The grid join and the fill window
+    both key on user, so AQE/partitioning reuse keeps it at two user-keyed
+    exchanges over BUCKET-level (not event-level) row counts.
+
+    Value is carried as integer cents; steps as integer epoch divisions —
+    both hash-stable across engines.
+    """
+    step_us = step_seconds * 1_000_000
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    ev = events.select(
+        F.col(user_col),
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(step_us)).alias("_step"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(id_col).alias("_id"),
+        cents.alias("_cents"),
+    )
+    # last observation per bucket: argmax by (ts, id) — map-side combining
+    buckets = ev.groupBy(user_col, "_step").agg(
+        F.max(F.struct("_us", "_id", "_cents")).alias("_last")
+    ).select(user_col, "_step", F.col("_last._cents").alias("_cents"))
+    span = buckets.groupBy(user_col).agg(
+        F.min("_step").alias("_lo"), F.max("_step").alias("_hi")
+    )
+    grid = span.select(
+        F.col(user_col),
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_step"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("_step")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(buckets, [user_col, "_step"], "left")
+        .select(
+            F.col(user_col),
+            F.col("_step").alias("step"),
+            F.last("_cents", ignorenulls=True).over(w).alias("value_cents_ffill"),
+            F.col("_cents").isNotNull().alias("observed"),
+        )
+    )

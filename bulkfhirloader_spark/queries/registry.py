@@ -4272,6 +4272,41 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def ext_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + forward fill per user (sequences
+    .resample_forward_fill): bucket-level argmax collapse, per-user grid
+    mint via F.sequence explode (fan-out = active-day span, not corpus
+    size), left join, last(ignorenulls) fill.  Oracle restates with
+    row_number buckets, range() grid, and IGNORE NULLS last_value."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequences.resample_forward_fill(ev, step_seconds=86_400)
+
+
+_EXT_RESAMPLE_SQL = """
+WITH ev AS (SELECT user_id,
+                   CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS step,
+                   epoch_us(ts) AS us, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+b AS (SELECT user_id, step, cents FROM (
+        SELECT user_id, step, cents,
+               row_number() OVER (PARTITION BY user_id, step
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1),
+span AS (SELECT user_id, min(step) AS lo, max(step) AS hi FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS step FROM span),
+j AS (SELECT g.user_id, g.step, b.cents
+      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.step = b.step)
+SELECT user_id, step,
+       last_value(cents IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY step
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_cents_ffill,
+       cents IS NOT NULL AS observed
+FROM j
+"""
+
+
 def cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weight-proportional Bernoulli sample
     (curation.weighted_sample): keep probability ∝ n_chars, md5-seeded
@@ -4456,6 +4491,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_deterministic_shuffle": (cur_deterministic_shuffle, _CUR_SHUFFLE_SQL),
     "cur_weighted_sample": (cur_weighted_sample, _CUR_WEIGHTED_SQL),
     "src_compacted_events": (src_compacted_events, _SRC_EVCOMP_SQL),
+    "ext_resample_ffill": (ext_resample_ffill, _EXT_RESAMPLE_SQL),
 }
 
 # DISCLOSED ITERATION-ORDER ROTATION — see AUDIT.md at the repo root.

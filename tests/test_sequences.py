@@ -150,3 +150,31 @@ def test_latest_per_key_argmax_and_plan(spark, tiny_events):
         "partial_max must appear below (after, in toString order) the "
         "Exchange — i.e. evaluated before it\n" + plan
     )
+
+
+def test_resample_forward_fill_gaps(spark):
+    import datetime as dt
+
+    rows = [
+        # user 1: days 0 and 3 observed -> days 1, 2 filled with day 0's value
+        (1, dt.datetime(2024, 1, 1, 5), 1, "view", 1.50),
+        (2, dt.datetime(2024, 1, 1, 9), 1, "view", 2.00),  # later same day wins
+        (3, dt.datetime(2024, 1, 4, 1), 1, "view", 9.00),
+        # user 2: single day
+        (4, dt.datetime(2024, 1, 2, 0), 2, "view", 4.25),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = sequences.resample_forward_fill(ev, step_seconds=86_400)
+    got = {
+        (r.user_id, r.step): (r.value_cents_ffill, r.observed)
+        for r in out.collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).timestamp() * 1_000_000) // 86_400_000_000
+    assert got[(1, base)] == (200, True)       # last same-day event wins
+    assert got[(1, base + 1)] == (200, False)  # gap filled
+    assert got[(1, base + 2)] == (200, False)
+    assert got[(1, base + 3)] == (900, True)
+    assert got[(2, base + 1)] == (425, True)
+    assert len(got) == 5
