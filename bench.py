@@ -48,6 +48,13 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    # Ambient load BEFORE we start working — the bench's own 32 threads
+    # dominate loadavg once queries run, so only the entry reading tells a
+    # reader whether the box was already busy (the r5 lesson).
+    try:
+        load_at_start = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load_at_start = (-1.0, -1.0, -1.0)
     spark = get_spark(app_name="bulkfhirloader-bench")
 
     # Warmup: force JVM + codegen + parquet footer reads outside the timings.
@@ -76,8 +83,12 @@ def main() -> None:
     floor = round(min(floor_samples), 3)
 
     # Cold = first execution in this JVM (includes per-plan codegen compile,
-    # which every fresh process pays once per query shape); warm = second
-    # execution of the identical plan (steady-state plan quality).
+    # which every fresh process pays once per query shape — inherently a
+    # single observation); warm = MEDIAN of 3 re-executions of the identical
+    # plan (steady-state plan quality).  r5's "+16% regression" turned out to
+    # be ambient machine load on single-shot timings, not code — the median
+    # plus the recorded loadavg below make that failure mode visible instead
+    # of indistinguishable from a real plan regression.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
@@ -86,9 +97,12 @@ def main() -> None:
             t0 = time.monotonic()
             fn(spark, sf_dir).collect()
             timings[name] = round(time.monotonic() - t0, 3)
-            t0 = time.monotonic()
-            fn(spark, sf_dir).collect()
-            warm[name] = round(time.monotonic() - t0, 3)
+            reps = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).collect()
+                reps.append(time.monotonic() - t0)
+            warm[name] = round(sorted(reps)[1], 3)  # median of 3
         except Exception as exc:  # noqa: BLE001 — one bad query = one lost row
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -111,8 +125,13 @@ def main() -> None:
                 "net_total": round(sum(net.values()), 3),
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "warm_reps": 3,
                 "ingest": ingest,
                 "errors": errors,
+                "loadavg_at_start": {"1m": load_at_start[0],
+                                     "5m": load_at_start[1],
+                                     "15m": load_at_start[2],
+                                     "ncpu": os.cpu_count()},
                 "sf": sf,
             }
         )

@@ -448,21 +448,60 @@ def deterministic_shuffle(
     implementations in every engine, so the order is restatable in plain
     SQL for the oracle.
 
-    Scale shape: ONE global sort (row_number over the hash order).  A total
-    order at 100 TB is a range-partitioned sort — Spark samples the hash
-    key space and assigns contiguous hash ranges to tasks; because the key
-    is uniform, the ranges are balanced by construction.  When only
-    per-shard locality matters (not a global position), skip the
-    row_number and `repartitionByRange` on the hash instead.
+    Scale shape: a RANGE-PARTITIONED sort, not a global window.
+    ``row_number() over (order by hash)`` — the obvious spelling — compiles
+    to Spark's empty-frame window, which funnels the ENTIRE corpus through
+    one task ("No Partition Defined for Window" path): an O(corpus)
+    single-machine bottleneck.  Instead: ``repartitionByRange`` on the hash
+    (Spark samples the key space; uniform key ⇒ balanced ranges) +
+    ``sortWithinPartitions``, persist so the range placement is computed
+    ONCE, then global position = per-range offset (a tiny
+    one-row-per-range aggregate, cumulative-summed on the driver and
+    broadcast back) + intra-range row_number partitioned by range id.  The
+    corpus itself shuffles once for the range exchange and once (balanced,
+    by range id) for the partitioned window; no task ever holds more than
+    one range.
     """
     from pyspark.sql import Window
 
+    spark = docs.sparkSession
     key = F.md5(F.concat_ws("/", F.col(id_col).cast("string"), F.lit(seed)))
-    w = Window.orderBy(key.asc(), F.col(id_col).asc())
-    return docs.select(
-        F.col(id_col),
-        F.row_number().over(w).cast("long").alias("shuffle_pos"),
+    keyed = docs.select(F.col(id_col), key.alias("_k"))
+    n_ranges = max(int(spark.conf.get("spark.sql.shuffle.partitions", "200")), 1)
+    while _live_shuffle_caches:
+        _live_shuffle_caches.pop().unpersist()
+    ranged = (
+        keyed.repartitionByRange(n_ranges, F.col("_k").asc(), F.col(id_col).asc())
+        .sortWithinPartitions(F.col("_k").asc(), F.col(id_col).asc())
+        .withColumn("_rid", F.spark_partition_id())
+        .persist()  # pin range placement: offsets job + final job must agree
     )
+    _live_shuffle_caches.append(ranged)
+    counts = sorted(
+        (r["_rid"], r["n"])
+        for r in ranged.groupBy("_rid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for rid, n in counts:  # one row per range — driver cumsum is O(ranges)
+        offsets.append((rid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "_rid int, _offset long")
+    local = F.row_number().over(
+        Window.partitionBy("_rid").orderBy(F.col("_k").asc(), F.col(id_col).asc())
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "_rid")
+        .select(
+            F.col(id_col),
+            (F.col("_offset") + local).cast("long").alias("shuffle_pos"),
+        )
+    )
+
+
+# Cache-hygiene ledger for deterministic_shuffle's pinned range placement
+# (same pattern as dedup._live_sig_caches): the previous invocation's
+# persist is released when a new one begins.
+_live_shuffle_caches: list = []
 
 
 def weighted_sample(

@@ -3557,7 +3557,13 @@ def src_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     antidote), then ONE day read back with a partition filter that prunes
     at planning time (PartitionFilters, plan-asserted in tests) and
     aggregated.  Oracle filters the ORIGINAL parquet to the same day —
-    proving the partition derivation and the pruned read lose nothing."""
+    proving the partition derivation and the pruned read lose nothing.
+
+    TZ-proof by construction (r5 driver red, unreproducible locally): the
+    day key is integer-epoch-day arithmetic on unix_micros on BOTH engines
+    (sources/partitioned.epoch_day vs floor(epoch(ts)/86400)) — no
+    timestamp->DATE cast, and so no session-timezone conf, is anywhere on
+    the hash path.  See SCALE.md §timezone."""
     from bulkfhirloader_spark.sources import partitioned
 
     _utc(spark)
@@ -3581,7 +3587,7 @@ SELECT event_type,
        count(DISTINCT user_id) AS n_users,
        sum(CAST(round(value * 1000000) AS BIGINT)) AS value_micros
 FROM events
-WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+WHERE (DATE '1970-01-01' + CAST(floor(epoch(ts) / 86400) AS INT)) = DATE '2024-01-05'
 GROUP BY event_type
 """
 
@@ -3605,21 +3611,26 @@ def src_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = tempfile.mkdtemp(prefix="bfls_evcomp_")
         src = _os.path.join(root, "shattered")
         ev = load_table(spark, sf_dir, "events")
+        # TZ-proof day key (r5 driver red): INTEGER epoch-day, so neither
+        # the derivation (pure unix_micros arithmetic) nor the partition-dir
+        # round-trip (ints need no date parsing) can touch the session TZ.
         ev.repartition(16).withColumn(
-            "event_date", F.to_date("ts")
-        ).write.partitionBy("event_date").parquet(src)
+            "event_day", partitioned.epoch_day("ts")
+        ).write.partitionBy("event_day").parquet(src)
         out = _os.path.join(root, "compacted")
-        partitioned.compact_store(spark, src, out, target_rows_per_file=2_000)
+        partitioned.compact_store(
+            spark, src, out, target_rows_per_file=2_000, partition_col="event_day"
+        )
         _SRC_FMT_DIRS[key] = out
     comp = spark.read.parquet(out)
-    return comp.groupBy(F.col("event_date").cast("string").alias("day")).agg(
+    return comp.groupBy(F.col("event_day").cast("int").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("value_micros"),
     )
 
 
 _SRC_EVCOMP_SQL = """
-SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+SELECT CAST(floor(epoch(ts) / 86400) AS INT) AS day,
        count(*) AS n_events,
        sum(CAST(round(value * 1000000) AS BIGINT)) AS value_micros
 FROM events

@@ -21,8 +21,37 @@ Two hazards the API here makes explicit:
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_EPOCH = _dt.date(1970, 1, 1)
+_MICROS_PER_DAY = 86_400_000_000
+
+
+def epoch_day(ts_col: str = "ts"):
+    """Timezone-independent day key: integer days since 1970-01-01, derived
+    by pure arithmetic on the timestamp's UTC epoch micros
+    (``floor(unix_micros(ts) / 86_400e6)``).
+
+    ``to_date(ts)`` on a TIMESTAMP goes through the SESSION timezone — a
+    conf any caller (or harness) can flip between plan build and execution,
+    silently moving boundary events to the neighboring day.  ``unix_micros``
+    reads the stored epoch directly and ``date_from_unix_date`` is calendar
+    arithmetic; no timezone is consulted anywhere on this path.
+    """
+    return F.floor(F.unix_micros(F.col(ts_col)) / F.lit(_MICROS_PER_DAY)).cast("int")
+
+
+def epoch_day_to_date(day_col):
+    """Integer epoch-day -> DATE, tz-free (DateType is a day ordinal)."""
+    return F.date_from_unix_date(day_col)
+
+
+def day_str_to_epoch_day(day: str) -> int:
+    """Driver-side 'YYYY-MM-DD' -> integer epoch-day (pure calendar math)."""
+    return (_dt.date.fromisoformat(day) - _EPOCH).days
 
 
 def write_events_partitioned(
@@ -33,12 +62,14 @@ def write_events_partitioned(
 ) -> None:
     """Write events partitioned by derived ``event_date``.
 
-    The pre-write ``repartition(event_date)`` makes each day ONE output
-    file (plus makes the write's shuffle carry day-clustered rows) — the
-    small-file antidote; drop it only if upstream is already
-    day-clustered.
+    The partition value is derived via :func:`epoch_day` (UTC-epoch
+    arithmetic), NOT ``to_date(ts)``, so the directory a row lands in can
+    never depend on the session timezone.  The pre-write
+    ``repartition(event_date)`` makes each day ONE output file (plus makes
+    the write's shuffle carry day-clustered rows) — the small-file
+    antidote; drop it only if upstream is already day-clustered.
     """
-    with_day = events.withColumn("event_date", F.to_date(F.col(ts_col)))
+    with_day = events.withColumn("event_date", epoch_day_to_date(epoch_day(ts_col)))
     with_day.repartition(F.col("event_date")).write.mode(mode).partitionBy(
         "event_date"
     ).parquet(path)
@@ -73,28 +104,34 @@ def compact_partitions(
     counts to the driver.
 
     Row->slot assignment is a per-partition uniform hash over the
-    partition's own slot count (count via an unframed window over the
-    partition), so hot days split and cold days stay whole with no
-    driver-side per-day loop.  The range shuffle's task count comes from a
-    metadata-only ``count()`` (parquet row counts live in footers — no data
-    scan), sized so one task ~= one target file.
+    partition's own slot count.  The per-day counts come from
+    ``groupBy(partition_col).count()`` — map-side partial aggregation, one
+    output row per day — broadcast-joined back onto the rows.  (A
+    ``count() over (partition by day)`` window would funnel every row of a
+    hot day through ONE task just to learn its count — the exact straggler
+    compaction exists to fix; the groupBy+broadcast shape never
+    materializes a day in one task.)  The range shuffle's task count comes
+    from a ``count()`` over the store (parquet-footer row counts; Spark
+    still schedules one zero-column scan task per file, cheap but not
+    free), sized so one task ~= one target file.
     """
     from math import ceil
 
-    from pyspark.sql import Window
-
     df = spark.read.parquet(path)
-    total = df.count()  # footer metadata only
+    total = df.count()  # row counts from parquet footers (one light task/file)
     num_tasks = max(1, ceil(total / target_rows_per_file))
-    n_rows = F.count(F.lit(1)).over(Window.partitionBy(partition_col))
+    day_counts = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("_n_rows"))
     n_slots = F.greatest(
-        F.ceil(n_rows / F.lit(float(target_rows_per_file))), F.lit(1).cast("long")
+        F.ceil(F.col("_n_rows") / F.lit(float(target_rows_per_file))),
+        F.lit(1).cast("long"),
     )
     slot = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_slots)
     return (
-        df.withColumn("_slot", slot)
+        df.join(F.broadcast(day_counts), on=partition_col, how="left")
+        .withColumn("_slot", slot)
         .repartitionByRange(num_tasks, F.col(partition_col), F.col("_slot"))
-        .drop("_slot")
+        .drop("_slot", "_n_rows")
+        .select(*df.columns)  # the join moved the key first; restore order
     )
 
 

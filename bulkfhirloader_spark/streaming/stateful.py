@@ -128,7 +128,17 @@ def stream_transitions(events: DataFrame) -> DataFrame:
     Within a batch, the group's rows are sorted by (ts, event_id) before
     pairing — the same deterministic tiebreak the batch operator and its
     DuckDB oracle use; cross-batch order is the source's contract (the
-    registry harness replays time-ordered files)."""
+    registry harness replays time-ordered files).
+
+    Replay-order guard: the contract is per-user in-order delivery across
+    micro-batches, but file-source batch boundaries follow mtimes, so a
+    replay glitch CAN deliver events at-or-before the stored cursor.
+    Blindly chaining them would both emit a wrong boundary pair and REGRESS
+    the cursor, corrupting every later batch.  Instead, events <= the
+    cursor are excluded from pairing and surfaced as one labeled
+    ``('__out_of_order__', '__dropped__', n)`` row — detectable and
+    filterable downstream, never silent — and the cursor only ever advances
+    (max of stored vs batch tail)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(
@@ -145,9 +155,14 @@ def stream_transitions(events: DataFrame) -> DataFrame:
         ts_us = (batch["ts"].astype("int64") // 1_000).to_numpy()
         ids = batch["event_id"].to_numpy()
         types = batch["event_type"].to_numpy()
+        n_stale = 0
         if state.exists:
             last_us, last_id, last_type = state.get
-            prev = [last_type] + list(types[:-1])
+            fresh = (ts_us > last_us) | ((ts_us == last_us) & (ids > last_id))
+            n_stale = int(len(ts_us) - fresh.sum())
+            if n_stale:
+                ts_us, ids, types = ts_us[fresh], ids[fresh], types[fresh]
+            prev = [last_type] + list(types[:-1]) if len(types) else []
         else:
             prev = [None] + list(types[:-1])
         pairs = pd.DataFrame({"prev_type": prev, "next_type": types})
@@ -157,7 +172,15 @@ def stream_transitions(events: DataFrame) -> DataFrame:
             .size()
             .reset_index(name="n")
         )
-        state.update((int(ts_us[-1]), int(ids[-1]), str(types[-1])))
+        if len(types):  # cursor only ever advances
+            state.update((int(ts_us[-1]), int(ids[-1]), str(types[-1])))
+        if n_stale:
+            counts = pd.concat(
+                [counts, pd.DataFrame({"prev_type": ["__out_of_order__"],
+                                       "next_type": ["__dropped__"],
+                                       "n": [n_stale]})],
+                ignore_index=True,
+            )
         yield counts
 
     return events.groupBy("user_id").applyInPandasWithState(

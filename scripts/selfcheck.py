@@ -128,9 +128,18 @@ def main() -> int:
         )
         results[name] = rec
 
-    with open("/tmp/verify_local.json", "w") as f:
+    # Environment diagnostics for hunting env-sensitive mismatches (the r5
+    # src_* reds): record what the hash-relevant session state actually was.
+    results["_env"] = {
+        "sf_dir": sf_dir,
+        "session_tz": spark.conf.get("spark.sql.session.timeZone", None),
+        "os_tz": os.environ.get("TZ"),
+        "spark_version": spark.version,
+    }
+    out_path = os.environ.get("SELFCHECK_OUT", "/tmp/verify_local.json")
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1, default=str)
-    print(f"\n{len(results)} queries, {n_fail} failing -> /tmp/verify_local.json")
+    print(f"\n{len(results) - 1} queries, {n_fail} failing -> {out_path}")
     return 1 if n_fail else 0
 
 

@@ -324,6 +324,59 @@ def test_stream_transitions_chain_across_batches(spark, tmp_path):
     assert got == {("signup", "click"): 1, ("view", "purchase"): 1}
 
 
+def test_stream_transitions_replay_glitch_detectable_not_corrupting(spark, tmp_path):
+    """Out-of-order replay guard: batch 2 delivers one event OLDER than the
+    stored cursor plus one fresh event.  The stale event must not emit a
+    bogus boundary pair nor regress the cursor; it surfaces as the labeled
+    ('__out_of_order__', '__dropped__') diagnostic row, and the fresh event
+    still chains off the (unregressed) cursor."""
+    import datetime as dt
+    import time as _time
+
+    from bulkfhirloader_spark.streaming.stateful import stream_transitions
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    # batch 1: user 1 at t3.  batch 2: user 1 at t1 (STALE) and t4 (fresh).
+    rows1 = [(3, ts(3), 1, "click")]
+    rows2 = [(1, ts(1), 1, "signup"), (4, ts(4), 1, "purchase")]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "chunk-0")
+    )
+    _time.sleep(1.1)  # file-source ordering follows mtimes
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "chunk-1")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "in" / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("stream_transitions_glitch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            "SELECT prev_type, next_type, sum(n) AS n FROM stream_transitions_glitch "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == {
+        ("click", "purchase"): 1,
+        ("__out_of_order__", "__dropped__"): 1,
+    }
+
+
 def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     """The watermark's state-bounding contract, observed from the outside:
     an event arriving after the watermark has EVICTED its window's state
