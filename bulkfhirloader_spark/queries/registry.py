@@ -1888,12 +1888,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-proposed, exact-verified near-dup tier, hash-checked against
     ground truth.  Banding at 4 bits × 16 bands makes the pigeonhole
     guarantee cover Hamming ≤ 15 (any pair within 15 bits of a 64-bit
-    signature agrees on one of 16 bands); true Jaccard ≥ 0.5 pairs measure
-    Hamming ≤ 9 at sf0.001 and ≤ 5 at sf0.01, so a Hamming ≤ 12 cut
-    recalls ALL of them at both harness scales with provable margin, and
-    the green row certifies the bucketed SimHash path reproduces the
-    quadratic full-scan baseline exactly.  Exact n-gram Jaccard re-scores
-    only the candidates, so false positives never reach the answer.
+    signature agrees on one of 16 bands), and the Hamming cut is set to
+    that SAME 15 — the full pigeonhole budget — because the r6 sweep of
+    true Jaccard ≥ 0.5 pairs measured worst-case Hamming 9 (sf0.001),
+    5 (sf0.01) and 12 (sf0.1): the old ≤ 12 cut had ZERO margin at sf0.1.
+    At ≤ 15 the measured margin is 3 bits at every harness scale, and
+    tests/test_dedup_similarity.py::test_simhash_candidates_cover_exact_pairs
+    fails loudly if a testdata regeneration ever pushes a true pair past
+    the cut.  The green row certifies the bucketed SimHash path reproduces
+    the quadratic full-scan baseline exactly.  Exact n-gram Jaccard
+    re-scores only the candidates, so false positives never reach the
+    answer.
     HONEST SCALE NOTE: 4-bit buckets (16 values) are the test-scale
     correctness geometry — per-band buckets hold ~n/16 docs, so the band
     join degrades quadratically on huge corpora; production fingerprint
@@ -1902,7 +1907,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier (dedup_minhash_verified — 100% recall at every tested scale with
     scale-safe banding)."""
     docs = load_table(spark, sf_dir, "documents")
-    cand = dedup.simhash_near_dup_pairs(docs, band_bits=4, max_hamming=12)
+    cand = dedup.simhash_near_dup_pairs(docs, band_bits=4, max_hamming=15)
     return dedup.ngram_jaccard_pairs(
         docs, candidates=cand.select("id_a", "id_b"), threshold=0.5
     )

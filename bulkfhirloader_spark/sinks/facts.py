@@ -22,6 +22,7 @@ from __future__ import annotations
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_facts(facts: DataFrame, path: str) -> None:
@@ -78,3 +79,57 @@ def drop_collections(out_dir: str, collections: list[str] | None = None) -> None
         return
     for c in collections:
         shutil.rmtree(f"{out_dir}/collection={c}", ignore_errors=True)
+
+
+def mongo_write_options(
+    uri: str,
+    database: str,
+    collection: str,
+    ordered: bool = False,
+    max_batch_size: int = 512,
+) -> dict[str, str]:
+    """The option set for the K1/K2 production document sink via the public
+    MongoDB Spark Connector (format ``"mongodb"``, connector >= 10.x) —
+    exposed as a pure function, same pattern as ``jdbc_write_options``, so
+    the plumbing is testable without a Mongo endpoint (no Mongo exists in
+    this sandbox; see SCALE.md).  Option keys follow the connector's
+    published write-configuration names.
+
+    ``ordered=False`` reproduces the reference's UNORDERED bulk insert
+    (bundle.go:111-120: mongo.Collection.InsertMany with
+    SetOrdered(false)); ``maxBatchSize`` is its batch-flush analog.
+    """
+    return {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        "ordered": "true" if ordered else "false",
+        "maxBatchSize": str(max_batch_size),
+    }
+
+
+def write_resources_mongo(
+    entries: DataFrame,
+    uri: str,
+    database: str,
+    collection_col: str = "collection",
+) -> None:
+    """K1 production shape: per-collection routed write through the Mongo
+    Spark Connector.  The connector writes ONE collection per save, so the
+    routing that parquet gets from ``partitionBy(collection)`` becomes one
+    ``format("mongodb")`` save per distinct collection name — the distinct
+    list is tiny (one row per FHIR resource type, F7), so the driver loop
+    is over ~dozens of names, never rows.  UNTESTED against a live Mongo
+    (none exists in the sandbox — SCALE.md records this); the option
+    surface itself is pinned by tests/test_ingest.py.
+    """
+    names = [r[0] for r in entries.select(collection_col).distinct().collect()]
+    for name in names:
+        (
+            entries.where(F.col(collection_col) == name)
+            .drop(collection_col)
+            .write.format("mongodb")
+            .options(**mongo_write_options(uri, database, name))
+            .mode("append")
+            .save()
+        )

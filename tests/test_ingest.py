@@ -406,3 +406,23 @@ def test_corrupt_bundle_quarantine(spark, tmp_path):
     rawstat = spark.read.parquet(str(tmp_path / "out" / "rawstat"))
     assert [r["id"] for r in rawstat.select("id").collect()] != []
     assert rawstat.filter(F.col("bundle_id") == "bad").count() == 0
+
+
+def test_mongo_write_option_surface_pinned():
+    """No Mongo endpoint exists in the sandbox, so the production K1/K2
+    document-sink path is OPTION PLUMBING ONLY (SCALE.md).  What CAN be
+    pinned without a server: the exact option keys/values handed to the
+    public Mongo Spark Connector — a typo'd option name silently no-ops in
+    Spark's datasource options map, so this test is the tripwire."""
+    from bulkfhirloader_spark.sinks.facts import mongo_write_options
+
+    opts = mongo_write_options("mongodb://h:27017", "fhir", "patients")
+    assert opts == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "fhir",
+        "collection": "patients",
+        "ordered": "false",  # bundle.go:111-120 SetOrdered(false) parity
+        "maxBatchSize": "512",
+    }
+    ordered = mongo_write_options("u", "d", "c", ordered=True, max_batch_size=100)
+    assert ordered["ordered"] == "true" and ordered["maxBatchSize"] == "100"
