@@ -653,3 +653,115 @@ def survivors_by_score(
         (-F.col("_m.neg_id")).alias("keep_id"),
         F.col("_m.s").alias("keep_score"),
     )
+
+
+def incremental_near_dup_filter(
+    existing: DataFrame,
+    new_batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental corpus admission — the production dedup flow: a new
+    crawl batch arrives against an already-deduped corpus, and only new
+    docs that are near-duplicates of NEITHER the existing corpus NOR an
+    admitted batch-mate get in.  (One-shot corpus dedup re-scores the
+    whole world per batch; this never proposes an existing-existing pair.)
+
+    Admission rule (deterministic):
+      1. reject a new doc with an exact-verified near-dup (n-gram Jaccard
+         >= threshold) in ``existing``;
+      2. cluster the survivors by their verified new-new pairs (connected
+         components) and keep the min-id member of each cluster.
+
+    Scale shape: MinHash banding proposes, exact Jaccard verifies — same
+    two-tier plan as minhash_near_dup_pairs, with one asymmetry that makes
+    it incremental: the band join's RIGHT side is only the new batch's
+    band rows, so join output is (old u new) x new collisions — never the
+    existing corpus against itself.  Shuffle carries (id, band_hash) longs
+    only; signatures re-attach by id.  At 100 TB the existing side's
+    signatures/bands come from a stored signature table (one column family
+    of longs, appended per admitted batch) instead of being recomputed —
+    recomputation here keeps the operator self-contained; the banding cost
+    is a pure projection either way.  Ids must be unique ACROSS both
+    inputs (they name graph nodes).
+
+    Returns the admitted subset of ``new_batch`` (same columns).
+    """
+    union_docs = existing.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_batch.select(F.col(id_col), F.col(text_col))
+    )
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        union_docs, id_col, text_col, num_hashes, shingle_words
+    )
+    band_hashes = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ),
+        )
+    ).alias("band_idx", "band_hash")
+    banded = sigs.select(F.col(id_col), band_hashes)
+    new_ids = new_batch.select(F.col(id_col)).distinct()
+    banded_new = banded.join(new_ids, id_col, "left_semi")
+    # (old u new) x new collisions; normalize so pairs are undirected
+    a = banded.select(F.col(id_col).alias("_ia"), "band_idx", "band_hash")
+    b = banded_new.select(F.col(id_col).alias("_ib"), "band_idx", "band_hash")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        union_docs, id_col, text_col, shingle_words, threshold, candidates=cand
+    ).select("id_a", "id_b")
+    # verified is consumed three times below (old-dup rejection + both
+    # inputs of the component step); cut lineage once, same rationale as
+    # the candidates checkpoint inside ngram_jaccard_pairs.
+    verified = verified.localCheckpoint(eager=False)
+
+    tagged = (
+        verified.join(new_ids.select(F.col(id_col).alias("id_a"))
+                      .withColumn("_na", F.lit(True)), "id_a", "left")
+        .join(new_ids.select(F.col(id_col).alias("id_b"))
+              .withColumn("_nb", F.lit(True)), "id_b", "left")
+        .select("id_a", "id_b",
+                F.coalesce("_na", F.lit(False)).alias("_na"),
+                F.coalesce("_nb", F.lit(False)).alias("_nb"))
+    )
+    old_dupped = (
+        tagged.filter(F.col("_na") & ~F.col("_nb")).select(F.col("id_a").alias(id_col))
+        .unionByName(
+            tagged.filter(F.col("_nb") & ~F.col("_na")).select(F.col("id_b").alias(id_col))
+        )
+        .distinct()
+    )
+    remaining = new_ids.join(old_dupped, id_col, "left_anti")
+    nn_pairs = (
+        tagged.filter(F.col("_na") & F.col("_nb"))
+        .select("id_a", "id_b")
+        .join(remaining.select(F.col(id_col).alias("id_a")), "id_a", "left_semi")
+        .join(remaining.select(F.col(id_col).alias("id_b")), "id_b", "left_semi")
+    )
+    comp = connected_components(nn_pairs)
+    dropped = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    admitted = remaining.join(dropped, id_col, "left_anti")
+    return new_batch.join(admitted, id_col, "left_semi")

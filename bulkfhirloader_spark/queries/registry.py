@@ -2011,6 +2011,65 @@ FROM ranked WHERE rn = 1
 """
 
 
+def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus admission (dedup.incremental_near_dup_filter) —
+    the production flow one-shot dedup can't express: even doc_ids play the
+    already-deduped corpus, odd doc_ids the arriving batch; a new doc is
+    admitted iff it has no exact-verified near-dup (n-gram Jaccard >= 0.5)
+    in the existing corpus and is the min-id member of its new-new
+    duplicate cluster.  The band join's right side is new-batch rows only,
+    so existing x existing is never proposed — the property that keeps a
+    daily batch's cost independent of corpus size.  Oracle: full-scan
+    exact Jaccard + recursive-CTE closure restating the same admission
+    rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    return (
+        dedup.incremental_near_dup_filter(existing, new_batch)
+        .select("doc_id")
+    )
+
+
+_DEDUP_INCR_SQL = r"""
+WITH RECURSIVE
+toks AS (SELECT doc_id,
+                regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+         FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(len(t) - 2),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM toks),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT id_a, id_b FROM inter
+          WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5),
+old_dup AS (SELECT id_a AS n FROM pairs WHERE id_a % 2 = 1 AND id_b % 2 = 0
+            UNION
+            SELECT id_b FROM pairs WHERE id_b % 2 = 1 AND id_a % 2 = 0),
+remaining AS (SELECT doc_id FROM documents
+              WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT n FROM old_dup)),
+nn AS (SELECT id_a, id_b FROM pairs
+       WHERE id_a IN (SELECT doc_id FROM remaining)
+         AND id_b IN (SELECT doc_id FROM remaining)),
+edges AS (SELECT id_a AS src, id_b AS dst FROM nn
+          UNION SELECT id_b, id_a FROM nn),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS node, least(src, min(dst)) AS component
+           FROM reach GROUP BY src)
+SELECT doc_id FROM remaining
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> component)
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline (full scan
     opt-in; oracle via DuckDB's list_cosine_similarity)."""
@@ -4434,6 +4493,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, _DEDUP_EMB_SQL),
     "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "dedup_survivors_quality": (dedup_survivors_quality, _DEDUP_SURV_SQL),
+    "dedup_incremental_admission": (dedup_incremental_admission, _DEDUP_INCR_SQL),
     # text analysis
     "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),
     "text_quality_stats": (text_quality_stats, _TEXT_QUALITY_SQL),

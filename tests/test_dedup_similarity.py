@@ -554,3 +554,30 @@ def test_minhash_candidate_blowup_bounded_on_duplicated_corpus(spark):
     )
     got = verified.count()
     assert got >= true_pairs, (got, true_pairs)
+
+
+def test_incremental_near_dup_filter_admission_rules(spark):
+    """Planted incremental-admission scenario: near-dup-of-existing is
+    rejected, mutual new-new near-dups keep only the min id, unique docs
+    are admitted, and existing-existing duplication is never consulted."""
+    base = "the quick brown fox jumps over the lazy dog while rain falls on rooftops"
+    alt = "completely different text about spark shuffles partitions and codegen stages"
+    uniq = "a third unrelated document mentioning embeddings tokens and training corpora"
+    existing = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail"), (3, alt)],  # 1,2 are mutual dups: irrelevant
+        "doc_id long, text string",
+    )
+    new_batch = spark.createDataFrame(
+        [
+            (10, base + " slightly changed"),     # dup of existing 1 -> reject
+            (11, uniq + " epsilon"),              # dup of 12, min id -> keep
+            (12, uniq + " delta"),                # dup of 11 -> reject
+            (13, "totally novel content about watermarking late arriving events"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
+    )
+    assert got == [11, 13]
