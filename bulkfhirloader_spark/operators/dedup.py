@@ -29,7 +29,15 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     many are available.  At real scale inputs already have >= parallelism
     partitions and this is a no-op — it never *reduces* partitioning and
     never shuffles a big input.
+
+    Streaming inputs pass through untouched: ``.rdd`` is illegal on a
+    streaming DataFrame, and a stream's partitioning is the source's
+    concern (maxFilesPerTrigger etc.), not a one-shot repartition's —
+    this keeps the signature projections streaming-safe
+    (streaming.joins.stream_near_dup_admission).
     """
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -114,18 +122,26 @@ def minhash_signatures(
     the earlier explode + K-min-aggregates shape paid a (small) shuffle of
     K longs per doc plus the row-explosion of the shingle stream.
     """
+    docs = ensure_parallelism(docs)
+    sh = word_shingles(F.col(text_col), shingle_words)
+    return docs.select(
+        F.col(id_col), minhash_sig_expr(sh, num_hashes).alias("minhash")
+    )
+
+
+def minhash_sig_expr(shingles_col, num_hashes: int = 32):
+    """The MinHash signature as a pure COLUMN EXPRESSION over a shingle
+    array — exposed separately so callers that also need the shingle array
+    itself (e.g. the streaming stream-static admission join, which carries
+    shingles through the band join for in-condition exact verification)
+    can compute both in ONE projection instead of a self-join."""
     consts = _permutation_constants(num_hashes)
     a_vec = F.array(*[F.lit(a).cast("long") for a, _b in consts])
     b_vec = F.array(*[F.lit(b).cast("long") for _a, b in consts])
     init = F.array(*[F.lit(MERSENNE_PRIME).cast("long")] * num_hashes)
-    docs = ensure_parallelism(docs)
-    hx = F.transform(
-        word_shingles(F.col(text_col), shingle_words),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)),
-    )
-    with_hx = docs.select(F.col(id_col), hx.alias("hx"))
-    sig = F.aggregate(
-        "hx",
+    hx = F.transform(shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    return F.aggregate(
+        hx,
         init,
         lambda acc, h: F.zip_with(
             acc,
@@ -135,7 +151,6 @@ def minhash_signatures(
             lambda cur, cand: F.least(cur, cand),
         ),
     )
-    return with_hx.select(id_col, sig.alias("minhash"))
 
 
 def minhash_near_dup_pairs(
@@ -765,3 +780,93 @@ def incremental_near_dup_filter(
     )
     admitted = remaining.join(dropped, id_col, "left_anti")
     return new_batch.join(admitted, id_col, "left_semi")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+    allow_full_scan: bool = False,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the quote/snippet/
+    boilerplate-wrapper case Jaccard structurally misses (a 100-word doc
+    fully quoted inside a 10k-word doc has Jaccard ~0.01 but containment
+    1.0).  Emits one row per unordered pair with BOTH directions scored;
+    callers filter on ``greatest(cont_a_in_b, cont_b_in_a)`` ≥ threshold
+    (already applied).
+
+    Same scale guard as ngram_jaccard_pairs (the shingle self-join is
+    quadratic in per-shingle document frequency): pass ``candidates``
+    (note: MinHash-Jaccard banding is the WRONG proposer here — a
+    contained snippet's Jaccard is tiny, so its bands never collide; use a
+    rare-shingle candidate source), ``max_shingle_df`` (the natural
+    containment proposer: only shingles appearing in ≤ N docs join, so
+    boilerplate shingles never fan out and containment is scored over the
+    rare-shingle space — slightly lenient on docs contained only via
+    boilerplate, consistent on both numerator and denominator), or the
+    explicit test-scale full scan.
+
+    Divisions are single IEEE double ops on exact integers — bit-identical
+    cross-engine, safe on a hash path.
+    """
+    if candidates is None and max_shingle_df is None and not allow_full_scan:
+        raise ValueError(
+            "ngram_containment_pairs is all-pairs on the full corpus; pass "
+            "candidates=<pairs df>, max_shingle_df=<n>, or "
+            "allow_full_scan=True (test scale only)"
+        )
+    if candidates is not None:
+        candidates = candidates.localCheckpoint(eager=False)
+    expl = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
+    )
+    if candidates is not None:
+        wanted = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        expl = expl.join(wanted, id_col, "left_semi")
+    if max_shingle_df is not None:
+        surviving = (
+            expl.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        expl = expl.join(surviving, "shingle", "left_semi")
+    sizes = expl.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = expl.select(F.col(id_col).alias("id_a"), "shingle")
+    b = expl.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(
+            candidates.select("id_a", "id_b").distinct(), ["id_a", "id_b"], "left_semi"
+        )
+    sized = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_shingles").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_shingles").alias("nb")), "id_b")
+    )
+    cont_ab = F.col("n_inter").cast("double") / F.col("na").cast("double")
+    cont_ba = F.col("n_inter").cast("double") / F.col("nb").cast("double")
+    return (
+        sized.select(
+            "id_a", "id_b", "n_inter",
+            cont_ab.alias("cont_a_in_b"),
+            cont_ba.alias("cont_b_in_a"),
+        )
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(threshold))
+    )

@@ -2070,6 +2070,48 @@ WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> component)
 """
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (dedup.ngram_containment_pairs):
+    |A∩B|/|A| over word 3-shingles — the quote/snippet case Jaccard
+    structurally misses.  Proposer is the rare-shingle path
+    (max_shingle_df=10): only shingles in ≤10 docs join, so boilerplate
+    never fans out and the scoring space is identical on both engines (the
+    oracle restates the same DF filter).  Divisions are single IEEE ops on
+    exact integers — hash-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, threshold=0.5, max_shingle_df=10
+    )
+
+
+_DEDUP_CONTAIN_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+              FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(len(t) - 2),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM toks),
+ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 10),
+ex AS (SELECT doc_id, shingle FROM ex0 WHERE shingle IN (SELECT shingle FROM keep)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, i.n_inter,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a_in_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b_in_a
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE greatest(CAST(i.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+               CAST(i.n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.5
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs baseline (full scan
     opt-in; oracle via DuckDB's list_cosine_similarity)."""
@@ -3043,6 +3085,79 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT sha256(text) AS content_sha FROM documents
+"""
+
+
+def stream_near_dup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission gate (streaming.joins.
+    stream_near_dup_admission): odd doc_ids replayed as a 3-file stream
+    against the static even-id corpus; a stream doc is admitted iff it has
+    no exact-verified near-dup (n-gram Jaccard >= 0.5) in the static side.
+    LSH bands propose inside a stream-static LEFT ANTI join whose
+    condition carries the exact verification; per-doc band count is the
+    only stream state.  Oracle: odd docs minus those with an exact-Jaccard
+    even partner — green iff the streaming join loses nothing across
+    micro-batch boundaries."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_near_dup_admission
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = (id(spark), sf_dir, "admit")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_admit_")
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text").repartition(
+            3
+        ).write.mode("overwrite").parquet(_os.path.join(src, "in"))
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    existing = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_admit_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_near_dup_admission(stream, existing)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("doc_id").distinct()
+
+
+_STREAM_ADMIT_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+              FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(len(t) - 2),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM toks),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT id_a, id_b FROM inter
+          WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5),
+rejected AS (SELECT id_a AS n FROM pairs WHERE id_a % 2 = 1 AND id_b % 2 = 0
+             UNION
+             SELECT id_b FROM pairs WHERE id_b % 2 = 1 AND id_a % 2 = 0)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT n FROM rejected)
 """
 
 
@@ -4449,6 +4564,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_sessionize_gap": (stream_sessionize_gap, _STREAM_SESSIONIZE_SQL),
     "stream_interval_join_clicks": (stream_interval_join_clicks, _STREAM_INTERVAL_JOIN_SQL),
     "stream_markov_transitions": (stream_markov_transitions, _EXT_MARKOV_SQL),
+    "stream_near_dup_admit": (stream_near_dup_admit, _STREAM_ADMIT_SQL),
     "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),
@@ -4494,6 +4610,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "dedup_survivors_quality": (dedup_survivors_quality, _DEDUP_SURV_SQL),
     "dedup_incremental_admission": (dedup_incremental_admission, _DEDUP_INCR_SQL),
+    "dedup_containment_pairs": (dedup_containment_pairs, _DEDUP_CONTAIN_SQL),
     # text analysis
     "text_term_counts": (text_term_counts, _TEXT_TERMS_SQL),
     "text_quality_stats": (text_quality_stats, _TEXT_QUALITY_SQL),

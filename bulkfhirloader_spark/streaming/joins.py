@@ -59,3 +59,98 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts))
     )
     return wl.join(wr, cond, "inner").drop("_r_key")
+
+
+def stream_near_dup_admission(
+    stream_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of dedup.incremental_near_dup_filter's first rule:
+    admit arriving docs that have NO exact-verified near-dup (n-gram
+    Jaccard >= threshold) in a STATIC existing corpus — the always-on
+    crawl-ingest gate, as a stream-static join.
+
+    Plan shape: the stream side computes MinHash band hashes as a pure
+    projection (streaming-safe — no shuffle, no state), explodes to one
+    row per band, and LEFT ANTI joins the static corpus's banded signature
+    table on (band_idx, band_hash) with the exact-Jaccard verification as
+    an additional join predicate: shingle sets ride the band rows, and
+    ``size(array_intersect)`` scores the pair inside the join — LSH
+    proposes, the join condition verifies, nothing Python touches a row.
+    A band row survives the anti join iff it produced no verified match;
+    a doc is admitted iff ALL ``bands`` of its rows survive (count==bands
+    groupBy — each arriving doc's band rows live in one micro-batch, so
+    the aggregate completes within the batch; run in update mode).
+
+    At 100 TB the static side is the stored signature table (id, band_idx,
+    band_hash, shingle set) appended per admitted batch — here it is
+    derived from ``existing`` to stay self-contained.  State: the
+    stream-static join itself is STATELESS (the static side re-resolves
+    per micro-batch); only the final per-doc count keeps O(1) state per
+    in-flight doc.  New-new (intra-stream) near-dup admission needs
+    cross-batch signature state — that is the batch operator's clustering
+    job; compose with streaming_exact_dedup for exact intra-stream dups.
+
+    Recall contract: admission errs only where banding misses a true pair
+    (same geometry argument as dedup_minhash_pairs — measured exact at
+    sf0.001/0.01/0.1).
+    """
+    from bulkfhirloader_spark.operators.dedup import minhash_sig_expr, word_shingles
+
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def banded(docs: DataFrame, suffix: str) -> DataFrame:
+        # ONE projection yields shingles AND signature (minhash_sig_expr) —
+        # a sigs-join-shingles shape would be a stream-stream self join on
+        # the stream side; chained projections keep it stateless.
+        with_sh = docs.select(
+            F.col(id_col).alias(f"id{suffix}"),
+            word_shingles(F.col(text_col), shingle_words).alias(f"sh{suffix}"),
+        )
+        with_sig = with_sh.withColumn(
+            "_minhash", minhash_sig_expr(F.col(f"sh{suffix}"), num_hashes)
+        )
+        band_cols = F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("_minhash"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash")
+        return with_sig.select(f"id{suffix}", band_cols, f"sh{suffix}")
+
+    stream_banded = banded(stream_docs, "_s")
+    static_banded = banded(existing, "_e")
+
+    inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_e")))
+    union = F.size("sh_s") + F.size("sh_e") - inter
+    verified = (inter.cast("double") / union.cast("double")) >= F.lit(threshold)
+    cond = (
+        (stream_banded["band_idx"] == static_banded["band_idx"])
+        & (stream_banded["band_hash"] == static_banded["band_hash"])
+        & (stream_banded["id_s"] != static_banded["id_e"])
+        & verified
+    )
+    surviving = stream_banded.join(static_banded, cond, "left_anti")
+    return (
+        surviving.groupBy(F.col("id_s").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("_n_clean_bands"))
+        .where(F.col("_n_clean_bands") == bands)
+        .select(id_col)
+    )

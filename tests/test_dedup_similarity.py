@@ -581,3 +581,27 @@ def test_incremental_near_dup_filter_admission_rules(spark):
         for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
     )
     assert got == [11, 13]
+
+
+def test_containment_catches_snippet_jaccard_misses(spark):
+    """A 12-word snippet quoted inside a 200-word doc: Jaccard is tiny
+    (misses at 0.5) but containment(A in B) = 1.0 — the asymmetric case
+    the operator exists for.  Also checks both directions and the
+    rare-shingle (max_shingle_df) mode's engine-stable scoring space."""
+    snippet = "the five boxing wizards jump quickly over the lazy brown dog tonight"
+    filler = " ".join(f"unique{i} filler{i} word{i}" for i in range(60))
+    big = filler + " " + snippet + " " + " ".join(f"tail{i}" for i in range(30))
+    other = "entirely disjoint content about catalyst optimizer rules and codegen"
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, big), (3, other)], "doc_id long, text string"
+    )
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5, allow_full_scan=True)
+    assert jac.where("id_a = 1 AND id_b = 2").count() == 0  # jaccard blind
+    cont = dedup.ngram_containment_pairs(
+        docs, threshold=0.9, allow_full_scan=True
+    ).collect()
+    got = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a) for r in cont}
+    assert (1, 2) in got
+    ab, ba = got[(1, 2)]
+    assert ab == 1.0 and ba < 0.2  # snippet fully inside, big barely inside snippet
+    assert (1, 3) not in got and (2, 3) not in got

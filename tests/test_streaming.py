@@ -430,3 +430,46 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # the 01:00 window finalized with the 2 on-time events; event 4 (01:07,
     # arriving after eviction) was dropped — a batch GROUP BY would say 3
     assert got.get(0) == 2, got
+
+
+def test_stream_near_dup_admission_matches_batch_rule(spark, tmp_path):
+    """Stream-static near-dup admission: docs drained file-by-file against
+    a static existing corpus; a doc near-duplicating the corpus is
+    rejected, novel docs are admitted — across micro-batch boundaries,
+    with the exact-Jaccard verification living INSIDE the join condition
+    (no Python, no state beyond the per-doc band count)."""
+    from bulkfhirloader_spark.streaming.joins import stream_near_dup_admission
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on rooftops"
+    uniq1 = "structured streaming bounds its state with watermarks and timeouts"
+    uniq2 = "catalyst rewrites logical plans before tungsten generates bytecode"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus filler text about parquet footers")],
+        "doc_id long, text string",
+    )
+    batch1 = [(10, base + " slightly changed"), (11, uniq1)]   # 10 -> reject
+    batch2 = [(12, uniq2), (13, base + " another tiny change")]  # 13 -> reject
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f0")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f1")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "in" / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_near_dup_admission(stream, existing)
+        .writeStream.format("memory")
+        .queryName("stream_admission_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.table("stream_admission_t").collect())
+    assert got == [11, 12]
