@@ -152,3 +152,52 @@ def histogram_equi_width(
         .groupBy("bin_idx")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def top_values(
+    df: DataFrame,
+    cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Per-column exact heavy hitters: the ``k`` most frequent values of
+    each profiled column with their counts — the profiling companion to
+    ``profile_table`` (cardinality says HOW MANY distinct values; this
+    says WHICH values dominate — skewed keys, default-value pollution,
+    degenerate categoricals).
+
+    Shape: one ``posexplode`` unpivot (col_name, value-as-string) over the
+    selected columns → a single (col_name, value) count — ONE exchange
+    whose key space is the union of the columns' value sets — → per-column
+    top-k via a partitioned window over the (tiny) count table.  Values
+    are stringified for the unpivot (profiling semantics, like every
+    profiler's output grid); NULLs are reported as the literal
+    '<null>' so a null-heavy column's pollution is visible rather than
+    dropped by the groupBy.
+
+    Determinism: ties break by value string ascending, so the row set is
+    reproducible and ORACLE-RESTATABLE (plain row_number in SQL).
+
+    Scale: the count aggregate collapses map-side; the window runs over
+    ~n_cols × cardinality rows, not corpus rows.  For a column whose
+    cardinality approaches corpus size (ids), the count table is big but
+    uniform — and profiling ids for heavy hitters is exactly when you DO
+    want that full count (a hot id is the finding).
+    """
+    from pyspark.sql import Window
+
+    pairs = F.posexplode(
+        F.array(*[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols])
+    ).alias("col_idx", "value")
+    names = F.array(*[F.lit(c) for c in cols])
+    unpivoted = df.select(pairs).select(
+        F.element_at(names, F.col("col_idx") + 1).alias("col_name"), "value"
+    )
+    counts = unpivoted.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("col_name").orderBy(F.col("n").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("col_name", "value", "n", F.col("rank").cast("int").alias("rank"))
+    )

@@ -22,7 +22,7 @@ deterministic and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -551,4 +551,135 @@ def cosine_topk_pandas(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def _probe_clusters(q_normalized: Column, centers: list[list[float]], n_probe: int) -> Column:
+    """Array of the ``n_probe`` centroid ids nearest to a normalized query
+    vector — centroids as plan literals, ranking as an array_sort of
+    (distance², id) structs (same expression cosine_topk_ivf uses)."""
+    dist2 = [
+        F.aggregate(
+            F.zip_with(
+                q_normalized,
+                F.array(*[F.lit(v) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centers
+    ]
+    ranked = F.array_sort(
+        F.array(
+            *[F.struct(d.alias("d"), F.lit(i).alias("c")) for i, d in enumerate(dist2)]
+        )
+    )
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
+
+
+def build_ivf_index(
+    candidates: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> None:
+    """Persist an IVF index: train the KMeans coarse quantizer, assign the
+    corpus, and write
+
+    - ``<path>/centroids.parquet`` — (centroid_id, center array<double>):
+      tiny, read whole at query time;
+    - ``<path>/lists.parquet/_cluster=<c>/`` — the corpus Hive-partitioned
+      by assigned cluster, each row carrying its precomputed L2 norm.
+
+    The point of STORING the index (vs cosine_topk_ivf's in-session build)
+    is amortization and layout: training runs once per corpus version, and
+    the on-disk partitioning turns each probe into a PRUNED read — a query
+    batch touches only ``n_probe`` directories per query (union pushed as
+    a static ``isin`` partition filter by query_ivf_index), which is the
+    inverted-list promise realized at the file-listing level.  At 100 TB
+    append-only corpora, new vectors append to their list's directory
+    without retraining (assign via the stored centroids); retrain on drift.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand_n = candidates.withColumn("_cn", l2_norm(F.col(cand_vec))).withColumn(
+        "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
+    )
+    with_feat = cand_n.withColumn("features", array_to_vector(F.col("_nv")))
+    model = KMeans(k=n_clusters, seed=seed).fit(with_feat)
+    assigned = (
+        model.transform(with_feat)
+        .withColumnRenamed("prediction", "_cluster")
+        .drop("features", "_nv")
+    )
+    spark = candidates.sparkSession
+    centers = [
+        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        centers, "centroid_id int, center array<double>"
+    ).coalesce(1).write.parquet(f"{path}/centroids.parquet")
+    assigned.repartition(F.col("_cluster")).write.partitionBy("_cluster").parquet(
+        f"{path}/lists.parquet"
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """Probe a stored IVF index (build_ivf_index layout): rank the stored
+    centroids per query (literal-array expression — the centroids file is
+    a handful of rows, collected once), push the UNION of probed cluster
+    ids down as a static partition filter on the lists read (planning-time
+    pruning — untouched lists are never listed into tasks), then exact
+    cosine inside the probed lists and a per-query top-k window.
+
+    The query set is small by contract (it rides a broadcast); collecting
+    its probe union is driver-side work over queries × n_probe ints.
+    """
+    centers_rows = sorted(
+        (r["centroid_id"], r["center"])
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    )
+    centers = [c for _i, c in centers_rows]
+    q_n = queries.withColumn("_qn", l2_norm(F.col(query_vec))).withColumn(
+        "_nv", l2_normalize(F.col(query_vec), F.col("_qn"))
+    )
+    qp = q_n.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.col("_qn"),
+        F.explode(_probe_clusters(F.col("_nv"), centers, n_probe)).alias("_cluster"),
+    )
+    probed = sorted({r["_cluster"] for r in qp.select("_cluster").distinct().collect()})
+    lists = spark.read.parquet(f"{path}/lists.parquet").where(
+        F.col("_cluster").isin(probed)
+    )
+    joined = lists.join(F.broadcast(qp), "_cluster").filter(
+        F.col(query_id) != F.col(cand_id)
+    )
+    scored = joined.select(
+        F.col(query_id),
+        F.col(cand_id),
+        cosine_with_norms(
+            F.col(query_vec), F.col(cand_vec), F.col("_qn"), F.col("_cn")
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "score", "rank")
     )

@@ -2421,6 +2421,36 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def sim_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED IVF index round-trip (similarity.build_ivf_index /
+    query_ivf_index): quantizer trained and inverted lists written
+    Hive-partitioned by cluster once, then queried with the probed-cluster
+    union pushed down as a static partition filter (planning-time pruning
+    of untouched lists — the inverted-list promise realized at the
+    file-listing level).  Probes are exhaustive (n_probe = n_clusters) for
+    the same reason as sim_topk_ivf: the hash gate certifies the stored
+    machinery — persisted centroids, list assignment, pruned read, exact
+    in-list scoring — not a data-dependent recall dial (pytest owns the
+    sparse-probe knob)."""
+    q, emb = _query_vectors(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_INDEX_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bfls_ivf_") + "/index"
+        similarity.build_ivf_index(emb, path, n_clusters=8)
+        _IVF_INDEX_DIRS[key] = path
+    out = similarity.query_ivf_index(spark, path, q, k=5, n_probe=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").alias("rnk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension — event-time windows + JSON scalar (events table)
 # ---------------------------------------------------------------------------
@@ -3540,6 +3570,38 @@ SELECT * FROM s
 """
 
 
+def ext_profile_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column exact heavy hitters (profile.top_values): top-5 most
+    frequent values of three orders columns with counts — the profiling
+    companion that names the dominating values (skewed keys, default
+    pollution) where profile_table only counts them.  One posexplode
+    unpivot → one (col, value) count exchange → per-column windowed top-k
+    over the tiny count table; NULLs surface as '<null>'.  Deterministic
+    tie-break by value string keeps the row set oracle-restatable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profile.top_values(
+        orders, cols=["o_orderstatus", "o_orderpriority", "o_custkey"], k=5
+    )
+
+
+_EXT_TOPVALUES_SQL = """
+WITH u AS (
+  SELECT 'o_orderstatus' AS col_name,
+         coalesce(CAST(o_orderstatus AS VARCHAR), '<null>') AS value FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', coalesce(CAST(o_orderpriority AS VARCHAR), '<null>') FROM orders
+  UNION ALL
+  SELECT 'o_custkey', coalesce(CAST(o_custkey AS VARCHAR), '<null>') FROM orders
+),
+c AS (SELECT col_name, value, count(*) AS n FROM u GROUP BY 1, 2),
+r AS (SELECT col_name, value, n,
+             CAST(row_number() OVER (PARTITION BY col_name
+                                     ORDER BY n DESC, value ASC) AS INT) AS rank
+      FROM c)
+SELECT col_name, value, n, rank FROM r WHERE rank <= 5
+"""
+
+
 _JL_SIGNS = similarity.sign_matrix(64, 8)
 
 
@@ -4624,6 +4686,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, _SIM_TOPK_SQL),
     "sim_topk_ivf": (sim_topk_ivf, _SIM_TOPK_SQL),
+    "sim_topk_ivf_stored": (sim_topk_ivf_stored, _SIM_TOPK_SQL),
     "sim_topk_pandas": (sim_topk_pandas, _SIM_PANDAS_SQL),
     # windows + events scalars
     "win_tumbling": (win_tumbling, _WIN_TUMBLING_SQL),
@@ -4655,6 +4718,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_temperature_sample": (cur_temperature_sample, _CUR_TEMP_SQL),
     "cur_full_pipeline": (cur_full_pipeline, _CUR_FULL_SQL),
     "ext_profile_orders": (ext_profile_orders, _EXT_PROFILE_SQL),
+    "ext_profile_top_values": (ext_profile_top_values, _EXT_TOPVALUES_SQL),
     "emb_random_projection": (emb_random_projection, _EMB_JL_SQL),
     "text_inverted_index": (text_inverted_index, _TEXT_INVIDX_SQL),
     "ext_bloom_semi_lineitem": (ext_bloom_semi_lineitem, _EXT_BLOOM_SQL),

@@ -157,3 +157,41 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Read an ORC corpus (schema from file metadata — ORC is self-
     describing, unlike CSV/JSONL where inference would double-read)."""
     return spark.read.option("recursiveFileLookup", "true").orc(path)
+
+
+def read_evolved_parquet(
+    spark: SparkSession,
+    path: str,
+    expected_schema=None,
+) -> DataFrame:
+    """Read an append-only parquet store whose schema EVOLVED across
+    writes (later batches added columns): ``mergeSchema`` unions the file
+    footers' schemas at planning time, and rows from pre-evolution files
+    surface the new columns as NULL — the standard additive-evolution
+    contract.
+
+    Why a wrapper instead of a bare read: (a) Spark's default
+    (``spark.sql.parquet.mergeSchema=false``) silently picks ONE footer's
+    schema — which one depends on file listing order, so an evolved store
+    read without this flag returns a run-dependent column set; (b) at
+    100 TB footer-merging is a per-file planning cost, so the global conf
+    stays off and the flag is applied per-read here, only where evolution
+    is expected; (c) ``expected_schema`` (optional) pins the POST-evolution
+    contract — extra unknown columns raise instead of flowing silently
+    downstream (rename/type changes are NOT additive evolution and must be
+    handled by rewrite, not by this reader).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected_schema is not None:
+        expected = {(f.name, f.dataType.simpleString()) for f in expected_schema}
+        got = {(f.name, f.dataType.simpleString()) for f in df.schema}
+        unknown = got - expected
+        if unknown:
+            raise ValueError(
+                f"evolved store at {path} contains columns outside the "
+                f"expected contract: {sorted(unknown)} — additive evolution "
+                "only; rename/retype requires a rewrite"
+            )
+        present = {f.name for f in df.schema}
+        df = df.select(*[f.name for f in expected_schema if f.name in present])
+    return df

@@ -476,3 +476,39 @@ def test_deterministic_shuffle_matches_naive_global_window(spark):
     # reproducible across a different input partitioning
     again = curation.deterministic_shuffle(docs.repartition(7), seed="epoch0")
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_read_evolved_parquet_merges_additive_schema(spark, tmp_path):
+    """Two write generations — v2 added a column: the merged read must
+    surface v1 rows with NULL in the new column (order-independent), and
+    the expected-schema contract must reject columns outside it."""
+    from pyspark.sql import types as T
+
+    from bulkfhirloader_spark.sources.corpus import read_evolved_parquet
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(store)
+    spark.createDataFrame(
+        [(3, "gamma", "en")], "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("append").parquet(store)
+
+    got = {r.doc_id: (r.text, r.lang)
+           for r in read_evolved_parquet(spark, store).collect()}
+    assert got == {1: ("alpha", None), 2: ("beta", None), 3: ("gamma", "en")}
+
+    contract = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    ok = read_evolved_parquet(spark, store, expected_schema=contract)
+    assert ok.columns == ["doc_id", "text", "lang"]
+
+    narrow = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    with pytest.raises(ValueError, match="outside the expected contract"):
+        read_evolved_parquet(spark, store, expected_schema=narrow)

@@ -605,3 +605,25 @@ def test_containment_catches_snippet_jaccard_misses(spark):
     ab, ba = got[(1, 2)]
     assert ab == 1.0 and ba < 0.2  # snippet fully inside, big barely inside snippet
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_stored_ivf_index_matches_in_session_and_prunes(spark, tmp_path):
+    """build_ivf_index + query_ivf_index must (a) reproduce the in-session
+    cosine_topk_ivf result exactly at the same geometry — persistence adds
+    no drift — and (b) push the probed-cluster union into the lists scan
+    as a planning-time partition filter (untouched lists never listed)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_clusters=8)
+    stored = similarity.query_ivf_index(spark, path, q, k=5, n_probe=3)
+    in_session = similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=8, n_probe=3)
+    s_rows = sorted((r.query_id, r.vec_id, round(r.score, 9), r.rank)
+                    for r in stored.collect())
+    m_rows = sorted((r.query_id, r.vec_id, round(r.score, 9), r.rank)
+                    for r in in_session.collect())
+    assert s_rows == m_rows
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cluster" in plan
