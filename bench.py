@@ -39,6 +39,11 @@ HEADLINE = [
     "cur_full_pipeline",
     "ext_funnel_conversion",
     "cur_latest_event_per_user",
+    # r6 addition: the incremental-admission dedup pipeline (band join with
+    # a new-batch-only right side + exact verify + new-new clustering) —
+    # the round's flagship operator, tracked so its 4-phase plan has a
+    # round-over-round perf signal.
+    "dedup_incremental_admission",
 ]
 
 

@@ -201,3 +201,42 @@ def top_values(
         .where(F.col("rank") <= k)
         .select("col_name", "value", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Exact per-group percentiles of a numeric column — the distribution
+    profile stratified by a dimension (per-source doc length, per-type
+    event value): one row per group with one column per requested
+    percentile (``p50``, ``p90``, ...).
+
+    Shape: ONE ``groupBy(group).agg(percentile(value, array(...)))`` —
+    Spark's exact percentile is a sort-based aggregate that collapses
+    map-side into per-group sketless exact buffers; the exchange carries
+    one buffer per group per input partition.  Exact percentiles buffer a
+    group's values, so at 100 TB this is for grouping dimensions whose
+    groups fit an executor (sources, languages, event types — the
+    profiling case); corpus-scale windows belong to approx_percentile
+    (certified by ext_approx_percentile_check's tolerance pattern).
+
+    Linear interpolation matches DuckDB ``quantile_cont`` (the
+    ext_winsorize_doclen precedent), so results are oracle-restatable.
+    """
+    pcts = F.expr(
+        f"percentile({value_col}, array({', '.join(str(float(p)) for p in percentiles)}))"
+    )
+    out_cols = [
+        F.round(F.element_at(F.col("_pcts"), i + 1), 6).alias(
+            f"p{int(round(p * 100)):02d}"
+        )
+        for i, p in enumerate(percentiles)
+    ]
+    return (
+        df.groupBy(*group_cols)
+        .agg(pcts.alias("_pcts"), F.count(F.lit(1)).alias("n_rows"))
+        .select(*group_cols, "n_rows", *out_cols)
+    )

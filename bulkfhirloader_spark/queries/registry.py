@@ -3602,6 +3602,27 @@ SELECT col_name, value, n, rank FROM r WHERE rank <= 5
 """
 
 
+def ext_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles (profile.group_percentiles): p50/p90 of
+    document length per source — the stratified distribution profile.  One
+    exact-percentile aggregate per group; linear interpolation matches
+    DuckDB quantile_cont (the winsorize precedent), both rounded 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile.group_percentiles(
+        docs, ["source"], "n_chars", percentiles=(0.5, 0.9)
+    )
+
+
+_EXT_GROUP_PCT_SQL = """
+SELECT source,
+       count(*) AS n_rows,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90
+FROM documents
+GROUP BY source
+"""
+
+
 _JL_SIGNS = similarity.sign_matrix(64, 8)
 
 
@@ -4719,6 +4740,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_full_pipeline": (cur_full_pipeline, _CUR_FULL_SQL),
     "ext_profile_orders": (ext_profile_orders, _EXT_PROFILE_SQL),
     "ext_profile_top_values": (ext_profile_top_values, _EXT_TOPVALUES_SQL),
+    "ext_group_percentiles": (ext_group_percentiles, _EXT_GROUP_PCT_SQL),
     "emb_random_projection": (emb_random_projection, _EMB_JL_SQL),
     "text_inverted_index": (text_inverted_index, _TEXT_INVIDX_SQL),
     "ext_bloom_semi_lineitem": (ext_bloom_semi_lineitem, _EXT_BLOOM_SQL),

@@ -136,7 +136,17 @@ def stream_near_dup_admission(
         return with_sig.select(f"id{suffix}", band_cols, f"sh{suffix}")
 
     stream_banded = banded(stream_docs, "_s")
-    static_banded = banded(existing, "_e")
+    # The static side re-resolves EVERY micro-batch; persist serves the
+    # banded corpus from cached blocks after batch 1 instead of re-running
+    # the shingling + signature fold per batch — the in-session analog of
+    # the stored signature table the 100 TB deployment reads.  (At toy
+    # scale the drain is join-build-dominated, so the measured win is
+    # small; the cache matters when the corpus side is large.)  The
+    # previous invocation's cache is released on the next call.
+    while _live_static_band_caches:
+        _live_static_band_caches.pop().unpersist()
+    static_banded = banded(existing, "_e").persist()
+    _live_static_band_caches.append(static_banded)
 
     inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_e")))
     union = F.size("sh_s") + F.size("sh_e") - inter
@@ -154,3 +164,8 @@ def stream_near_dup_admission(
         .where(F.col("_n_clean_bands") == bands)
         .select(id_col)
     )
+
+
+# Cache-hygiene ledger for stream_near_dup_admission's static banded side
+# (same pattern as dedup._live_sig_caches).
+_live_static_band_caches: list = []
