@@ -15,6 +15,8 @@ Scale design (the point at 100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,9 +45,17 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
-# Signature caches from prior minhash_near_dup_pairs invocations, released
-# on the next invocation (see the cache-hygiene note in that function).
-_live_sig_caches: list[DataFrame] = []
+# Persisted-signature memo: one entry per (session, corpus plan, geometry).
+# At 100 TB the signatures live in a stored table appended per admitted
+# batch (see incremental_near_dup_filter); in-session this memo is the same
+# idea — repeated dedup calls over one corpus (warm re-runs, the verified
+# tier re-proposing over the same docs) reuse ONE materialized cache
+# instead of the old release-and-recompute cycle per call, which made every
+# warm invocation pay the full shingle+fold projection again.  Bounded LRU
+# so long sessions over many corpora don't accumulate cached blocks; keyed
+# by applicationId so a restarted session can't alias dead handles.
+_SIG_MEMO: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_SIG_MEMO_MAX = 4
 
 # Affine-permutation constants for MinHash: h_i(x) = (a_i * x + b_i) mod P.
 # Deterministic (seeded) so tests and reruns agree.
@@ -153,6 +163,64 @@ def minhash_sig_expr(shingles_col, num_hashes: int = 32):
     )
 
 
+def cached_minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """minhash_signatures with a persisted, memoized result.
+
+    Keyed by (applicationId, canonical plan hash, column names, geometry):
+    two calls over semantically identical corpora with the same geometry
+    share one cached materialization.  LRU-bounded; evicted entries are
+    unpersisted (distinct keys imply distinct canonical plans, so an evict
+    can never uncache a surviving entry's blocks)."""
+    key = (
+        docs.sparkSession.sparkContext.applicationId,
+        docs.semanticHash(),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_words,
+    )
+    sigs = _SIG_MEMO.get(key)
+    if sigs is None:
+        sigs = minhash_signatures(
+            docs, id_col, text_col, num_hashes, shingle_words
+        ).persist()
+        _SIG_MEMO[key] = sigs
+        while len(_SIG_MEMO) > _SIG_MEMO_MAX:
+            _SIG_MEMO.popitem(last=False)[1].unpersist()
+    else:
+        _SIG_MEMO.move_to_end(key)
+    return sigs
+
+
+def band_hash_array(minhash_col, bands: int, num_hashes: int):
+    """array<long> of per-band bucket hashes over a MinHash signature.
+
+    Band b's bucket is xxhash64(b, sig[b*r], ..., sig[b*r+r-1]) with STATIC
+    getItem indices — a flat multi-arg hash the codegen path compiles
+    directly, vs the earlier transform(...concat_ws...) shape that built a
+    string per band per row inside an interpreted higher-order function.
+    Collision semantics are unchanged (equal slices ⇒ equal hash; unequal
+    slices collide with ~2^-64 probability either way, and any false
+    collision is removed downstream by the estimate/exact filter)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[minhash_col[b * rows_per_band + i] for i in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -169,23 +237,18 @@ def minhash_near_dup_pairs(
     on (band_index, band_hash) — shuffle keys are uniform hashes, so no
     skew even on pathological corpora.
 
-    Cache hygiene: the signature cache from the PREVIOUS invocation is
-    released when a new one begins (long sessions don't accumulate cached
-    blocks), while the current invocation's result stays a lazy plan —
-    eager materialization here (localCheckpoint) measured ~2× slower than
-    letting the final action consume the cache in one job.  Consuming a
-    stale result DataFrame after a newer call merely recomputes.
+    Cache hygiene: signatures for (corpus plan, geometry) are memoized via
+    cached_minhash_signatures, so repeat calls over the same corpus reuse
+    ONE materialized cache (the old per-call release-and-recompute cycle
+    paid the full shingle+fold projection on every warm invocation);
+    eviction is LRU-bounded at _SIG_MEMO_MAX entries.
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     # sigs feeds the banding AND both sides of the estimate re-join; persist
     # so the shingle hashing + K array-mins run once.  Signatures are
     # K longs per doc (~256 B at K=32) — memory-and-disk safe at any scale,
     # and measured cheaper than recomputing the projection three times.
-    while _live_sig_caches:
-        _live_sig_caches.pop().unpersist()
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_words).persist()
-    _live_sig_caches.append(sigs)
+    sigs = cached_minhash_signatures(docs, id_col, text_col, num_hashes, shingle_words)
 
     # Band join carries ONLY (id, band) — not the signature arrays.  A doc
     # appears in `bands` buckets, so dragging the K-long array through the
@@ -194,20 +257,9 @@ def minhash_near_dup_pairs(
     # signatures with narrow id-keyed joins for the Jaccard estimate.
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hash_array(F.col("minhash"), bands, num_hashes)).alias(
+            "band_idx", "band_hash"
+        ),
     )
 
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
@@ -282,17 +334,25 @@ def ngram_jaccard_pairs(
         # computed once at first use, then served from block storage — is
         # the right trade; same move the connected-components loop makes.
         candidates = candidates.localCheckpoint(eager=False)
-    expl = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
-    )
+    # parallelism fix on the BASE scan, before any join is stacked on top:
+    # ensure_parallelism probes .rdd partition counts, which under AQE
+    # would otherwise execute the candidate subplan just to count partitions
+    docs = ensure_parallelism(docs)
     if candidates is not None:
+        # restrict BEFORE the explode: Catalyst will not push a semi join
+        # below a Generate, so filtering after exploding would shingle the
+        # whole corpus only to drop most of it — at scale the explode of
+        # non-candidate docs dwarfs the verification itself
         wanted = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        expl = expl.join(wanted, id_col, "left_semi")
+        docs = docs.join(wanted, id_col, "left_semi")
+    expl = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
+    )
     if max_shingle_df is not None:
         surviving = (
             expl.groupBy("shingle")
@@ -373,7 +433,13 @@ def connected_components(
         # min over neighbors' labels, left-joined back onto own label (no
         # union of labels with a labels-derived plan: that self-reference
         # trips a Catalyst Union constraint-rewrite bug, and the join form
-        # needs one fewer pass over labels anyway)
+        # needs one fewer pass over labels anyway).  The round is TWO jobs:
+        # one eager checkpoint materializing the new labels (the lazy
+        # `merged` checkpoint folds into it — computed once, served to both
+        # of its consumers) and one near-free convergence probe over the
+        # just-cached blocks.  The earlier 4-job round (separate merged /
+        # new_labels checkpoints + a join-based change check) doubled
+        # wall-clock on small graphs purely in scheduling overhead.
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
@@ -383,11 +449,12 @@ def connected_components(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"), F.coalesce("nmin", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # pointer jump: a label is always a node in the same component (it
         # starts as self and only ever becomes a reachable min), so
@@ -396,25 +463,20 @@ def connected_components(
         ptr = merged.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_component")
         )
+        new_component = F.least(
+            F.col("component"), F.coalesce("p_component", "component")
+        )
         new_labels = (
             merged.join(ptr, merged.component == ptr.p_node, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("p_component", "component"),
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component != F.col("old_component")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -710,23 +772,14 @@ def incremental_near_dup_filter(
         new_batch.select(F.col(id_col), F.col(text_col))
     )
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
+    # memoized persist: the banding reads sigs once, but warm re-runs of the
+    # same admission batch (and the stored-signature-table analogy at scale)
+    # reuse the one materialization
+    sigs = cached_minhash_signatures(
         union_docs, id_col, text_col, num_hashes, shingle_words
     )
     band_hashes = F.posexplode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ),
-        )
+        band_hash_array(F.col("minhash"), bands, num_hashes)
     ).alias("band_idx", "band_hash")
     banded = sigs.select(F.col(id_col), band_hashes)
     new_ids = new_batch.select(F.col(id_col)).distinct()
@@ -820,19 +873,22 @@ def ngram_containment_pairs(
             "candidates=<pairs df>, max_shingle_df=<n>, or "
             "allow_full_scan=True (test scale only)"
         )
+    docs = ensure_parallelism(docs)
     if candidates is not None:
         candidates = candidates.localCheckpoint(eager=False)
-    expl = ensure_parallelism(docs).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
-    )
-    if candidates is not None:
+        # restrict BEFORE the explode (same rationale as ngram_jaccard_pairs:
+        # a semi join doesn't push below Generate; ensure_parallelism stays
+        # on the base scan so its .rdd probe can't execute the subplan)
         wanted = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        expl = expl.join(wanted, id_col, "left_semi")
+        docs = docs.join(wanted, id_col, "left_semi")
+    expl = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
+    )
     if max_shingle_df is not None:
         surviving = (
             expl.groupBy("shingle")

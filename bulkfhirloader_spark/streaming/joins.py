@@ -101,10 +101,13 @@ def stream_near_dup_admission(
     (same geometry argument as dedup_minhash_pairs — measured exact at
     sf0.001/0.01/0.1).
     """
-    from bulkfhirloader_spark.operators.dedup import minhash_sig_expr, word_shingles
+    from bulkfhirloader_spark.operators.dedup import (
+        band_hash_array,
+        minhash_sig_expr,
+        word_shingles,
+    )
 
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
 
     def banded(docs: DataFrame, suffix: str) -> DataFrame:
         # ONE projection yields shingles AND signature (minhash_sig_expr) —
@@ -118,20 +121,7 @@ def stream_near_dup_admission(
             "_minhash", minhash_sig_expr(F.col(f"sh{suffix}"), num_hashes)
         )
         band_cols = F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("_minhash"), b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            band_hash_array(F.col("_minhash"), bands, num_hashes)
         ).alias("band_idx", "band_hash")
         return with_sig.select(f"id{suffix}", band_cols, f"sh{suffix}")
 
