@@ -537,3 +537,86 @@ def weighted_sample(
         .filter(u * F.col("_max_w") < F.lit(rate) * F.col(weight_col).cast("double"))
         .drop("_max_w")
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "spg0",
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: exactly min(n, |group|)
+    rows per group, chosen by md5-hash rank — "take 100 docs per source for
+    the eval set", reproducible across runs and partitionings (randomSplit
+    and TABLESAMPLE are neither), with a new ``seed`` giving a fresh draw.
+    Complements the rate-based samplers (stratified/temperature/weighted):
+    those bound the keep PROBABILITY, this bounds the COUNT.
+
+    Scale shape: one hash-partitioned window per group with rank cutoff n —
+    per-task fanout is bounded by group size, and the rank filter prunes to
+    n rows per group before anything else touches them.  A skewed group
+    costs one task sorting that group's (id, hash) pairs — two longs per
+    row, not payloads; payload columns rejoin nothing (they ride through
+    the window untouched as window functions only ADD a column)."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    key = F.md5(F.concat_ws("/", F.col(id_col).cast("string"), F.lit(seed)))
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= n)
+        .withColumn("sample_rank", F.col("_rn").cast("int"))
+        .drop("_rn")
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Training-mixture schedule: assign every row a deterministic global
+    interleave key so that reading rows in key order yields sources at
+    frequencies proportional to integer ``weights`` (weighted fair
+    queueing) — the "2 parts web, 1 part code" epoch-ordering step of a
+    pretraining data pipeline, decided BEFORE sharding so every reader
+    sees the same mixture.
+
+    Row r of source s (1-based md5-rank within source) is scheduled at
+    virtual time r/w_s; rows stream out in vtime order.  The emitted key
+    ``vtime_micros = (r * 1_000_000) div w_s`` is PURE LONG ARITHMETIC —
+    exact, overflow-safe to ~9e12 rows per source, bit-identical in any
+    engine — and ties break (source, rank), so the total order is fully
+    deterministic.  Sources absent from ``weights`` are dropped (weight 0).
+
+    Scale shape: one bounded per-source window for the rank (hash-ordered,
+    same shape as sample_n_per_group), a literal CASE for the weight —
+    no join — and NO global sort here: downstream consumers range-partition
+    on vtime_micros (balanced: vtime is ~uniform) or take bounded prefixes
+    via TakeOrdered.  Emitting the key instead of a global row_number is
+    what keeps the operator shuffle-free."""
+    from pyspark.sql import Window
+
+    if not weights or any(w < 1 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of ints >= 1")
+    key = F.md5(F.concat_ws("/", F.col(id_col).cast("string"), F.lit(seed)))
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    )
+    w = F.lit(None).cast("long")
+    for s, wt in weights.items():
+        w = F.when(F.col(group_col) == s, F.lit(int(wt)).cast("long")).otherwise(w)
+    return (
+        df.filter(F.col(group_col).isin(*weights.keys()))
+        .withColumn("src_rank", rn.cast("long"))
+        .withColumn("_w", w)
+        .withColumn("vtime_micros", F.expr("(src_rank * CAST(1000000 AS BIGINT)) div _w"))
+        .drop("_w")
+    )

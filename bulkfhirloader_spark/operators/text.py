@@ -367,3 +367,169 @@ def collocation_lift(
         "n_b",
         lift_ppm.alias("lift_ppm"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf: str = "ln",
+) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a bag of query
+    terms and return the top ``k`` — the lexical-retrieval baseline every
+    RAG / contamination-audit stack needs next to the embedding ANN tier.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+
+    ``idf='ln'`` (default) is the standard Robertson–Sparck Jones form
+    ln(1 + (N−df+0.5)/(df+0.5)).  ``idf='rational'`` drops the log and uses
+    the raw odds (N−df+0.5)/(df+0.5): per-term document ordering is
+    IDENTICAL (log is monotone), only the cross-term mixing weights change.
+    The registry query pins ``rational`` because ln is a libm call whose
+    last-ulp behavior differs across engines — every arithmetic op in the
+    rational form is a single IEEE double op, bit-identical in DuckDB, so
+    the score itself is hash-checkable (same policy as collocation_lift).
+
+    Scale shape: the query is a tiny literal array, so the matched postings
+    are filtered BEFORE any shuffle (term isin(query) on the exploded
+    stream — at 100 TB this is the inverted-index lookup; here the scan +
+    filter plays that role).  Per-doc tf for matched terms is a map-side
+    partial agg; df per term is a second tiny agg over matched (term, doc)
+    pairs; N and avgdl are one broadcast row.  Final top-k is
+    TakeOrderedAndProject (never a global sort).  Ties break by doc id so
+    the row set is deterministic.
+    """
+    if idf not in ("ln", "rational"):
+        raise ValueError("idf must be 'ln' or 'rational'")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("_dl"),
+        F.explode("_toks").alias("term"),
+    )
+    # Global corpus stats: one broadcastable row.  avgdl is sum(len)/N, NOT
+    # F.avg — the long sum is exact, so the single division is the only
+    # float op and the value is bit-identical cross-engine (a parallel
+    # double-avg's partial-sum order is not).
+    stats = docs.select(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (
+            F.sum(F.size(tokens(F.col(text_col))).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avgdl"),
+    )
+    matched = toks.filter(F.col("term").isin(*query_terms))
+    tf = matched.groupBy(F.col(id_col), "term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
+    odds = (F.col("_n_docs") - F.col("_df") + F.lit(0.5)) / (
+        F.col("_df") + F.lit(0.5)
+    )
+    idf_term = F.log(F.lit(1.0) + odds) if idf == "ln" else odds
+    tf_d = F.col("_tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / F.col("_avgdl")
+    )
+    contrib = idf_term * (tf_d * F.lit(k1 + 1.0)) / (tf_d + norm)
+    # Per-term contributions land in FIXED columns and are added in a
+    # pinned left-assoc chain — a groupBy sum over the term rows would add
+    # doubles in partition order, which is not reproducible cross-engine.
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, contrib)).alias(f"_c{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    return (
+        per_term.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def repeated_block_dedup(
+    docs: DataFrame,
+    block_tokens: int = 8,
+    max_block_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level repeated-span removal — the "dedupe repeated lines
+    across the corpus" pass of a crawl-cleaning pipeline (boilerplate
+    headers, license blocks, navigation chrome), applied to NON-OVERLAPPING
+    ``block_tokens``-token blocks because this corpus has no newline
+    structure to split on (documented choice; with real text, swap the
+    blocker for split('\\n')).
+
+    A block is dropped from every document when its exact token content
+    appears in more than ``max_block_df`` documents (df counts each doc
+    once, however often the block repeats inside it); survivors are
+    reassembled in original order.  Docs whose every block is boilerplate
+    come back with empty text rather than disappearing — dropping rows is
+    the quality gate's decision, not the cleaner's.
+
+    Scale shape: blocks explode map-side (posexplode of list_slice, same
+    zero-shuffle shape as curation.chunk_documents), block df is ONE
+    hash-keyed count agg (partial agg absorbs the zipfian head: the
+    per-partition combine emits each (block, doc) once), the hot-block set
+    is the JOIN'S BROADCAST SIDE by construction (blocks with df > T are
+    the skewed few), and reassembly is one groupBy(doc) with an
+    order-restoring array_sort — never a window.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    n_blocks = F.ceil(F.size("_toks") / F.lit(block_tokens)).cast("int")
+    # the size guard runs BEFORE sequence(): sequence(0, -1) would count
+    # DOWN (step defaults to sign(stop-start)) and fabricate blocks
+    blocks = toks.filter(F.size("_toks") > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_toks", i * block_tokens + 1, block_tokens)
+                ),
+            )
+        ).alias("block_idx", "block"),
+    )
+    hot = (
+        blocks.select(id_col, "block")
+        .distinct()
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).alias("_bdf"))
+        .filter(F.col("_bdf") > max_block_df)
+        .select("block")
+    )
+    kept = blocks.join(F.broadcast(hot), "block", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("block_idx", "block"))
+                ),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept_blocks"),
+    )
+    # all-boilerplate (or empty) docs surface with empty text, not dropped
+    return docs.select(F.col(id_col)).join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept_blocks", F.lit(0).cast("long")).alias("n_kept_blocks"),
+    )

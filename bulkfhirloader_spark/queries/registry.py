@@ -4617,6 +4617,154 @@ FROM documents
 """
 
 
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (text.bm25_topk): top-20 docs for a 3-term
+    query, ties broken by doc id.  The registry pins idf='rational' (raw
+    RSJ odds, no log) so every arithmetic op is a single IEEE double op —
+    bit-identical in DuckDB, making the SCORE itself hash-checkable; the
+    operator's default idf='ln' is the standard production form (log is
+    monotone per term, so per-term orderings agree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(
+        docs, ["table", "scan", "merge"], k=20, idf="rational"
+    )
+
+
+_TEXT_BM25_SQL = r"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM tk),
+t AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+m AS (SELECT doc_id, term, dl FROM t WHERE term IN ('table', 'scan', 'merge')),
+tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+       FROM m GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term,
+         (((s.n_docs - d.df) + 0.5e0) / (d.df + 0.5e0))
+           * (CAST(tf.tf AS DOUBLE) * 2.2e0)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2e0 * (0.25e0 + (0.75e0 * CAST(tf.dl AS DOUBLE)) / s.avgdl))
+           AS c
+       FROM tf JOIN dft d USING (term) CROSS JOIN stats s),
+p AS (SELECT doc_id,
+             max(CASE WHEN term = 'table' THEN c END) AS c0,
+             max(CASE WHEN term = 'scan' THEN c END) AS c1,
+             max(CASE WHEN term = 'merge' THEN c END) AS c2
+      FROM sc GROUP BY doc_id)
+SELECT doc_id,
+       round((coalesce(c0, 0.0e0) + coalesce(c1, 0.0e0)) + coalesce(c2, 0.0e0),
+             6) AS bm25
+FROM p
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-span removal (text.repeated_block_dedup):
+    8-token blocks appearing in more than 2 documents are dropped from
+    every document, survivors reassembled in order — the "dedupe repeated
+    lines" crawl-cleaning pass, blocked on token windows because this
+    corpus has no newline structure.  The oracle restates blocks with
+    DuckDB list_slice (same offsets as cur_chunk_documents) and reassembles
+    with an ordered string_agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repeated_block_dedup(docs, block_tokens=8, max_block_df=2)
+
+
+_TEXT_BLOCK_DEDUP_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS bi
+      FROM t WHERE len(toks) > 0),
+blk AS (SELECT doc_id, CAST(bi AS INT) AS block_idx,
+               array_to_string(list_slice(toks, bi * 8 + 1, bi * 8 + 8), ' ') AS block
+        FROM s),
+hot AS (SELECT block
+        FROM (SELECT block, count(*) AS bdf
+              FROM (SELECT DISTINCT doc_id, block FROM blk)
+              GROUP BY block)
+        WHERE bdf > 2),
+kept AS (SELECT * FROM blk WHERE block NOT IN (SELECT block FROM hot)),
+re AS (SELECT doc_id,
+              string_agg(block, ' ' ORDER BY block_idx) AS clean_text,
+              count(*) AS n_kept_blocks
+       FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(re.clean_text, '') AS clean_text,
+       coalesce(re.n_kept_blocks, 0) AS n_kept_blocks
+FROM documents d LEFT JOIN re USING (doc_id)
+"""
+
+
+def cur_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count per-stratum sample (curation.sample_n_per_group): exactly
+    10 docs per source by md5-hash rank — the count-bounded companion to the
+    rate-bounded samplers, reproducible across runs/partitionings.  n=10 is
+    below the smallest per-source count at every test scale (25 at
+    sf0.001/0.01), so the rank cutoff always discriminates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.sample_n_per_group(docs, n=10, group_col="source").select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+_CUR_SPG_SQL = """
+WITH r AS (SELECT doc_id, source,
+                  CAST(row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR) || '/' || 'spg0') ASC,
+                               doc_id ASC
+                  ) AS INT) AS sample_rank
+           FROM documents)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 10
+"""
+
+
+def cur_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture schedule (curation.interleave_sources): weighted
+    fair-queueing interleave keys for a 5:4:3:2:2:1 six-source mixture; the
+    first 200 schedule slots are checked.  vtime is pure long arithmetic
+    ((rank * 1e6) div weight) — exact in both engines; the top-200 prefix
+    is TakeOrdered on the Spark side, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    mix = curation.interleave_sources(
+        docs,
+        {"src0": 5, "src1": 4, "src2": 3, "src3": 2, "src4": 2, "src5": 1},
+    )
+    return (
+        mix.select("doc_id", "source", "src_rank", "vtime_micros")
+        .orderBy(
+            F.col("vtime_micros").asc(), F.col("source").asc(), F.col("src_rank").asc()
+        )
+        .limit(200)
+    )
+
+
+_CUR_INTERLEAVE_SQL = """
+WITH r AS (SELECT doc_id, source,
+                  CAST(row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR) || '/' || 'mix0') ASC,
+                               doc_id ASC
+                  ) AS BIGINT) AS src_rank
+           FROM documents
+           WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4', 'src5')),
+v AS (SELECT doc_id, source, src_rank,
+             (src_rank * CAST(1000000 AS BIGINT))
+               // (CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 4
+                               WHEN 'src2' THEN 3 WHEN 'src3' THEN 2
+                               WHEN 'src4' THEN 2 ELSE 1 END)
+               AS vtime_micros
+      FROM r)
+SELECT doc_id, source, src_rank, vtime_micros
+FROM v
+ORDER BY vtime_micros ASC, source ASC, src_rank ASC
+LIMIT 200
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # reference parity — aggregations / filters / projections
     "ref_a1_population_facts": (ref_a1_population_facts, _REF_A1_SQL),
@@ -4771,6 +4919,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_weighted_sample": (cur_weighted_sample, _CUR_WEIGHTED_SQL),
     "src_compacted_events": (src_compacted_events, _SRC_EVCOMP_SQL),
     "ext_resample_ffill": (ext_resample_ffill, _EXT_RESAMPLE_SQL),
+    "text_bm25_topk": (text_bm25_topk, _TEXT_BM25_SQL),
+    "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
+    "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
+    "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),
 }
 
 # DISCLOSED ITERATION-ORDER ROTATION — see AUDIT.md at the repo root.

@@ -512,3 +512,48 @@ def test_read_evolved_parquet_merges_additive_schema(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="outside the expected contract"):
         read_evolved_parquet(spark, store, expected_schema=narrow)
+
+
+def test_sample_n_per_group_exact_counts_and_stability(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = curation.sample_n_per_group(docs, n=7, group_col="source")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 7 for v in counts.values())
+    # stable under repartitioning (randomSplit/TABLESAMPLE are not)
+    again = curation.sample_n_per_group(docs.repartition(13), n=7, group_col="source")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # a different seed draws a different sample
+    other = curation.sample_n_per_group(docs, n=7, group_col="source", seed="spg1")
+    assert sorted(r["doc_id"] for r in out.collect()) != sorted(
+        r["doc_id"] for r in other.collect()
+    )
+
+
+def test_interleave_sources_mixture_frequencies(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    weights = {"src0": 3, "src1": 2, "src2": 1}
+    mix = curation.interleave_sources(docs, weights)
+    rows = (
+        mix.orderBy("vtime_micros", "source", "src_rank")
+        .select("source", "vtime_micros")
+        .collect()
+    )
+    # sources absent from the weight map are gone
+    assert {r["source"] for r in rows} == set(weights)
+    # in any prefix before a source is exhausted, counts track the weights:
+    # after vtime T, source s has emitted floor(T * w_s / 1e6) rows (+/-1)
+    import collections
+
+    seen = collections.Counter()
+    for r in rows[:30]:
+        seen[r["source"]] += 1
+        t = r["vtime_micros"]
+        for s, w in weights.items():
+            expected = t * w // 1_000_000
+            assert abs(seen[s] - expected) <= 1, (dict(seen), t)
+    # schedule is exhaustive: every weighted doc appears exactly once
+    n_weighted = docs.filter(F.col("source").isin(*weights)).count()
+    assert len(rows) == n_weighted

@@ -294,3 +294,48 @@ def test_inverted_index_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bm25_ln_and_rational_agree_on_single_term_ranking(spark):
+    from bulkfhirloader_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # single query term: log is monotone, so the two idf modes must produce
+    # the SAME doc ranking (scores differ)
+    a = [r["doc_id"] for r in T.bm25_topk(docs, ["table"], k=10, idf="ln").collect()]
+    b = [
+        r["doc_id"]
+        for r in T.bm25_topk(docs, ["table"], k=10, idf="rational").collect()
+    ]
+    assert a == b
+    # higher tf at equal length wins
+    tiny = spark.createDataFrame(
+        [(1, "x x x y y"), (2, "x y y y y")],
+        "doc_id long, text string",
+    )
+    top = T.bm25_topk(tiny, ["x"], k=2).collect()
+    assert top[0]["doc_id"] == 1 and top[0]["bm25"] > top[1]["bm25"]
+
+
+def test_repeated_block_dedup_removes_cross_doc_boilerplate(spark):
+    from bulkfhirloader_spark.operators import text as T
+
+    header = "copyright acme corp all rights reserved boilerplate here"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, header + " unique one two three four five six seven"),
+            (2, header + " other body words entirely different from one"),
+            (3, header + " third doc body with its own words here"),
+            (4, "no boilerplate in this document at all okay"),
+            (5, header),  # all-boilerplate doc survives as empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           T.repeated_block_dedup(docs, block_tokens=8, max_block_df=2).collect()}
+    assert len(out) == 5  # no row vanishes
+    for d in (1, 2, 3):
+        assert header not in out[d]["clean_text"]
+        assert out[d]["n_kept_blocks"] == 1
+    assert out[4]["clean_text"].startswith("no boilerplate")
+    assert out[5]["clean_text"] == "" and out[5]["n_kept_blocks"] == 0
