@@ -22,6 +22,9 @@ deterministic and oracle-checkable.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs
+# pd.Series resolvable in module globals (PEP 563 string annotations are
+# evaluated there, not in the enclosing function scope)
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -680,6 +683,227 @@ def query_ivf_index(
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "score", "rank")
+    )
+
+def pq_train_codebooks(
+    candidates: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    cand_vec: str = "embedding",
+    n_train: int = 16384,
+    n_iter: int = 25,
+):
+    """Train product-quantization codebooks: split the L2-normalized vector
+    space into ``m`` contiguous subspaces and Lloyd-k-means each with
+    ``ksub`` centroids on a DRIVER-SIDE SAMPLE — seeded numpy, so the
+    codebooks are deterministic given the corpus.  Returns an
+    (m, ksub, dim/m) float64 numpy array.
+
+    Sample-to-driver training is the production norm for PQ (k-means needs
+    thousands of points per centroid, not the population — FAISS trains on
+    a capped sample too): the collect is ≤ n_train·dim doubles (~8 MB at
+    the default), one bounded job at any corpus size.  Rows are sampled in
+    ascending md5-of-vector order, so the draw is content-deterministic and
+    partitioning-independent.  An earlier MLlib-per-subspace variant was
+    correct but paid m distributed fits + giant literal-centroid
+    expression trees — ~100s at test scale where this is ~1s."""
+    import numpy as np
+
+    dim = len(candidates.select(cand_vec).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    rows = (
+        candidates.select(F.col(cand_vec).cast("array<double>").alias("_v"))
+        .orderBy(F.md5(F.col("_v").cast("string")).asc())
+        .limit(n_train)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    books = np.empty((m, ksub, d), dtype=np.float64)
+    for i in range(m):
+        Xi = X[:, i * d : (i + 1) * d]
+        rng = np.random.RandomState(seed + i)
+        C = Xi[rng.choice(len(Xi), size=ksub, replace=False)].copy()
+        for _ in range(n_iter):
+            # assignment by expanded distance (argmax of x·c − ½|c|²)
+            assign = np.argmax(Xi @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xi[mask].mean(axis=0)
+                # empty cluster: keep the previous centroid (deterministic)
+        books[i] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to ``m`` small-int codes (nearest centroid per
+    subspace over the L2-normalized vector) — 64 float32 dims become m
+    bytes (m=16, ksub=16: 16× memory compression), the stored
+    representation an ADC scan reads instead of the raw corpus.
+
+    Arrow-vectorized pandas_udf (a sanctioned Python boundary, PLANS.md):
+    per batch, each subspace's assignment is ONE matrix multiply + argmax —
+    the same judgment call as cosine_topk_pandas, because 256
+    literal-centroid distance folds per row is where Catalyst expression
+    trees stop being the fast path.  Zero-norm vectors encode against the
+    raw zeros (code 0s) rather than erroring — storage must be total."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, d = books.shape
+    half_c2 = 0.5 * (books * books).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf("array<int>")
+    def enc(col: pd.Series) -> pd.Series:
+        X = np.stack(col.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        Xn = X / n[:, None]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for i in range(m):
+            Xi = Xn[:, i * d : (i + 1) * d]
+            codes[:, i] = np.argmax(Xi @ books[i].T - half_c2[i], axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, enc(F.col(vec_col)))
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    n_candidates: int = 50,
+    seed: int = 42,
+    codebooks=None,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC top-k: asymmetric-distance scan over PQ codes proposes
+    ``n_candidates`` per query, exact cosine re-ranks them to the final
+    top-``k`` — the memory-bound ANN tier (IVF bounds COMPUTE by probing
+    few lists; PQ bounds MEMORY by scanning m-byte codes instead of raw
+    vectors; production systems compose both as IVF-PQ).
+
+    Scale shape: queries are small by contract (cosine_topk_pandas's
+    contract) and ship ONCE as a broadcast (query-id, LUT) tensor, where
+    LUT[q,i,c] = q̂_sub_i · centroid_{i,c} is precomputed on the driver;
+    the corpus streams through ONE mapInPandas that fuses encode + LUT
+    gather — per batch, scoring all queries is m numpy take()s and adds,
+    no vector arithmetic, and the corpus never shuffles.  (A deployment
+    with STORED codes — pq_encode's output table — runs the same scan
+    minus the encode line.)  The top-n_candidates cut is a per-query
+    window over (id, approx) pairs; only surviving ids' true vectors are
+    fetched (narrow id join) for the exact JVM-fold re-rank, which is what
+    keeps the output hash-deterministic.  Recall depends on n_candidates
+    covering the true top-k in ADC order — measured and margin-pinned in
+    the registry/pytest, the same protocol as the simhash Hamming radius."""
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            candidates, m=m, ksub=ksub, seed=seed, cand_vec=cand_vec
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, d = books.shape
+    half_c2 = 0.5 * (books * books).sum(axis=2)
+
+    q_rows = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    qids = np.array([r["_qid"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["_qv"], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1)
+    if (qn == 0).any():
+        raise ValueError("zero-norm query vector")
+    Qn = Q / qn[:, None]
+    # LUT[q, i, c] = q̂_sub_i · centroid_{i,c}
+    lut = np.einsum("qic,kic->qik", Qn.reshape(len(Q), m, d), books.transpose(1, 0, 2))
+    bc = candidates.sparkSession.sparkContext.broadcast((qids, lut))
+
+    out_schema = f"{cand_id} long, {query_id} long, _approx double"
+
+    def scan(batches):
+        b_qids, b_lut = bc.value  # (nq,), (nq, m, ksub)
+        nq = len(b_qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[cand_vec].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(X, axis=1)
+            n[n == 0] = 1.0
+            Xn = X / n[:, None]
+            nb = len(X)
+            codes = np.empty((nb, m), dtype=np.int64)
+            for i in range(m):
+                Xi = Xn[:, i * d : (i + 1) * d]
+                codes[:, i] = np.argmax(Xi @ books[i].T - half_c2[i], axis=1)
+            S = np.zeros((nq, nb))
+            for i in range(m):
+                S += b_lut[:, i, :][:, codes[:, i]]
+            ids = pdf[cand_id].to_numpy()
+            yield pd.DataFrame(
+                {
+                    cand_id: np.repeat(ids, nq),
+                    query_id: np.tile(b_qids, nb),
+                    "_approx": S.T.ravel(),
+                }
+            )
+
+    scanned = (
+        candidates.select(cand_id, cand_vec)
+        .mapInPandas(scan, schema=out_schema)
+        .where(F.col(query_id) != F.col(cand_id))
+    )
+    wa = Window.partitionBy(query_id).orderBy(F.desc("_approx"), F.col(cand_id))
+    proposed = (
+        scanned.withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= n_candidates)
+        .select(query_id, cand_id)
+    )
+
+    cand_vecs = candidates.select(
+        F.col(cand_id), F.col(cand_vec), l2_norm(F.col(cand_vec)).alias("_cn")
+    )
+    q_exact = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        l2_norm(F.col(query_vec)).alias("_qn"),
+    )
+    rerank = (
+        proposed.join(cand_vecs, cand_id)
+        .join(F.broadcast(q_exact), query_id)
+        .select(
+            F.col(query_id),
+            F.col(cand_id),
+            cosine_with_norms(
+                F.col(query_vec), F.col(cand_vec), F.col("_qn"), F.col("_cn")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, "score", "rank")
     )

@@ -4617,6 +4617,34 @@ FROM documents
 """
 
 
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN (similarity.cosine_topk_pq): 16×16 product-quantization
+    codes (64 float32 dims → 16 bytes, 16× compression), asymmetric-distance
+    scan proposing candidates, exact cosine re-rank — hash-checked against
+    the exact brute-force SQL.
+
+    n_candidates=400 is measured-margin, the simhash protocol: the worst
+    ADC rank of a true top-5 neighbor is 147 (sf0.001, of 500 vecs), 92
+    (sf0.01, of 500), 180 (sf0.1, of 2000) — 400 is ≥2.2× the worst case at
+    every scale while still scanning ≤20% of the largest corpus via codes.
+    (These synthetic embeddings are near-random, the hardest case for PQ —
+    tiny true-cosine gaps mean quantization noise reorders deep ranks;
+    clustered real corpora need far smaller margins.)  The
+    coverage assumption is pinned by tests/test_dedup_similarity.py's
+    superset assertion so a testdata regeneration fails loudly, and the
+    sparse-candidate recall dial is exercised there, not here."""
+    q, emb = _query_vectors(spark, sf_dir)
+    out = similarity.cosine_topk_pq(
+        q, emb, k=5, m=16, ksub=16, n_candidates=400
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").alias("rnk"),
+    )
+
+
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (text.bm25_topk): top-20 docs for a 3-term
     query, ties broken by doc id.  The registry pins idf='rational' (raw
@@ -4920,6 +4948,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "src_compacted_events": (src_compacted_events, _SRC_EVCOMP_SQL),
     "ext_resample_ffill": (ext_resample_ffill, _EXT_RESAMPLE_SQL),
     "text_bm25_topk": (text_bm25_topk, _TEXT_BM25_SQL),
+    "sim_topk_pq": (sim_topk_pq, _SIM_TOPK_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

@@ -243,7 +243,7 @@ def test_multitable_lsh_equals_exact_tiers(spark):
     from bulkfhirloader_spark.sources.tables import load_table
     from tests.conftest import SF_DIR
 
-    emb = load_table(spark, SF_DIR, "embeddings")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {(r["id_a"], r["id_b"])
              for r in dedup.embedding_cosine_pairs(
                  emb, threshold=0.4, allow_full_scan=True).collect()}
@@ -627,3 +627,42 @@ def test_stored_ivf_index_matches_in_session_and_prunes(spark, tmp_path):
     assert s_rows == m_rows
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cluster" in plan
+
+
+def test_pq_adc_superset_covers_exact_topk(spark):
+    """Pins the registry's n_candidates=400 coverage assumption (simhash
+    protocol): the ADC proposal at the registry geometry must contain every
+    true top-5 neighbor, so a testdata regeneration that degrades PQ
+    discrimination fails HERE, not as a red driver row."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.cosine_topk_bruteforce(q, emb, k=5)
+    got = similarity.cosine_topk_pq(q, emb, k=5, m=16, ksub=16, n_candidates=400)
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    have = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    assert want == have
+
+
+def test_pq_sparse_candidates_partial_recall_and_compression(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.cosine_topk_bruteforce(q, emb, k=5).collect()}
+    sparse = {(r["query_id"], r["vec_id"])
+              for r in similarity.cosine_topk_pq(
+                  q, emb, k=5, m=16, ksub=16, n_candidates=60).collect()}
+    recall = len(exact & sparse) / len(exact)
+    # near-random vectors are PQ's worst case; even so a 12%-of-corpus scan
+    # must recover most true neighbors, and everything it returns is
+    # exactly-scored so the top hit survives
+    assert recall >= 0.6, recall
+    # codes really are m small ints (the 16x memory story)
+    books = similarity.pq_train_codebooks(emb, m=16, ksub=16)
+    coded = similarity.pq_encode(emb, books).select("pq_code").first()[0]
+    assert len(coded) == 16 and all(0 <= c < 16 for c in coded)
