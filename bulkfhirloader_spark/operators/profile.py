@@ -240,3 +240,76 @@ def group_percentiles(
         .agg(pcts.alias("_pcts"), F.count(F.lit(1)).alias("n_rows"))
         .select(*group_cols, "n_rows", *out_cols)
     )
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+    min_estimate: int = 10,
+    seed: str = "cms0",
+) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate per-value frequencies from a
+    depth×width counter table and report values whose estimate clears
+    ``min_estimate`` — the sketch-tier companion to the exact top_values
+    profiler (exact needs a groupBy over every distinct value; the sketch's
+    state is a FIXED depth×width table at any cardinality, the structure
+    you keep incrementally per partition/day at 100 TB).
+
+    Estimates are the classic min over rows of the hashed-bucket counts:
+    always >= the true count, overestimating only via bucket collisions.
+    Hashes are md5-derived (row i bucket = int(md5(i/seed/value)[:13]) %
+    width) so the WHOLE sketch is deterministically restatable in the
+    DuckDB oracle — the hash gate checks the sketch's exact table, not a
+    tolerance band.
+
+    Scale shape: the counter table is built with ONE aggregation whose key
+    space is capped at depth×width (partial agg collapses each partition
+    to <= that many rows before the exchange); candidate values come from
+    the same pass (their per-row buckets are a projection), and the
+    estimate join touches depth rows per candidate against the
+    BROADCAST-sized table."""
+    buckets = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "/", F.lit(str(i)), F.lit(seed), F.col(col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long") % width
+        for i in range(depth)
+    ]
+    hashed = df.select(
+        F.col(col).alias("value"),
+        *[b.alias(f"_b{i}") for i, b in enumerate(buckets)],
+    )
+    table = (
+        hashed.select(
+            F.posexplode(F.array(*[F.col(f"_b{i}") for i in range(depth)])).alias(
+                "row_idx", "bucket"
+            )
+        )
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cands = hashed.groupBy("value", *[f"_b{i}" for i in range(depth)]).agg(
+        F.count(F.lit(1)).alias("true_n")  # kept for collision-rate tests; tiny here
+    )
+    est = cands
+    for i in range(depth):
+        ti = table.filter(F.col("row_idx") == i).select(
+            F.col("bucket").alias(f"_b{i}"), F.col("n").alias(f"_n{i}")
+        )
+        est = est.join(F.broadcast(ti), f"_b{i}")
+    estimate = F.least(*[F.col(f"_n{i}") for i in range(depth)])
+    return (
+        est.select("value", estimate.alias("est_count"))
+        .filter(F.col("est_count") >= min_estimate)
+    )

@@ -253,3 +253,60 @@ def resample_forward_fill(
             F.col("_cents").isNotNull().alias("observed"),
         )
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_seconds: int = 3600,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every conversion event,
+    the LAST touch strictly before it (last-touch model, any age) and the
+    FIRST touch inside the trailing ``lookback_seconds`` window ending just
+    before it (first-touch-in-window model).  Either is NULL when no
+    qualifying touch exists — an unattributed (organic) conversion, kept.
+
+    Scale shape: touches and conversions stay ONE stream — no self-join.
+    Both models are window functions over the SAME per-user
+    orderBy(unix_micros) sort (one Exchange + one Sort total, the
+    sequences-module invariant): last-touch is last(ignorenulls) over a
+    rows frame ending at -1, first-touch is first(ignorenulls) over a
+    range frame [-lookback_us, -1] — the range frame is why the order key
+    must be the integer micros, not the timestamp.  Per-user fanout bounds
+    every task; there is no corpus-sized state.
+
+    Tie semantics: events sharing one (user, microsecond) tick are ordered
+    arbitrarily within the frame — callers on real data with coarse clocks
+    should pre-disambiguate (the testdata generator emits unique micros per
+    user, asserted in tests)."""
+    touch_id = F.when(F.col(type_col).isin(*touch_types), F.col(id_col))
+    ev = events.select(
+        F.col(id_col), F.col(user_col), F.col(type_col), F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        touch_id.alias("_touch_id"),
+    )
+    w = Window.partitionBy(user_col).orderBy("_us")
+    lookback_us = int(lookback_seconds) * 1_000_000
+    last_touch = F.last("_touch_id", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    first_touch = F.first("_touch_id", ignorenulls=True).over(
+        w.rangeBetween(-lookback_us, -1)
+    )
+    return (
+        ev.withColumn("last_touch_event_id", last_touch)
+        .withColumn("first_touch_event_id", first_touch)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            F.col(id_col).alias("conversion_event_id"),
+            user_col,
+            F.col("_us").alias("conversion_us"),
+            "first_touch_event_id",
+            "last_touch_event_id",
+        )
+    )

@@ -4617,6 +4617,85 @@ FROM documents
 """
 
 
+def ext_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (sequences.attribute_conversions): per
+    purchase, the last click/view strictly before it (last-touch) and the
+    first click/view in the trailing 1-hour window (first-touch-in-window),
+    NULL when organic.  One per-user Exchange+Sort serves both models
+    (rows frame + range frame over the same integer-micros order); the
+    oracle restates both with DuckDB IGNORE NULLS window frames."""
+    events = load_table(spark, sf_dir, "events")
+    _utc(spark)
+    return sequences.attribute_conversions(
+        events, conversion_type="purchase", touch_types=("click", "view"),
+        lookback_seconds=3600,
+    )
+
+
+_EXT_ATTRIB_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                  CASE WHEN event_type IN ('click', 'view')
+                       THEN event_id END AS touch_id
+           FROM events),
+a AS (SELECT event_id, user_id, event_type, us,
+             last_value(touch_id IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_touch_event_id,
+             first_value(touch_id IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING
+             ) AS first_touch_event_id
+      FROM e)
+SELECT event_id AS conversion_event_id, user_id, us AS conversion_us,
+       first_touch_event_id, last_touch_event_id
+FROM a WHERE event_type = 'purchase'
+"""
+
+
+def ext_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates (profile.count_min_heavy_hitters)
+    over event user_ids: 4×256 md5-bucketed counter table, estimate =
+    min over rows of bucket counts, values with estimate >= 10 reported.
+    The oracle rebuilds the IDENTICAL sketch in SQL (same md5 buckets, same
+    min), so the hash gate certifies the sketch table itself — estimates
+    must match to the exact count, collisions included — not a tolerance
+    band (stronger than the HLL query's boolean pattern, possible here
+    because the sketch is deterministic given the hash family)."""
+    events = load_table(spark, sf_dir, "events")
+    return profile.count_min_heavy_hitters(
+        events.select(F.col("user_id").cast("string").alias("user")),
+        "user", width=256, depth=4, min_estimate=10,
+    )
+
+
+def _cms_oracle_sql() -> str:
+    width, depth, seed = 256, 4, "cms0"
+    bucket_exprs = ", ".join(
+        f"(('0x' || substr(md5('{i}' || '/' || '{seed}' || '/' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT) % {width} AS b{i}"
+        for i in range(depth)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT {i} AS row_idx, b{i} AS bucket FROM h" for i in range(depth)
+    )
+    joins = " ".join(
+        f"JOIN t t{i} ON t{i}.row_idx = {i} AND t{i}.bucket = c.b{i}"
+        for i in range(depth)
+    )
+    least = ", ".join(f"t{i}.n" for i in range(depth))
+    return f"""
+WITH h AS (SELECT CAST(user_id AS VARCHAR) AS value, {bucket_exprs} FROM events),
+t AS (SELECT row_idx, bucket, count(*) AS n FROM ({unpivot}) GROUP BY 1, 2),
+c AS (SELECT DISTINCT value, b0, b1, b2, b3 FROM h)
+SELECT c.value, least({least}) AS est_count
+FROM c {joins}
+WHERE least({least}) >= 10
+"""
+
+
+_EXT_CMS_SQL = _cms_oracle_sql()
+
+
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN (similarity.cosine_topk_pq): 16×16 product-quantization
     codes (64 float32 dims → 16 bytes, 16× compression), asymmetric-distance
@@ -4949,6 +5028,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_resample_ffill": (ext_resample_ffill, _EXT_RESAMPLE_SQL),
     "text_bm25_topk": (text_bm25_topk, _TEXT_BM25_SQL),
     "sim_topk_pq": (sim_topk_pq, _SIM_TOPK_SQL),
+    "ext_attribution_touch": (ext_attribution_touch, _EXT_ATTRIB_SQL),
+    "ext_cms_heavy_users": (ext_cms_heavy_users, _EXT_CMS_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

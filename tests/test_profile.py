@@ -70,3 +70,22 @@ def test_histogram_counts_and_edges(spark):
     df = spark.createDataFrame([(float(i),) for i in range(11)], "x double")
     got = {r.bin_idx: r.n for r in histogram_equi_width(df, "x", n_bins=5).collect()}
     assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
+
+
+def test_count_min_overestimates_and_bounds_state(spark):
+    from bulkfhirloader_spark.operators.profile import count_min_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(700)] + [("rare",)], "v string"
+    )
+    out = {r["value"]: r["est_count"]
+           for r in count_min_heavy_hitters(df, "v", width=64, depth=4,
+                                            min_estimate=1).collect()}
+    # CMS never underestimates: each u* appears exactly 100 times
+    for i in range(7):
+        assert out[f"u{i}"] >= 100
+    assert out["rare"] >= 1
+    # threshold filters
+    heavy = count_min_heavy_hitters(df, "v", width=64, depth=4, min_estimate=50)
+    vals = {r["value"] for r in heavy.collect()}
+    assert "rare" not in vals and vals >= {f"u{i}" for i in range(7)}

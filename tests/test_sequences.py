@@ -178,3 +178,59 @@ def test_resample_forward_fill_gaps(spark):
     assert got[(1, base + 3)] == (900, True)
     assert got[(2, base + 1)] == (425, True)
     assert len(got) == 5
+
+
+def test_attribution_models_and_single_sort(spark):
+    import datetime as dt
+
+    from bulkfhirloader_spark.operators.sequences import attribute_conversions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    events = spark.createDataFrame(
+        [
+            # user 1: click(-5000s), view(-2000s), purchase(0): last=view,
+            # first-in-1h-window=view (click is outside the 3600s lookback)
+            (1, s(-5000), 1, "click", 0.0),
+            (2, s(-2000), 1, "view", 0.0),
+            (3, s(0), 1, "purchase", 9.9),
+            # user 1 second purchase at +100s: last=view(id 2); window now
+            # also contains only id 2 (purchases are not touches)
+            (4, s(100), 1, "purchase", 1.0),
+            # user 2: organic purchase — both models NULL
+            (5, s(0), 2, "purchase", 5.0),
+            # user 3: touch AFTER the conversion attributes nothing
+            (6, s(10), 3, "click", 0.0),
+            (7, s(0), 3, "purchase", 2.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r["conversion_event_id"]: r for r in attribute_conversions(events).collect()}
+    assert out[3]["last_touch_event_id"] == 2
+    assert out[3]["first_touch_event_id"] == 2
+    assert out[4]["last_touch_event_id"] == 2
+    assert out[4]["first_touch_event_id"] == 2
+    assert out[5]["last_touch_event_id"] is None
+    assert out[5]["first_touch_event_id"] is None
+    assert out[7]["last_touch_event_id"] is None
+    # both window models share ONE Exchange + ONE Sort (the module invariant)
+    plan = attribute_conversions(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 2, plan  # one sort op (string appears once per line)
+
+
+def test_attribution_testdata_micros_are_unique_per_user(spark):
+    """The arbitrary-tie caveat in attribute_conversions is vacuous on the
+    shipped testdata: (user, microsecond) is unique.  If a regeneration
+    breaks this, the attribution oracle could hash-flip — fail here
+    instead."""
+    from bulkfhirloader_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    dup = (
+        ev.groupBy("user_id", F.unix_micros("ts"))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
