@@ -4653,6 +4653,52 @@ FROM a WHERE event_type = 'purchase'
 """
 
 
+def stream_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversion attribution (streaming.stateful
+    .stream_attribution) as a driver-checked query: time-ordered chunks +
+    maxFilesPerTrigger=1 force cross-batch attribution — a touch in batch k
+    must win a conversion arriving in batch k+1 through the bounded
+    GroupState window, and the trimmed-touch scalar must keep serving the
+    unbounded last-touch model.  On in-order replay the emitted rows equal
+    the batch operator's exactly, so this shares ext_attribution_touch's
+    oracle."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.stateful import stream_attribution
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    in_glob = _ordered_event_chunks(
+        spark, sf_dir, ("event_id", "user_id", "ts", "event_type")
+    )
+    schema = spark.read.parquet(in_glob).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_attrib_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_glob)
+    )
+    ckpt = tempfile.mkdtemp(prefix="bfls_attrib_ckpt_")
+    q = (
+        stream_attribution(stream, lookback_seconds=3600)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(ckpt, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "conversion_event_id",
+        "user_id",
+        "conversion_us",
+        "first_touch_event_id",
+        "last_touch_event_id",
+    )
+
+
 def ext_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates (profile.count_min_heavy_hitters)
     over event user_ids: 4×256 md5-bucketed counter table, estimate =
@@ -5030,6 +5076,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_topk_pq": (sim_topk_pq, _SIM_TOPK_SQL),
     "ext_attribution_touch": (ext_attribution_touch, _EXT_ATTRIB_SQL),
     "ext_cms_heavy_users": (ext_cms_heavy_users, _EXT_CMS_SQL),
+    "stream_attribution_touch": (stream_attribution_touch, _EXT_ATTRIB_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

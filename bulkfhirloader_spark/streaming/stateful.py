@@ -277,3 +277,149 @@ def stream_sessionize(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+ATTRIBUTION_SCHEMA = (
+    "conversion_event_id bigint, user_id bigint, conversion_us bigint, "
+    "first_touch_event_id bigint, last_touch_event_id bigint"
+)
+_ATTRIBUTION_STATE = (
+    "cursor_us bigint, cursor_id bigint, dropped_us bigint, dropped_id bigint, "
+    "touch_us array<bigint>, touch_ids array<bigint>"
+)
+
+
+def stream_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming conversion attribution — the stateful twin of
+    operators.sequences.attribute_conversions: every arriving conversion is
+    tagged with its user's LAST touch so far (last-touch model) and the
+    FIRST touch inside the trailing lookback window (first-touch-in-window
+    model), exactly as the batch window frames define them.
+
+    State per user is BOUNDED: the touch (id, µs) pairs inside one lookback
+    of the user's cursor — the same bound the interval join holds — plus
+    two scalar cursors: the newest touch ever TRIMMED from that window
+    (it can still win the unbounded last-touch model for a conversion that
+    arrives with no in-window touches) and the (µs, id) high-water mark.
+    Trimming is provably lossless for the windowed model: an in-order
+    stream's future conversions sit at µs >= cursor, so a touch older than
+    cursor − lookback can never re-enter a window.
+
+    Per batch the group is processed with numpy searchsorted over the
+    merged touch timeline (no per-row Python loop): last touch = the
+    timeline entry just before the conversion (falling back to the trimmed
+    scalar), first-in-window = the first entry in [conv − L, conv).  Rows
+    at-or-before the high-water cursor (replay glitches) are excluded
+    before pairing so they cannot corrupt state — same monotone-cursor
+    guard as stream_transitions.  On in-order replay, summing nothing is
+    needed: emitted rows equal the batch operator's output row-for-row,
+    which is why the registry checks this against the SAME DuckDB oracle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lookback_us = int(lookback_seconds) * 1_000_000
+    touch_set = set(touch_types)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in pdfs if len(p)]
+        empty = pd.DataFrame(
+            {
+                "conversion_event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "conversion_us": pd.Series([], dtype="int64"),
+                "first_touch_event_id": pd.Series([], dtype="Int64"),
+                "last_touch_event_id": pd.Series([], dtype="Int64"),
+            }
+        )
+        if not chunks:
+            yield empty
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        batch = batch.sort_values(["ts_epoch_us", "event_id"], kind="mergesort")
+        us = batch["ts_epoch_us"].to_numpy(dtype="int64")
+        ids = batch["event_id"].to_numpy(dtype="int64")
+        types = batch["event_type"].to_numpy()
+
+        if state.exists:
+            cur_us, cur_id, dr_us, dr_id, w_us, w_ids = state.get
+            w_us = np.asarray(w_us, dtype="int64")
+            w_ids = np.asarray(w_ids, dtype="int64")
+            fresh = (us > cur_us) | ((us == cur_us) & (ids > cur_id))
+            us, ids, types = us[fresh], ids[fresh], types[fresh]
+        else:
+            dr_us = dr_id = None
+            w_us = np.empty(0, dtype="int64")
+            w_ids = np.empty(0, dtype="int64")
+        if not len(us):
+            yield empty
+            return
+
+        is_touch = np.isin(types, list(touch_set))
+        all_us = np.concatenate([w_us, us[is_touch]])
+        all_ids = np.concatenate([w_ids, ids[is_touch]])
+
+        is_conv = types == conversion_type
+        c_us, c_ids = us[is_conv], ids[is_conv]
+        last_fallback = np.nan if dr_id is None else float(dr_id)
+        if len(all_us):
+            hi = np.searchsorted(all_us, c_us, side="left")
+            lo = np.searchsorted(all_us, c_us - lookback_us, side="left")
+            first_t = np.where(
+                lo < hi, all_ids[np.minimum(lo, len(all_ids) - 1)], np.nan
+            )
+            last_t = np.where(hi > 0, all_ids[np.maximum(hi - 1, 0)], last_fallback)
+        else:
+            first_t = np.full(len(c_us), np.nan)
+            last_t = np.full(len(c_us), last_fallback)
+
+        new_cur_us, new_cur_id = int(us[-1]), int(ids[-1])
+        keep = all_us >= new_cur_us - lookback_us
+        if (~keep).any():
+            di = int((~keep).nonzero()[0][-1])  # newest trimmed touch
+            dr_us, dr_id = int(all_us[di]), int(all_ids[di])
+        state.update(
+            (
+                new_cur_us,
+                new_cur_id,
+                dr_us,
+                dr_id,
+                [int(x) for x in all_us[keep]],
+                [int(x) for x in all_ids[keep]],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "conversion_event_id": c_ids,
+                "user_id": np.full(len(c_ids), key[0], dtype="int64"),
+                "conversion_us": c_us,
+                # float carriers for the NaN=null path; ids are exact in
+                # float64 far beyond any test corpus, and Int64 round-trips
+                # NaN as SQL NULL through Arrow
+                "first_touch_event_id": pd.Series(first_t).astype("Int64"),
+                "last_touch_event_id": pd.Series(last_t).astype("Int64"),
+            }
+        )
+
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_epoch_us"),
+        "event_type",
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_ATTRIBUTION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -473,3 +473,48 @@ def test_stream_near_dup_admission_matches_batch_rule(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.doc_id for r in spark.table("stream_admission_t").collect())
     assert got == [11, 12]
+
+
+def test_stream_attribution_cross_batch_and_trim_fallback(spark, tmp_path):
+    """Batch 1 holds only touches, batch 2 only conversions — every
+    attribution must flow through GroupState.  User 1's touch is INSIDE the
+    1h lookback at conversion time (both models hit it); user 2's touch is
+    older than the lookback, so the windowed model is NULL while the
+    unbounded last-touch model must still surface it — after the state trim
+    has moved it into the dropped-touch scalar."""
+    import datetime as dt
+
+    from bulkfhirloader_spark.streaming.stateful import stream_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows1 = [(1, s(0), 1, "click"), (2, s(0), 2, "view")]
+    rows2 = [(3, s(600), 1, "purchase"), (4, s(7200), 2, "purchase")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "chunk-0")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "chunk-1")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "in" / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_attribution(stream, lookback_seconds=3600)
+        .writeStream.format("memory")
+        .queryName("stream_attrib_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.conversion_event_id: r for r in spark.table("stream_attrib_t").collect()}
+    assert got[3].first_touch_event_id == 1
+    assert got[3].last_touch_event_id == 1
+    # user 2: windowed model empty, unbounded model served from the trim scalar
+    assert got[4].first_touch_event_id is None
+    assert got[4].last_touch_event_id == 2
