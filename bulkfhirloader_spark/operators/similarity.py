@@ -1,22 +1,25 @@
 """Similarity search over embedding columns (array<float>).
 
-Three tiers:
-- ``cosine_topk_bruteforce`` — exact: broadcast the (small) query set against
-  the candidate corpus, score with built-in higher-order functions, take
-  top-k per query with a window.  At 100 TB this is a single broadcast
-  nested-loop pass over the corpus — embarrassingly parallel, no shuffle of
-  the corpus itself; the only shuffle is the tiny per-query top-k.
-- ``cosine_topk_lsh`` — approximate: random-hyperplane LSH bucketing
-  (deterministic seeded planes), exact re-scoring inside buckets.  Trades
-  recall for touching ~1/2^bits of the corpus per query.
-- ``cosine_topk_ivf`` — approximate: an IVF (inverted-file) index — KMeans
-  coarse quantizer over L2-normalized vectors (Spark MLlib), each query
-  probing only its ``n_probe`` nearest centroids' lists, exact cosine
-  within.  Touches ~n_probe/n_clusters of the corpus per query with
-  data-adaptive partitioning (better recall than LSH at equal cost on
-  clustered corpora).
+The tiers, by which resource they bound:
+- ``cosine_topk_bruteforce`` — exact baseline: broadcast the (small) query
+  set against the corpus, fold-scored JVM-side, window top-k.  At 100 TB a
+  single broadcast pass — no corpus shuffle.
+- ``cosine_topk_pandas`` — the same exact semantics scored by BLAS over
+  Arrow batches; the production path for WIDE embeddings (d ≥ ~1024).
+- ``cosine_topk_lsh`` — bounds candidates by hyperplane-sign buckets
+  (touches ~1/2^bits of the corpus per query), exact re-scoring within.
+- ``cosine_topk_ivf`` (+ ``build_ivf_index``/``query_ivf_index`` stored
+  form) — bounds COMPUTE: KMeans coarse quantizer, each query probes
+  ``n_probe`` lists, exact cosine within; data-adaptive, beats LSH on
+  clustered corpora.
+- ``cosine_topk_pq`` — bounds MEMORY: product-quantization codes (m bytes
+  per vector) scanned via per-query ADC lookup tables, exact re-rank of
+  the proposed candidates.
+- ``cosine_topk_ivfpq`` — the production composition (FAISS IVFPQ): IVF
+  restricts which lists are scanned, PQ codes are what gets scanned,
+  exact re-rank restores truth.
 
-All scoring is in DOUBLE with a left-to-right fold so results are
+All exact scoring is in DOUBLE with a left-to-right fold so results are
 deterministic and oracle-checkable.
 """
 
@@ -889,6 +892,130 @@ def cosine_topk_pq(
         F.col(query_id),
         F.col(query_vec),
         l2_norm(F.col(query_vec)).alias("_qn"),
+    )
+    rerank = (
+        proposed.join(cand_vecs, cand_id)
+        .join(F.broadcast(q_exact), query_id)
+        .select(
+            F.col(query_id),
+            F.col(cand_id),
+            cosine_with_norms(
+                F.col(query_vec), F.col(cand_vec), F.col("_qn"), F.col("_cn")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "score", "rank")
+    )
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    n_candidates: int = 50,
+    seed: int = 42,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — an IVF coarse quantizer
+    bounds COMPUTE (each query touches only its ``n_probe`` nearest
+    centroids' lists) and PQ codes bound MEMORY (the probed lists are
+    scanned as m-byte codes via an ADC lookup table, not raw vectors);
+    survivors are exactly re-ranked.  This is FAISS's IVFPQ index shape
+    re-expressed as a DataFrame plan.
+
+    Scale shape: the corpus carries (id, cluster, m codes) — one KMeans
+    assignment projection + one Arrow encode pass, both shuffle-free; the
+    probe restriction is a broadcast join of (query, probed-cluster, LUT)
+    rows, so ADC scoring inside the join is m array getItems per surviving
+    pair, all JVM-side (the LUTs were computed ONCE per query on the
+    driver — queries are small by contract).  Then one window keeps
+    n_candidates per query and only those ids fetch true vectors for the
+    exact re-rank.  At the exhaustive setting (n_probe = n_clusters,
+    covering n_candidates) the result is exact — the registry's hash
+    gate; the approximate dials are pytest's job."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    books = pq_train_codebooks(
+        candidates, m=m, ksub=ksub, seed=seed, cand_vec=cand_vec
+    )
+    m, ksub, d = books.shape
+
+    cand_n = candidates.withColumn("_cn", l2_norm(F.col(cand_vec))).withColumn(
+        "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
+    )
+    with_feat = cand_n.withColumn("features", array_to_vector(F.col("_nv")))
+    model = KMeans(k=n_clusters, seed=seed).fit(with_feat)
+    assigned = (
+        model.transform(with_feat)
+        .withColumnRenamed("prediction", "_cluster")
+        .drop("features", "_nv", "_cn")
+    )
+    coded = pq_encode(assigned, books, vec_col=cand_vec).select(
+        F.col(cand_id), "_cluster", "pq_code"
+    )
+    centers = np.asarray(
+        [list(map(float, c)) for c in model.clusterCenters()], dtype=np.float64
+    )
+
+    q_rows = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    spark = candidates.sparkSession
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["_qv"], dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        if qn == 0:
+            raise ValueError("zero-norm query vector")
+        qnv = qv / qn
+        # nearest centroids by L2 on the normalized sphere
+        d2 = ((centers - qnv) ** 2).sum(axis=1)
+        probes = np.argsort(d2, kind="stable")[:n_probe]
+        lut = np.einsum("id,icd->ic", qnv.reshape(m, d), books)  # (m, ksub)
+        lut_list = [[float(x) for x in row] for row in lut]
+        for c in probes:
+            probe_rows.append((int(r["_qid"]), int(c), lut_list))
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{query_id} long, _cluster int, _lut array<array<double>>"
+    )
+
+    approx = F.col("_lut")[0][F.col("pq_code")[0]]
+    for i in range(1, m):
+        approx = approx + F.col("_lut")[i][F.col("pq_code")[i]]
+    scanned = (
+        coded.join(F.broadcast(probe_df), "_cluster")
+        .filter(F.col(query_id) != F.col(cand_id))
+        .select(F.col(query_id), F.col(cand_id), approx.alias("_approx"))
+    )
+    wa = Window.partitionBy(query_id).orderBy(F.desc("_approx"), F.col(cand_id))
+    proposed = (
+        scanned.withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= n_candidates)
+        .select(query_id, cand_id)
+    )
+
+    cand_vecs = candidates.select(
+        F.col(cand_id), F.col(cand_vec), l2_norm(F.col(cand_vec)).alias("_cn")
+    )
+    q_exact = queries.select(
+        F.col(query_id), F.col(query_vec), l2_norm(F.col(query_vec)).alias("_qn")
     )
     rerank = (
         proposed.join(cand_vecs, cand_id)

@@ -4617,6 +4617,26 @@ FROM documents
 """
 
 
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (similarity.cosine_topk_ivfpq): coarse quantizer
+    bounds compute, PQ codes bound memory, exact re-rank restores truth —
+    FAISS's IVFPQ as a DataFrame plan.  Checked at the exhaustive-probe
+    setting (n_probe = n_clusters, the sim_topk_ivf precedent) with the
+    PQ tier's measured-margin n_candidates=400, so the hash gate certifies
+    the composed machinery end-to-end; the sparse dials (fewer probes,
+    fewer candidates) are pytest's job."""
+    q, emb = _query_vectors(spark, sf_dir)
+    out = similarity.cosine_topk_ivfpq(
+        q, emb, k=5, n_clusters=8, n_probe=8, m=16, ksub=16, n_candidates=400
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").alias("rnk"),
+    )
+
+
 def ext_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution (sequences.attribute_conversions): per
     purchase, the last click/view strictly before it (last-touch) and the
@@ -5077,6 +5097,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_attribution_touch": (ext_attribution_touch, _EXT_ATTRIB_SQL),
     "ext_cms_heavy_users": (ext_cms_heavy_users, _EXT_CMS_SQL),
     "stream_attribution_touch": (stream_attribution_touch, _EXT_ATTRIB_SQL),
+    "sim_topk_ivfpq": (sim_topk_ivfpq, _SIM_TOPK_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

@@ -666,3 +666,32 @@ def test_pq_sparse_candidates_partial_recall_and_compression(spark):
     books = similarity.pq_train_codebooks(emb, m=16, ksub=16)
     coded = similarity.pq_encode(emb, books).select("pq_code").first()[0]
     assert len(coded) == 16 and all(0 <= c < 16 for c in coded)
+
+
+def test_ivfpq_sparse_probes_partial_recall(spark):
+    """The approximate dials: probing 3 of 8 lists with a modest candidate
+    budget must still recover most true neighbors (the corpus is clustered
+    enough for the coarse quantizer to be informative), and every returned
+    pair is exactly-scored."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.cosine_topk_bruteforce(q, emb, k=5).collect()}
+    sparse = similarity.cosine_topk_ivfpq(
+        q, emb, k=5, n_clusters=8, n_probe=3, m=16, ksub=16, n_candidates=100
+    )
+    rows = sparse.collect()
+    got = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert len(exact & got) / len(exact) >= 0.5
+    # scores on returned pairs are the TRUE cosine (re-rank is exact):
+    # spot-check one against a direct computation
+    r0 = rows[0]
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    a, b = vecs[r0["query_id"]], vecs[r0["vec_id"]]
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(r0["score"] - want) < 1e-9
