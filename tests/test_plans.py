@@ -238,13 +238,12 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "text_collocations_lift",   # 1-row broadcast corpus token total
     "ext_histogram_price",      # 1-row broadcast (min, max) bounds
     "cur_weighted_sample",      # 1-row broadcast max-weight threshold
+    "text_bm25_topk",           # 1-row broadcast (N docs, avgdl) stats
 }
+# stream_* execute a streaming query on invocation — prefix-matched so new
+# streaming registrations can't silently leak into the batch lint
+_PLAN_LINT_SKIP_PREFIXES = ("stream_",)
 _PLAN_LINT_SKIP = {
-    "stream_user_totals",       # executes a streaming query on invocation
-    "stream_dedup_exact",
-    "stream_sessionize_gap",
-    "stream_interval_join_clicks",
-    "stream_markov_transitions",
     "ref_ingest_streaming",
 }
 
@@ -256,7 +255,7 @@ def test_no_cartesian_or_nested_loop_in_any_registered_query(spark):
     equi condition, non-equi-only predicate) anywhere in the surface."""
     bad = {}
     for name, (fn, _sql) in sorted(registry.REGISTRY.items()):
-        if name in _PLAN_LINT_SKIP:
+        if name in _PLAN_LINT_SKIP or name.startswith(_PLAN_LINT_SKIP_PREFIXES):
             continue
         plan = _plan(fn(spark, SF_DIR))
         if "CartesianProduct" in plan:
