@@ -339,16 +339,42 @@ def ngram_jaccard_pairs(
     # would otherwise execute the candidate subplan just to count partitions
     docs = ensure_parallelism(docs)
     if candidates is not None:
-        # restrict BEFORE the explode: Catalyst will not push a semi join
-        # below a Generate, so filtering after exploding would shingle the
-        # whole corpus only to drop most of it — at scale the explode of
-        # non-candidate docs dwarfs the verification itself
-        wanted = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
+        # PAIRWISE fast path: with a bounded candidate set the exact score
+        # needs no shingle self-join at all — attach each side's distinct
+        # shingle ARRAY by id (two narrow joins restrict the shingling to
+        # candidate docs) and score array_intersect per pair.  Identical
+        # values to the explode formulation (both operate on the distinct
+        # shingle set; n_inter >= 1 preserves its no-overlap-no-row
+        # behavior), ~half the stages and zero shingle exchange.  The
+        # explode/self-join shape below remains for the max_shingle_df /
+        # full-scan modes, where pairs are not known in advance.
+        sh = docs.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_words).alias("_sh"),
         )
-        docs = docs.join(wanted, id_col, "left_semi")
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .distinct()
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(
+                sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")),
+                "id_b",
+            )
+        )
+        n_inter = F.size(F.array_intersect("_sha", "_shb"))
+        jac = n_inter.cast("double") / (
+            F.size("_sha") + F.size("_shb") - n_inter
+        ).cast("double")
+        return (
+            pairs.select(
+                "id_a", "id_b", n_inter.alias("n_inter"), jac.alias("jaccard")
+            )
+            .filter((F.col("n_inter") >= 1) & (F.col("jaccard") >= threshold))
+        )
     expl = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),
