@@ -1034,3 +1034,57 @@ def cosine_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, "score", "rank")
     )
+
+
+def embedding_label_outliers(
+    emb: DataFrame,
+    top_frac: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space label outliers — the mislabel/noise triage pass of a
+    training-data QA pipeline: per label, the ``top_frac`` fraction of
+    vectors FARTHEST from their own label's centroid (squared L2).  A
+    cluster of these is a labeling-process bug; scattered ones are
+    candidates for relabeling or dropping.
+
+    Determinism contract (the label_centroids precedent): centroid
+    components are rounded to 6 dp BEFORE distances, so the distance is a
+    fixed-order left fold over exactly-agreed doubles — bit-identical
+    cross-engine — and the cutoff is RANK-based (row_number over rounded
+    distance, ties by id), never a float threshold that could
+    boundary-flip membership.
+
+    Scale shape: centroids are a labels×dim aggregate (partial agg bounds
+    the exchange) broadcast back; the distance is a zero-shuffle
+    projection; per-label group sizes come from a tiny groupBy broadcast —
+    NOT an unframed count window, which would funnel each label through
+    one task; the rank window's fanout is bounded per label and carries
+    (id, dist) pairs only."""
+    cen = label_centroids(emb, vec_col=vec_col, label_col=label_col, round_dp=6)
+    sizes = emb.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n_label"))
+    with_c = emb.join(
+        F.broadcast(cen.withColumnRenamed("c_label", label_col)), label_col
+    ).join(F.broadcast(sizes), label_col)
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = with_c.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.round(dist2, 6).alias("dist2"),
+        F.ceil(F.col("_n_label") * F.lit(float(top_frac))).cast("int").alias("_k"),
+    )
+    w = Window.partitionBy(label_col).orderBy(F.desc("dist2"), F.col(id_col))
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("outlier_rank") <= F.col("_k"))
+        .select(id_col, label_col, "dist2", "outlier_rank")
+    )

@@ -4637,6 +4637,48 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label outliers (similarity.embedding_label_outliers):
+    per label, the 5% of vectors farthest from their label centroid — the
+    mislabel/noise triage pass.  Centroid components round to 6 dp BEFORE
+    distances (the label_centroids precedent), the distance is a
+    fixed-order left fold (DuckDB list_reduce folds the identical chain),
+    and the cutoff is rank-based so no float threshold sits on the hash
+    path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_label_outliers(emb, top_frac=0.05)
+
+
+_EMB_OUTLIERS_SQL = """
+WITH d AS (SELECT label, u.x AS x, u.dim AS dim
+           FROM embeddings,
+                LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                                generate_subscripts(embedding, 1) AS dim) u),
+cen AS (SELECT label, list(round(mean_x, 6) ORDER BY dim) AS c
+        FROM (SELECT label, dim, avg(x) AS mean_x FROM d GROUP BY 1, 2)
+        GROUP BY label),
+sz AS (SELECT label, CAST(ceil(count(*) * 0.05e0) AS INT) AS k
+       FROM embeddings GROUP BY label),
+v AS (SELECT vec_id, e.label,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev, c
+      FROM embeddings e JOIN cen USING (label)),
+s AS (SELECT vec_id, label,
+             round(CAST(0.0e0 AS DOUBLE) + list_reduce(
+                 list_transform(range(1, 1 + len(ev)),
+                                i -> (ev[i] - c[i]) * (ev[i] - c[i])),
+                 (a, b) -> a + b), 6) AS dist2
+      FROM v),
+r AS (SELECT vec_id, label, dist2,
+             CAST(row_number() OVER (PARTITION BY label
+                                     ORDER BY dist2 DESC, vec_id ASC) AS INT)
+               AS outlier_rank
+      FROM s)
+SELECT vec_id, r.label, dist2, outlier_rank
+FROM r JOIN sz USING (label)
+WHERE outlier_rank <= k
+"""
+
+
 def ext_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution (sequences.attribute_conversions): per
     purchase, the last click/view strictly before it (last-touch) and the
@@ -5098,6 +5140,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_cms_heavy_users": (ext_cms_heavy_users, _EXT_CMS_SQL),
     "stream_attribution_touch": (stream_attribution_touch, _EXT_ATTRIB_SQL),
     "sim_topk_ivfpq": (sim_topk_ivfpq, _SIM_TOPK_SQL),
+    "emb_label_outliers": (emb_label_outliers, _EMB_OUTLIERS_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

@@ -695,3 +695,33 @@ def test_ivfpq_sparse_probes_partial_recall(spark):
     a, b = vecs[r0["query_id"]], vecs[r0["vec_id"]]
     want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert abs(r0["score"] - want) < 1e-9
+
+
+def test_label_outliers_flags_planted_outlier(spark):
+    """A vector far from its label's cluster must rank first; per-label
+    output size is ceil(5% of label size); membership is stable under
+    repartitioning (rank cutoff, not a float threshold)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for label in (0, 1):
+        base = np.zeros(8) if label == 0 else np.ones(8)
+        for i in range(40):
+            rows.append(
+                (label * 100 + i, (base + rng.normal(0, 0.01, 8)).tolist(), label)
+            )
+    rows.append((999, (np.full(8, 5.0)).tolist(), 0))  # planted outlier in label 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.embedding_label_outliers(emb, top_frac=0.05)
+    got = {(r["label"], r["outlier_rank"]): r["vec_id"] for r in out.collect()}
+    assert got[(0, 1)] == 999
+    # ceil(41 * 0.05) = 3 rows for label 0, ceil(40 * 0.05) = 2 for label 1
+    import collections
+
+    per_label = collections.Counter(l for (l, _r) in got)
+    assert per_label[0] == 3 and per_label[1] == 2
+    again = similarity.embedding_label_outliers(emb.repartition(7), top_frac=0.05)
+    assert {r["vec_id"] for r in again.collect()} == set(got.values())
