@@ -533,3 +533,56 @@ def repeated_block_dedup(
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         F.coalesce("n_kept_blocks", F.lit(0).cast("long")).alias("n_kept_blocks"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus's own top-N
+    terms: token count, out-of-vocabulary token count, and OOV rate — the
+    tokenizer-fit / domain-shift triage metric (a doc whose tokens mostly
+    miss the working vocabulary is foreign text, markup soup, or a
+    tokenizer bug, and will fragment into long byte-level sequences).
+
+    Scale shape: the vocabulary is ONE term-count aggregate cut to the
+    top-N (rank by count desc with a term tiebreak — deterministic), and
+    it is the BROADCAST side of the probe by construction (N ≪ corpus);
+    per-doc counting is a map-side explode → broadcast left-anti probe →
+    doc-keyed count, so document text never shuffles.  The OOV rate is a
+    single IEEE division of exact counts (NULL for token-free docs, never
+    a divide-by-zero throw under ANSI)."""
+    from pyspark.sql import Window
+
+    tc = term_counts(docs, text_col=text_col)
+    w = Window.orderBy(F.desc("term_count"), F.col("term").asc())
+    # the rank window is over the (tiny) distinct-term table, not the corpus
+    vocab = (
+        tc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= vocab_size)
+        .select("term")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return base.join(oov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+        F.round(
+            F.coalesce("n_oov", F.lit(0).cast("long")).cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -4637,6 +4637,36 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus top-16 vocabulary
+    (text.vocab_coverage) — the tokenizer-fit/domain-shift triage metric.
+    vocab_size=16 sits inside the synthetic corpus's ~35-term vocabulary,
+    so the rank cutoff genuinely discriminates at every scale; the rate is
+    one IEEE division of exact counts (NULL for token-free docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, vocab_size=16)
+
+
+_TEXT_VOCAB_COV_SQL = r"""
+WITH tc AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+v AS (SELECT term
+      FROM (SELECT term, row_number() OVER (ORDER BY count(*) DESC, term ASC) AS r
+            FROM tc GROUP BY term)
+      WHERE r <= 16),
+t AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+o AS (SELECT doc_id, count(*) AS n_oov
+      FROM t WHERE term NOT IN (SELECT term FROM v) GROUP BY doc_id),
+b AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents)
+SELECT b.doc_id, n_tokens,
+       coalesce(o.n_oov, 0) AS n_oov,
+       round(CAST(coalesce(o.n_oov, 0) AS DOUBLE)
+             / nullif(CAST(n_tokens AS DOUBLE), 0.0e0), 6) AS oov_rate
+FROM b LEFT JOIN o ON b.doc_id = o.doc_id
+"""
+
+
 def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space label outliers (similarity.embedding_label_outliers):
     per label, the 5% of vectors farthest from their label centroid — the
@@ -5141,6 +5171,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_attribution_touch": (stream_attribution_touch, _EXT_ATTRIB_SQL),
     "sim_topk_ivfpq": (sim_topk_ivfpq, _SIM_TOPK_SQL),
     "emb_label_outliers": (emb_label_outliers, _EMB_OUTLIERS_SQL),
+    "text_vocab_coverage": (text_vocab_coverage, _TEXT_VOCAB_COV_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

@@ -339,3 +339,20 @@ def test_repeated_block_dedup_removes_cross_doc_boilerplate(spark):
         assert out[d]["n_kept_blocks"] == 1
     assert out[4]["clean_text"].startswith("no boilerplate")
     assert out[5]["clean_text"] == "" and out[5]["n_kept_blocks"] == 0
+
+
+def test_vocab_coverage_oov_semantics(spark):
+    from bulkfhirloader_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),       # 'a' (3) and 'b' (1+1) dominate
+            (2, "a b zzz qqq"),   # two OOV tokens at vocab_size=2
+            (3, ""),              # token-free: NULL rate, not a crash
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.vocab_coverage(docs, vocab_size=2).collect()}
+    assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
+    assert out[2]["n_oov"] == 2 and abs(out[2]["oov_rate"] - 0.5) < 1e-9
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] is None
