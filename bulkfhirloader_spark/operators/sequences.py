@@ -310,3 +310,67 @@ def attribute_conversions(
             "last_touch_event_id",
         )
     )
+
+
+def daily_value_anomalies(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    min_group: int = 30,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Statistical anomaly detection over event values: flag events whose
+    value sits more than ``z_threshold`` standard deviations from their
+    (event_type, day) group mean — the metrics-monitoring pass that
+    surfaces bad deploys, bot floods, and unit-change bugs in an event
+    pipeline.
+
+    Determinism contract: values are converted to exact integer micros
+    FIRST, group sums run as DECIMAL(38,0) (exact at any corpus size — a
+    double sum's partial-sum order is irreproducible, a long sum of
+    squared micros overflows), and mean/variance/z are then derived in a
+    PINNED double expression order from those exact sums, so the flagged
+    set is bit-identical cross-engine.  The day key is integer epoch-day
+    arithmetic (the engine-wide timezone rule).  Degenerate groups
+    (n < min_group, or zero variance) flag nothing: z is NULL through the
+    nullif guard, never an ANSI divide-by-zero.
+
+    Scale shape: one (type, day)-keyed aggregate — tiny key space, partial
+    agg collapses each partition — broadcast back onto the stream; the
+    flag is then a map-side filter.  Nothing corpus-sized shuffles."""
+    u = F.round(F.col(value_col) * 1_000_000).cast("long")
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast("int")
+    base = events.select(
+        F.col(id_col),
+        F.col(type_col),
+        day.alias("epoch_day"),
+        u.alias("value_micros"),
+    )
+    stats = base.groupBy(type_col, "epoch_day").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value_micros").cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            (F.col("value_micros").cast("decimal(38,0)")
+             * F.col("value_micros").cast("decimal(38,0)"))
+        ).alias("_s2"),
+    )
+    n_d = F.col("_n").cast("double")
+    s_d = F.col("_s").cast("double")
+    s2_d = F.col("_s2").cast("double")
+    mean = s_d / n_d
+    var = (s2_d - (s_d * s_d) / n_d) / n_d
+    std = F.sqrt(var)
+    joined = base.join(F.broadcast(stats), [type_col, "epoch_day"])
+    z = (F.col("value_micros").cast("double") - mean) / F.nullif(std, F.lit(0.0))
+    return (
+        joined.select(
+            F.col(id_col),
+            F.col(type_col),
+            "epoch_day",
+            "value_micros",
+            F.when(F.col("_n") >= min_group, F.round(z, 6)).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > z_threshold)
+    )

@@ -4637,6 +4637,39 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) z-score anomalies
+    (sequences.daily_value_anomalies, |z| > 2.5): values to exact integer
+    micros, DECIMAL(38,0) group sums, pinned-order double derivation —
+    the flagged set is bit-identical cross-engine.  Day keys are integer
+    epoch-days (the timezone rule)."""
+    events = load_table(spark, sf_dir, "events")
+    _utc(spark)
+    return sequences.daily_value_anomalies(events, z_threshold=2.5, min_group=10)
+
+
+_EXT_ANOMALY_SQL = """
+WITH b AS (SELECT event_id, event_type,
+                  CAST(floor(epoch_us(ts) / 86400000000) AS INT) AS epoch_day,
+                  CAST(round(value * 1000000) AS BIGINT) AS value_micros
+           FROM events),
+s AS (SELECT event_type, epoch_day,
+             count(*) AS n,
+             CAST(sum(CAST(value_micros AS DECIMAL(38,0))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(value_micros AS DECIMAL(38,0))
+                      * CAST(value_micros AS DECIMAL(38,0))) AS DOUBLE) AS s2d
+      FROM b GROUP BY 1, 2),
+j AS (SELECT b.event_id, b.event_type, b.epoch_day, b.value_micros,
+             CASE WHEN s.n >= 10 THEN
+               round((CAST(b.value_micros AS DOUBLE) - sd / n)
+                     / nullif(sqrt((s2d - (sd * sd) / n) / n), 0.0e0), 6)
+             END AS z_score
+      FROM b JOIN s USING (event_type, epoch_day))
+SELECT event_id, event_type, epoch_day, value_micros, z_score
+FROM j WHERE abs(z_score) > 2.5
+"""
+
+
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate vs the corpus top-16 vocabulary
     (text.vocab_coverage) — the tokenizer-fit/domain-shift triage metric.
@@ -5172,6 +5205,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_topk_ivfpq": (sim_topk_ivfpq, _SIM_TOPK_SQL),
     "emb_label_outliers": (emb_label_outliers, _EMB_OUTLIERS_SQL),
     "text_vocab_coverage": (text_vocab_coverage, _TEXT_VOCAB_COV_SQL),
+    "ext_daily_anomalies": (ext_daily_anomalies, _EXT_ANOMALY_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

@@ -234,3 +234,24 @@ def test_attribution_testdata_micros_are_unique_per_user(spark):
         .count()
     )
     assert dup == 0
+
+
+def test_daily_anomalies_flags_planted_spike(spark):
+    import datetime as dt
+
+    from bulkfhirloader_spark.operators.sequences import daily_value_anomalies
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "view", 10.0 + (i % 5) * 0.1)
+        for i in range(40)
+    ]
+    rows.append((99, t0 + dt.timedelta(minutes=50), 1, "view", 500.0))  # spike
+    # a tiny group (n < min_group) with a wild value must flag NOTHING
+    rows.append((100, t0, 1, "purchase", 9999.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = daily_value_anomalies(events, z_threshold=3.0, min_group=30).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z_score"] > 3.0
