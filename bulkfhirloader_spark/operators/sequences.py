@@ -374,3 +374,101 @@ def daily_value_anomalies(
         )
         .filter(F.abs(F.col("z_score")) > z_threshold)
     )
+
+
+def running_value_anomalies(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    min_prior: int = 30,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ONLINE anomaly detection: each event is scored against the running
+    mean/std of all PRIOR events of its type — the exact semantics an
+    always-on monitor evaluates at arrival time, where daily_value_anomalies
+    is the retrospective batch sweep (a spike inflates its own group's
+    variance there; here it cannot, because scoring state is strictly
+    causal).
+
+    Same determinism contract as the daily variant: integer-micros values,
+    exact DECIMAL(38,0) running sums over the prior-rows frame (frame SUM
+    of decimals is order-independent because decimal addition is exact),
+    pinned double derivation, NULL z below ``min_prior`` or at zero
+    variance.
+
+    Scale shape: one Exchange+Sort per event type (the sequences-module
+    invariant — all three frame aggregates share it); state per row is
+    three running sums, never a collected array."""
+    u = F.round(F.col(value_col) * 1_000_000).cast("long")
+    base = events.select(
+        F.col(id_col),
+        F.col(type_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        u.alias("value_micros"),
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy("_us", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dec = F.col("value_micros").cast("decimal(38,0)")
+    prior_n = F.count(F.lit(1)).over(w)
+    prior_s = F.sum(dec).over(w)
+    prior_s2 = F.sum(dec * dec).over(w)
+    n_d = prior_n.cast("double")
+    s_d = prior_s.cast("double")
+    s2_d = prior_s2.cast("double")
+    mean = s_d / n_d
+    std = F.sqrt((s2_d - (s_d * s_d) / n_d) / n_d)
+    z = (F.col("value_micros").cast("double") - mean) / F.nullif(std, F.lit(0.0))
+    return (
+        base.select(
+            F.col(id_col),
+            F.col(type_col),
+            F.col("_us").alias("ts_epoch_us"),
+            "value_micros",
+            F.when(prior_n >= min_prior, F.round(z, 6)).alias("z_score"),
+        )
+        .filter(F.abs(F.col("z_score")) > z_threshold)
+    )
+
+
+def common_paths(
+    events: DataFrame,
+    depth: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common ``depth``-step event-type paths across users — the
+    journey-mining view behind "what do users actually do" dashboards and
+    funnel discovery (transition_counts is the depth-2 special case as a
+    full matrix; this ranks longer concrete sequences).
+
+    One per-user Exchange+Sort serves all ``depth-1`` leads (the module
+    invariant); each event emits at most one path (the one it starts), so
+    the path stream is corpus-sized, not corpus × depth; the count
+    aggregate's key space is bounded by |types|^depth and collapses
+    map-side.  Top-k is TakeOrdered with a path-string tiebreak."""
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_micros(F.col(ts_col)), F.col(id_col)
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    path = F.concat_ws(" > ", *steps)
+    complete = steps[-1].isNotNull()
+    return (
+        events.select(F.when(complete, path).alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.col("path").asc())
+        .limit(k)
+    )

@@ -4637,6 +4637,63 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online (strictly-causal) z-score anomalies
+    (sequences.running_value_anomalies, |z| > 3 vs all PRIOR same-type
+    events): exact DECIMAL running sums over the prior-rows frame, pinned
+    double derivation — the arrival-time monitor semantics next to
+    ext_daily_anomalies' retrospective sweep."""
+    events = load_table(spark, sf_dir, "events")
+    _utc(spark)
+    return sequences.running_value_anomalies(events, z_threshold=3.0, min_prior=30)
+
+
+_EXT_RUNNING_ANOM_SQL = """
+WITH b AS (SELECT event_id, event_type, epoch_us(ts) AS us,
+                  CAST(round(value * 1000000) AS BIGINT) AS value_micros
+           FROM events),
+s AS (SELECT event_id, event_type, us, value_micros,
+             count(*) OVER w AS n,
+             CAST(sum(CAST(value_micros AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sd,
+             CAST(sum(CAST(value_micros AS DECIMAL(38,0))
+                      * CAST(value_micros AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s2d
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+j AS (SELECT event_id, event_type, us AS ts_epoch_us, value_micros,
+             CASE WHEN n >= 30 THEN
+               round((CAST(value_micros AS DOUBLE) - sd / n)
+                     / nullif(sqrt((s2d - (sd * sd) / n) / n), 0.0e0), 6)
+             END AS z_score
+      FROM s)
+SELECT event_id, event_type, ts_epoch_us, value_micros, z_score
+FROM j WHERE abs(z_score) > 3.0
+"""
+
+
+def ext_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event-type paths (sequences.common_paths): journey
+    mining over one per-user window sort; count tiebreak by path string
+    keeps the top-k row set deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    _utc(spark)
+    return sequences.common_paths(events, depth=3, k=20)
+
+
+_EXT_PATHS_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+p AS (SELECT event_type || ' > ' || lead(event_type, 1) OVER w
+                        || ' > ' || lead(event_type, 2) OVER w AS path,
+             lead(event_type, 2) OVER w AS third
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT path, count(*) AS n_paths
+FROM p WHERE third IS NOT NULL
+GROUP BY path
+ORDER BY n_paths DESC, path ASC
+LIMIT 20
+"""
+
+
 def ext_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(event_type, day) z-score anomalies
     (sequences.daily_value_anomalies, |z| > 2.5): values to exact integer
@@ -5206,6 +5263,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "emb_label_outliers": (emb_label_outliers, _EMB_OUTLIERS_SQL),
     "text_vocab_coverage": (text_vocab_coverage, _TEXT_VOCAB_COV_SQL),
     "ext_daily_anomalies": (ext_daily_anomalies, _EXT_ANOMALY_SQL),
+    "ext_running_anomalies": (ext_running_anomalies, _EXT_RUNNING_ANOM_SQL),
+    "ext_common_paths": (ext_common_paths, _EXT_PATHS_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

@@ -255,3 +255,53 @@ def test_daily_anomalies_flags_planted_spike(spark):
     out = daily_value_anomalies(events, z_threshold=3.0, min_group=30).collect()
     assert [r["event_id"] for r in out] == [99]
     assert out[0]["z_score"] > 3.0
+
+
+def test_running_anomalies_are_strictly_causal(spark):
+    """The spike must be flagged against PRIOR stats only — and must not
+    poison the scoring of later normal events (contrast the daily batch
+    sweep, where a spike inflates its own group's variance)."""
+    import datetime as dt
+
+    from bulkfhirloader_spark.operators.sequences import running_value_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "view", 10.0 + (i % 5) * 0.1)
+        for i in range(40)
+    ]
+    rows.append((99, t0 + dt.timedelta(minutes=50), 1, "view", 500.0))
+    rows += [
+        (200 + i, t0 + dt.timedelta(minutes=60 + i), 1, "view", 10.0 + (i % 5) * 0.1)
+        for i in range(10)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = running_value_anomalies(events, z_threshold=3.0, min_prior=30).collect()
+    assert [r["event_id"] for r in out] == [99]
+
+
+def test_common_paths_single_sort_and_counts(spark):
+    import datetime as dt
+
+    from bulkfhirloader_spark.operators.sequences import common_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(3):  # 3 users repeat view>click>purchase then view>view>view
+        for seq in (["view", "click", "purchase"], ["view", "view", "view"]):
+            for s in seq:
+                rows.append((eid, t0 + dt.timedelta(minutes=eid), u, s, 0.0))
+                eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["path"]: r["n_paths"] for r in common_paths(events, depth=3, k=10).collect()}
+    assert got["view > click > purchase"] == 3
+    assert got["view > view > view"] == 3
+    # paths spanning the two planted sequences also count (windows slide)
+    assert got["click > purchase > view"] == 3
+    plan = common_paths(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan  # user hash + the tiny path count
