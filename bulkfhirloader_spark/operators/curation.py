@@ -620,3 +620,64 @@ def interleave_sources(
         .withColumn("vtime_micros", F.expr("(src_rank * CAST(1000000 AS BIGINT)) div _w"))
         .drop("_w")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    normalize: bool = True,
+    representatives: DataFrame | None = None,
+) -> DataFrame:
+    """Train/val/test split that cannot leak duplicates across splits:
+    the hash bucket is computed on each document's DUPLICATE-GROUP
+    REPRESENTATIVE, so every copy of a document lands in the SAME split.
+    Plain per-id hash_split silently puts duplicate twins on both sides of
+    the train/test boundary — the eval-contamination bug the C4/Pile
+    post-mortems call out.
+
+    The group map is pluggable: by default the (normalized) content hash —
+    exact-duplicate safety with zero extra machinery; pass
+    ``representatives`` = connected_components output (``node``,
+    ``component``) to make whole NEAR-dup clusters split-atomic (the
+    registry query does exactly that).  Unmapped docs represent
+    themselves, so the split degrades to hash_split where no duplication
+    exists.
+
+    Same stability contract as hash_split: reproducible across runs and
+    partitionings, and appending new documents never migrates old groups
+    (a new member joins its cluster's existing split).
+
+    Scale shape: one content-hash groupBy (uniform sha keys — no skew) or
+    the provided map, one id/sha-keyed join to attach it (shuffle carries
+    ids and hashes, never text), then the split is the zero-shuffle bucket
+    projection on rep_id."""
+    if representatives is not None:
+        rep_map = representatives.select(
+            F.col("node").alias(id_col), F.col("component").alias("_rep")
+        )
+        with_rep = df.select(F.col(id_col)).join(rep_map, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("_rep", F.col(id_col)).alias("rep_id"),
+        )
+    else:
+        from bulkfhirloader_spark.operators.text import normalize_text
+
+        content = (
+            normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+        )
+        sha = F.sha2(content, 256)
+        with_sha = df.select(F.col(id_col), sha.alias("_sha"))
+        rep = with_sha.groupBy("_sha").agg(F.min(id_col).alias("rep_id"))
+        with_rep = with_sha.join(rep, "_sha").select(F.col(id_col), "rep_id")
+    b = split_bucket(F.col("rep_id"))
+    split = (
+        F.when(b < train_pct * 10, F.lit("train"))
+        .when(b < (train_pct + val_pct) * 10, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return with_rep.select(
+        F.col(id_col), "rep_id", b.alias("bucket"), split.alias("split")
+    )

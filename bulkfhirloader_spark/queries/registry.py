@@ -4637,6 +4637,61 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cur_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-safe train/val/test split (curation.leakage_safe_split):
+    the hash bucket is computed on each document's NEAR-DUP CLUSTER
+    representative (the min-id component label from the LSH-verified
+    pipeline — this corpus has near-dups but zero content-identical docs,
+    so the cluster map is the grouping that actually bites), making whole
+    duplicate clusters split-atomic — the eval-contamination fix plain
+    per-id splitting lacks.  Oracle: the dedup_clusters recursive-CTE
+    closure feeding the same bucket arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_near_dup_pairs(docs, num_hashes=32, bands=8, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(docs, candidates=cand, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    return curation.leakage_safe_split(docs, representatives=comp)
+
+
+_CUR_LEAKSPLIT_SQL = r"""
+WITH RECURSIVE
+toks AS (SELECT doc_id,
+                regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+         FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(len(t) - 2),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [array_to_string(t, ' ')] END AS shingles
+       FROM toks),
+ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS n_inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+pairs AS (SELECT id_a, id_b FROM inter
+          WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS node, least(src, min(dst)) AS component
+           FROM reach GROUP BY src),
+b AS (SELECT d.doc_id,
+             coalesce(l.component, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+k AS (SELECT doc_id, rep_id,
+             ((rep_id % 2147483647) * 2654435761) % 2147483647 % 1000 AS bucket
+      FROM b)
+SELECT doc_id, rep_id, bucket,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+
 def ext_running_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online (strictly-causal) z-score anomalies
     (sequences.running_value_anomalies, |z| > 3 vs all PRIOR same-type
@@ -5265,6 +5320,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ext_daily_anomalies": (ext_daily_anomalies, _EXT_ANOMALY_SQL),
     "ext_running_anomalies": (ext_running_anomalies, _EXT_RUNNING_ANOM_SQL),
     "ext_common_paths": (ext_common_paths, _EXT_PATHS_SQL),
+    "cur_leakage_safe_split": (cur_leakage_safe_split, _CUR_LEAKSPLIT_SQL),
     "text_block_dedup": (text_block_dedup, _TEXT_BLOCK_DEDUP_SQL),
     "cur_sample_per_group": (cur_sample_per_group, _CUR_SPG_SQL),
     "cur_interleave_sources": (cur_interleave_sources, _CUR_INTERLEAVE_SQL),

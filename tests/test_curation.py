@@ -557,3 +557,41 @@ def test_interleave_sources_mixture_frequencies(spark):
     # schedule is exhaustive: every weighted doc appears exactly once
     n_weighted = docs.filter(F.col("source").isin(*weights)).count()
     assert len(rows) == n_weighted
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the same exact text"),
+            (777, "the same exact text"),   # twin with a very different id
+            (2, "another document body"),
+            (3, "a third unrelated doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.leakage_safe_split(docs).collect()}
+    # twins share the representative and therefore the split
+    assert out[1]["rep_id"] == out[777]["rep_id"] == 1
+    assert out[1]["split"] == out[777]["split"]
+    # non-duplicates use their own id as representative (hash_split parity)
+    plain = {r["doc_id"]: r["split"] for r in curation.hash_split(docs).collect()}
+    assert out[2]["split"] == plain[2] and out[3]["split"] == plain[3]
+    # the shipped corpus has NEAR-dups (and zero content-identical docs),
+    # so the cluster-representative mode is the one that bites: some docs
+    # really do inherit another doc's representative there
+    from bulkfhirloader_spark.operators import dedup
+
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cand = dedup.minhash_near_dup_pairs(corpus, num_hashes=32, bands=8, threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(corpus, candidates=cand, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    safe = curation.leakage_safe_split(corpus, representatives=comp)
+    assert safe.filter(F.col("rep_id") != F.col("doc_id")).count() > 0
+    # and the invariant itself: one split per representative, always
+    assert (
+        safe.groupBy("rep_id")
+        .agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
