@@ -57,6 +57,31 @@ def main() -> None:
     # dominate loadavg once queries run, so only the entry reading tells a
     # reader whether the box was already busy (the r5 lesson).
     try:
+        load_at_entry = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load_at_entry = (-1.0, -1.0, -1.0)
+    # QUIESCE (r6 lesson: the official BENCH_r06 was taken at 1-min loadavg
+    # 15.6/32cpu — residual pytest/selfcheck JVMs — and understated the
+    # engine by ~10%).  Cold numbers are single-shot by design, so ambient
+    # load translates directly into the artifact.  Bounded wait: poll until
+    # the 1-min loadavg drops below a threshold or the budget runs out,
+    # then record both readings and the wait so the artifact is
+    # self-describing either way.  Skippable for interactive iteration via
+    # SPARK_GRAFT_BENCH_NO_QUIESCE=1.
+    quiesce_budget = float(os.environ.get("SPARK_GRAFT_QUIESCE_BUDGET_S", "120"))
+    quiesce_threshold = float(os.environ.get("SPARK_GRAFT_QUIESCE_LOAD", "2.0"))
+    waited = 0.0
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_QUIESCE"):
+        t_q = time.monotonic()
+        while time.monotonic() - t_q < quiesce_budget:
+            try:
+                if os.getloadavg()[0] <= quiesce_threshold:
+                    break
+            except OSError:
+                break
+            time.sleep(5.0)
+        waited = round(time.monotonic() - t_q, 1)
+    try:
         load_at_start = tuple(round(x, 2) for x in os.getloadavg())
     except OSError:
         load_at_start = (-1.0, -1.0, -1.0)
@@ -133,6 +158,10 @@ def main() -> None:
                 "warm_reps": 3,
                 "ingest": ingest,
                 "errors": errors,
+                "loadavg_at_entry": {"1m": load_at_entry[0],
+                                     "5m": load_at_entry[1],
+                                     "15m": load_at_entry[2]},
+                "quiesce_wait_sec": waited,
                 "loadavg_at_start": {"1m": load_at_start[0],
                                      "5m": load_at_start[1],
                                      "15m": load_at_start[2],

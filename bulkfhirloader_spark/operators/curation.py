@@ -646,9 +646,19 @@ def leakage_safe_split(
     themselves, so the split degrades to hash_split where no duplication
     exists.
 
-    Same stability contract as hash_split: reproducible across runs and
-    partitionings, and appending new documents never migrates old groups
-    (a new member joins its cluster's existing split).
+    Stability contract (weaker than hash_split's, and necessarily so):
+    reproducible across runs, cluster sizes, and partitionings for a FIXED
+    corpus.  It is NOT append-stable: the representative is the minimum
+    member id, so a later-arriving duplicate with a smaller id (or, in the
+    ``representatives`` mode, a new near-dup that MERGES two clusters —
+    possible regardless of labeling scheme) changes the group's rep_id and
+    can migrate the whole group between splits.  No leakage-safe split can
+    be append-stable under cluster merging: keeping both halves of a newly
+    merged cluster in their old, different splits is exactly the leak this
+    operator exists to prevent.  Pipelines that need frozen assignments
+    should pin the split output of a corpus snapshot (it is deterministic
+    to recompute) rather than re-deriving it after appends; plain
+    hash_split remains the append-stable-but-leakage-blind alternative.
 
     Scale shape: one content-hash groupBy (uniform sha keys — no skew) or
     the provided map, one id/sha-keyed join to attach it (shuffle carries

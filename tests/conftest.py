@@ -1,10 +1,16 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from bulkfhirloader_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+# The single source of truth for the suite's test-scale directory; override
+# with SPARK_GRAFT_TEST_SF_DIR to run the suite against another scale or a
+# relocated testdata layout.  Test files import this instead of hardcoding
+# the path (round-6 advisor finding).
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from bulkfhirloader_spark.operators import curation
 from bulkfhirloader_spark.operators.text import token_count_bpe_ish
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR
 
 
 def test_hash_split_stable_under_repartition(spark):

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from bulkfhirloader_spark.operators import dedup, similarity
 
 
@@ -243,7 +244,7 @@ def test_multitable_lsh_equals_exact_tiers(spark):
     from bulkfhirloader_spark.sources.tables import load_table
     from tests.conftest import SF_DIR
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = {(r["id_a"], r["id_b"])
              for r in dedup.embedding_cosine_pairs(
                  emb, threshold=0.4, allow_full_scan=True).collect()}
@@ -452,7 +453,7 @@ def test_survivors_by_score_picks_best_member(spark):
 
 
 @pytest.mark.parametrize(
-    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+    "sf_dir", [SF_DIR, "/root/testdata/sf0.1"]
 )
 def test_simhash_candidates_cover_exact_pairs(spark, sf_dir):
     """Regeneration tripwire for the probabilistic simhash geometry
@@ -505,7 +506,7 @@ def test_minhash_candidate_blowup_bounded_on_duplicated_corpus(spark):
     rows_per_band (band collision prob ~ s^rows_per_band): raise it if a
     corpus's background similarity pushes candidates/doc far above d."""
     base = (
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
         .select("doc_id", "text")
         .where(F.length("text") > 50)
         .limit(200)
@@ -612,7 +613,7 @@ def test_stored_ivf_index_matches_in_session_and_prunes(spark, tmp_path):
     cosine_topk_ivf result exactly at the same geometry — persistence adds
     no drift — and (b) push the probed-cluster union into the lists scan
     as a planning-time partition filter (untouched lists never listed)."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -636,7 +637,7 @@ def test_pq_adc_superset_covers_exact_topk(spark):
     discrimination fails HERE, not as a red driver row."""
     from pyspark.sql import Window
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -648,7 +649,7 @@ def test_pq_adc_superset_covers_exact_topk(spark):
 
 
 def test_pq_sparse_candidates_partial_recall_and_compression(spark):
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -673,7 +674,7 @@ def test_ivfpq_sparse_probes_partial_recall(spark):
     budget must still recover most true neighbors (the corpus is clustered
     enough for the coarse quantizer to be informative), and every returned
     pair is exactly-scored."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from bulkfhirloader_spark.queries import registry
 from bulkfhirloader_spark.sources.tables import load_table
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR
 
 
 def _plan(df) -> str:

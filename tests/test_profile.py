@@ -89,3 +89,42 @@ def test_count_min_overestimates_and_bounds_state(spark):
     heavy = count_min_heavy_hitters(df, "v", width=64, depth=4, min_estimate=50)
     vals = {r["value"] for r in heavy.collect()}
     assert "rare" not in vals and vals >= {f"u{i}" for i in range(7)}
+
+
+def test_misra_gries_candidates_superset_and_bounded(spark):
+    """MG guarantee: every value with global count > N/(m+1) survives the
+    per-partition pass, at O(m) state — the bounded candidate tier for the
+    count-min probe.  Heavy values u0..u6 (100 each of 1000 rows) must all
+    appear with m=16 regardless of partition layout; output is bounded by
+    m x partitions."""
+    from bulkfhirloader_spark.operators.profile import (
+        count_min_heavy_hitters,
+        misra_gries_candidates,
+    )
+
+    rows = [(f"u{i % 7}",) for i in range(700)] + [(f"tail{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    m = 16
+    cands = misra_gries_candidates(df, "v", m=m)
+    got = {r["value"] for r in cands.collect()}
+    assert got >= {f"u{i}" for i in range(7)}  # superset of true heavy hitters
+    assert len(got) <= m * 8  # bounded by m x partitions
+
+    # bounded probe mode: estimates for the heavy values match the
+    # exhaustive default path exactly (same sketch table, same hashes)
+    full = {
+        r["value"]: r["est_count"]
+        for r in count_min_heavy_hitters(
+            df, "v", width=64, depth=4, min_estimate=50
+        ).collect()
+    }
+    probed = {
+        r["value"]: r["est_count"]
+        for r in count_min_heavy_hitters(
+            df, "v", width=64, depth=4, min_estimate=50, candidates=cands
+        ).collect()
+    }
+    # every true heavy hitter clears the bar in BOTH modes with the exact
+    # same estimate (same sketch table, same hashes)
+    for i in range(7):
+        assert probed[f"u{i}"] == full[f"u{i}"]

@@ -14,7 +14,7 @@ import pytest
 
 from bulkfhirloader_spark.queries.registry import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR
 
 # Queries whose result is legitimately empty at tiny scale.
 MAY_BE_EMPTY: set[str] = set()

@@ -13,6 +13,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from bulkfhirloader_spark.operators import sequences
 
 
@@ -226,7 +227,7 @@ def test_attribution_testdata_micros_are_unique_per_user(spark):
     instead."""
     from bulkfhirloader_spark.sources.tables import load_table
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = load_table(spark, SF_DIR, "events")
     dup = (
         ev.groupBy("user_id", F.unix_micros("ts"))
         .count()

@@ -8,13 +8,14 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from bulkfhirloader_spark.sources.tables import load_table
 
 
 @pytest.fixture(scope="module")
 def events_stream_env(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("events_stream")
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = load_table(spark, SF_DIR, "events")
     # several files so availableNow with maxFilesPerTrigger produces
     # multiple micro-batches (state must carry across batches)
     ev.repartition(3).write.parquet(str(root / "in"))
@@ -138,7 +139,7 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     from bulkfhirloader_spark.operators import windows
     from bulkfhirloader_spark.streaming import stream_sessionize
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+    ev = load_table(spark, SF_DIR, "events").select(
         "event_id", "user_id", "ts"
     )
     in_dir = tmp_path / "in"
@@ -202,7 +203,7 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     in-order replay makes them eviction-loss-free for any watermark)."""
     from bulkfhirloader_spark.streaming import stream_interval_join
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+    ev = load_table(spark, SF_DIR, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
     in_dir = tmp_path / "in"

@@ -7,6 +7,7 @@ import datetime
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from bulkfhirloader_spark.operators import text, windows
 
 
@@ -299,7 +300,7 @@ def test_inverted_index_single_exchange(spark):
 def test_bm25_ln_and_rational_agree_on_single_term_ranking(spark):
     from bulkfhirloader_spark.operators import text as T
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     # single query term: log is monotone, so the two idf modes must produce
     # the SAME doc ranking (scores differ)
     a = [r["doc_id"] for r in T.bm25_topk(docs, ["table"], k=10, idf="ln").collect()]

@@ -21,7 +21,7 @@ from bulkfhirloader_spark.queries import registry
 from bulkfhirloader_spark.sources import partitioned
 from bulkfhirloader_spark.sources.tables import load_table
 
-SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR
 
 # UTC+14 / UTC-10: every UTC-day boundary moves under these zones, so any
 # to_date()/session-tz leak in the day key shifts boundary events.
