@@ -726,3 +726,59 @@ def test_label_outliers_flags_planted_outlier(spark):
     assert per_label[0] == 3 and per_label[1] == 2
     again = similarity.embedding_label_outliers(emb.repartition(7), top_frac=0.05)
     assert {r["vec_id"] for r in again.collect()} == set(got.values())
+
+
+def test_memo_hygiene_dead_session_purge_and_collision_guard(spark):
+    """Round-6 advisor findings on the persisted-result memos: (a) entries
+    from a stopped session must be purged before LRU eviction ever calls
+    unpersist on a dead handle; (b) a semanticHash key collision must be
+    DETECTED via sameSemantics and rebuilt, never served."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    other = spark.createDataFrame(
+        [(3, "iota kappa lambda mu"), (4, "nu xi omicron pi")],
+        "doc_id long, text string",
+    )
+    dedup._SIG_MEMO.clear()
+    sigs = dedup.cached_minhash_signatures(docs)
+    (key,) = dedup._SIG_MEMO
+    app_id = key[0]
+
+    # (a) plant a dead-session entry whose unpersist would raise; eviction
+    # must purge it by app_id without touching the handle
+    class _Boom:
+        def unpersist(self):  # pragma: no cover - purged, never called
+            raise RuntimeError("dead context")
+
+    dedup._SIG_MEMO[("dead-app", 0, "doc_id", "text", 16, 3)] = ([docs], _Boom())
+    dedup._memo_evict(dedup._SIG_MEMO, dedup._SIG_MEMO_MAX, app_id)
+    assert all(k[0] == app_id for k in dedup._SIG_MEMO)
+
+    # (b) forge a collision: same key, but the stored input is a DIFFERENT
+    # plan — the hit must be rejected (sameSemantics) and recomputed
+    dedup._SIG_MEMO[key] = ([other], sigs)
+    rebuilt = dedup.cached_minhash_signatures(docs)
+    got = {r["doc_id"] for r in rebuilt.collect()}
+    assert got == {1, 2}
+    # and the memo now holds the corrected entry (confirmed hit next call)
+    assert dedup.cached_minhash_signatures(docs) is rebuilt
+
+    # admission memo end-to-end: warm call returns identical admitted ids
+    dedup._ADMIT_MEMO.clear()
+    existing = docs
+    batch = spark.createDataFrame(
+        [(11, "alpha beta gamma delta"), (12, "completely novel content here")],
+        "doc_id long, text string",
+    )
+    cold = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, batch).collect()
+    )
+    assert len(dedup._ADMIT_MEMO) == 1
+    warm = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, batch).collect()
+    )
+    assert cold == warm == [12]  # 11 is an exact dup of existing doc 1
