@@ -5474,29 +5474,33 @@ def _completed_rounds() -> int:
 
 
 def _previous_red_rows() -> list[str]:
-    """Names red (any of rows/schema/hash false, or errored) in the LATEST
-    committed CORRECTNESS artifact, alphabetical.  Defensive: any parse
-    problem degrades to the plain round-robin rather than breaking import."""
+    """Names whose LATEST verdict across all committed CORRECTNESS
+    artifacts is red (any of rows/schema/hash false, or errored),
+    alphabetical.  Scanning every artifact — not just the newest — also
+    front-loads rows whose only red is rounds old and has since rotated
+    out of the window (e.g. the 13 r4 events-loader casualties), so a fix
+    earns its green driver row at the next opportunity instead of waiting
+    on offset arithmetic.  Defensive: any parse problem degrades to the
+    plain round-robin rather than breaking import."""
     import glob as _glob
     import json as _json
     import os as _os
 
-    arts = sorted(_glob.glob(_os.path.join(_repo_root(), "CORRECTNESS_r*.json")))
-    if not arts:
-        return []
+    latest: dict[str, bool] = {}
     try:
-        with open(arts[-1]) as fh:
-            rows = _json.load(fh)
-        return sorted(
-            name
-            for name, r in rows.items()
-            if isinstance(r, dict)
-            and not (
-                r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-            )
-        )
+        for art in sorted(_glob.glob(_os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+            with open(art) as fh:
+                rows = _json.load(fh)
+            for name, r in rows.items():
+                if isinstance(r, dict):
+                    latest[name] = bool(
+                        r.get("rows_match")
+                        and r.get("schema_match")
+                        and r.get("hash_match")
+                    )
     except Exception:  # pragma: no cover - corrupt artifact
         return []
+    return sorted(name for name, green in latest.items() if not green)
 
 
 _names = sorted(REGISTRY)
