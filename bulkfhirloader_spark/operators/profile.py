@@ -264,7 +264,8 @@ def misra_gries_candidates(df: DataFrame, col: str, m: int = 64) -> DataFrame:
 
     Arrow batches via mapInPandas — a sanctioned vectorized boundary, not
     row-at-a-time Python; the MG dict is maintained across the partition's
-    batch iterator."""
+    batch iterator (update step factored into _mg_update, property-tested
+    driver-side without a Spark session)."""
     import pandas as pd
 
     spark_schema = "value string"
@@ -272,14 +273,7 @@ def misra_gries_candidates(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     def mg(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for v in pdf.iloc[:, 0].astype(str):
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < m:
-                    counters[v] = 1
-                else:
-                    # decrement-all step: drop zeros (dict comp keeps O(m))
-                    counters = {k: c - 1 for k, c in counters.items() if c > 1}
+            counters = _mg_update(counters, pdf.iloc[:, 0].astype(str), m)
         yield pd.DataFrame({"value": list(counters.keys())})
 
     return (
@@ -287,6 +281,26 @@ def misra_gries_candidates(df: DataFrame, col: str, m: int = 64) -> DataFrame:
         .mapInPandas(mg, schema=spark_schema)
         .distinct()
     )
+
+
+def _mg_update(counters: dict, values, m: int) -> dict:
+    """One Misra-Gries pass over ``values`` into ``counters`` (capacity m).
+
+    Invariants (the property tests pin these):
+    - len(counters) <= m always;
+    - for every value v, true_count(v) - D <= counter(v) <= true_count(v)
+      where D = number of decrement steps <= N/(m+1) — hence every value
+      with true count > N/(m+1) is PRESENT in the final dict, in any
+      arrival order."""
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < m:
+            counters[v] = 1
+        else:
+            # decrement-all step: drop zeros (dict comp keeps O(m))
+            counters = {k: c - 1 for k, c in counters.items() if c > 1}
+    return counters
 
 
 def count_min_heavy_hitters(

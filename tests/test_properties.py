@@ -125,3 +125,51 @@ def test_transitions_match_simulation(spark, raw):
         for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries candidate update (_mg_update): pure driver-side function, so
+# these properties run at full hypothesis budget (no Spark job per example).
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_mg_update_guarantee_and_bound(stream, m):
+    """(a) capacity never exceeds m; (b) every value with true count
+    > N/(m+1) is present in the final counters — the superset guarantee
+    count_min_heavy_hitters' bounded probe relies on; (c) counters never
+    overestimate the true count."""
+    from collections import Counter
+
+    from bulkfhirloader_spark.operators.profile import _mg_update
+
+    counters = _mg_update({}, [str(v) for v in stream], m)
+    assert len(counters) <= m
+    true = Counter(str(v) for v in stream)
+    n = len(stream)
+    for v, c in true.items():
+        if c * (m + 1) > n:
+            assert v in counters, (v, c, n, m, counters)
+    for v, c in counters.items():
+        assert 0 < c <= true[v]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), max_size=200),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=199),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_update_batch_split_equivalence(stream, m, cut):
+    """Feeding one stream in two chunks through _mg_update equals one
+    pass — the property that makes the mapInPandas batch iterator safe."""
+    from bulkfhirloader_spark.operators.profile import _mg_update
+
+    s = [str(v) for v in stream]
+    cut = min(cut, len(s))
+    one = _mg_update({}, s, m)
+    two = _mg_update(_mg_update({}, s[:cut], m), s[cut:], m)
+    assert one == two
