@@ -101,6 +101,10 @@ def _memo_get(memo: "OrderedDict[tuple, tuple[list[DataFrame], DataFrame]]",
     except Exception:  # pragma: no cover - stopped-context comparison
         pass
     memo.pop(key, None)  # collision or dead handle: rebuild below
+    try:
+        result.unpersist()  # don't leak the evicted entry's cached blocks
+    except Exception:  # pragma: no cover - dead handle
+        pass
     return None
 
 # Affine-permutation constants for MinHash: h_i(x) = (a_i * x + b_i) mod P.

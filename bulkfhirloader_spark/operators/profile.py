@@ -262,6 +262,11 @@ def misra_gries_candidates(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     cross-engine hash path (the registry oracle keeps the deterministic
     exhaustive pass; pytest asserts the superset property instead).
 
+    NULLs are excluded from candidacy (a pandas str-cast would otherwise
+    smuggle the literal 'None' into the value space and break the
+    superset claim for a null-dominated column); profile null mass with
+    the exact null-count stats instead.
+
     Arrow batches via mapInPandas — a sanctioned vectorized boundary, not
     row-at-a-time Python; the MG dict is maintained across the partition's
     batch iterator (update step factored into _mg_update, property-tested
@@ -273,11 +278,12 @@ def misra_gries_candidates(df: DataFrame, col: str, m: int = 64) -> DataFrame:
     def mg(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            counters = _mg_update(counters, pdf.iloc[:, 0].astype(str), m)
+            counters = _mg_update(counters, pdf.iloc[:, 0].dropna().astype(str), m)
         yield pd.DataFrame({"value": list(counters.keys())})
 
     return (
         df.select(F.col(col).cast("string"))
+        .where(F.col(col).isNotNull())
         .mapInPandas(mg, schema=spark_schema)
         .distinct()
     )
@@ -301,6 +307,31 @@ def _mg_update(counters: dict, values, m: int) -> dict:
             # decrement-all step: drop zeros (dict comp keeps O(m))
             counters = {k: c - 1 for k, c in counters.items() if c > 1}
     return counters
+
+
+def _cms_bucket_exprs(value_col, seed: str, depth: int, width: int) -> list:
+    """The count-min bucket recipe, shared verbatim by the sketch-table
+    build and the candidate probe (one definition so the hashing can never
+    drift between the two, and so the DuckDB oracle restatement has a
+    single source of truth): row i's bucket is
+    int(md5(i '/' seed '/' str(value))[:13 hex]) % width."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "/", F.lit(str(i)), F.lit(seed), value_col.cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+        for i in range(depth)
+    ]
 
 
 def count_min_heavy_hitters(
@@ -342,22 +373,7 @@ def count_min_heavy_hitters(
     space is capped at depth×width (partial agg collapses each partition
     to <= that many rows before the exchange); the estimate join touches
     depth rows per candidate against the BROADCAST-sized table."""
-    buckets = [
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "/", F.lit(str(i)), F.lit(seed), F.col(col).cast("string")
-                    )
-                ),
-                1,
-                13,
-            ),
-            16,
-            10,
-        ).cast("long") % width
-        for i in range(depth)
-    ]
+    buckets = _cms_bucket_exprs(F.col(col), seed, depth, width)
     hashed = df.select(
         F.col(col).alias("value"),
         *[b.alias(f"_b{i}") for i, b in enumerate(buckets)],
@@ -372,27 +388,13 @@ def count_min_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     if candidates is not None:
-        cand_buckets = [
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "/",
-                            F.lit(str(i)),
-                            F.lit(seed),
-                            F.col("value").cast("string"),
-                        )
-                    ),
-                    1,
-                    13,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
-            for i in range(depth)
-        ]
-        cands = candidates.select(F.col("value")).distinct().select(
+        # value is cast BACK to the profiled column's type so both modes
+        # return an identical schema (MG candidates arrive as strings);
+        # buckets are hashed from the same string form either way.
+        cand_buckets = _cms_bucket_exprs(F.col("value"), seed, depth, width)
+        cands = candidates.select(
+            F.col("value").cast(df.schema[col].dataType)
+        ).distinct().select(
             "value", *[b.alias(f"_b{i}") for i, b in enumerate(cand_buckets)]
         )
     else:

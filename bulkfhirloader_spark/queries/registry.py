@@ -3834,16 +3834,7 @@ def src_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiset (sum of a unique BIGINT key = multiset fingerprint); the
     float column is gone from the hash surface entirely.  A diagnostic
     twin (src_partitioned_events_diag) localizes any future red."""
-    from bulkfhirloader_spark.sources import partitioned
-
-    _utc(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, "events_part")
-    path = _SRC_FMT_DIRS.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="bfls_evpart_") + "/events"
-        partitioned.write_events_partitioned(load_table(spark, sf_dir, "events"), path)
-        _SRC_FMT_DIRS[key] = path
-    day = partitioned.read_events_day(spark, path, "2024-01-05")
+    day = _partitioned_store_day(spark, sf_dir, "2024-01-05")
     return day.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
@@ -3870,18 +3861,10 @@ def src_partitioned_events_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer output; if the main query ever goes red again, this twin's
     per-group extrema say WHICH rows diverged (boundary-of-day events vs
     missing rows vs key corruption) instead of leaving an opaque
-    hash-mismatch.  Shares the round-trip store memo with the main query
-    so both see the identical on-disk state."""
-    from bulkfhirloader_spark.sources import partitioned
-
-    _utc(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, "events_part")
-    path = _SRC_FMT_DIRS.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="bfls_evpart_") + "/events"
-        partitioned.write_events_partitioned(load_table(spark, sf_dir, "events"), path)
-        _SRC_FMT_DIRS[key] = path
-    day = partitioned.read_events_day(spark, path, "2024-01-05")
+    hash-mismatch.  Shares the store-build helper (and so the round-trip
+    memo) with the main query — both see the identical on-disk state by
+    construction."""
+    day = _partitioned_store_day(spark, sf_dir, "2024-01-05")
     return day.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_micros(F.col("ts"))).alias("min_us"),
@@ -3912,29 +3895,7 @@ def src_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate from the ORIGINAL events — a green row proves compaction is
     lossless; the file-count reduction itself is pytest-asserted
     (tests/test_plans.py)."""
-    import os as _os
-
-    from bulkfhirloader_spark.sources import partitioned
-
-    _utc(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, "events_compacted")
-    out = _SRC_FMT_DIRS.get(key)
-    if out is None:
-        root = tempfile.mkdtemp(prefix="bfls_evcomp_")
-        src = _os.path.join(root, "shattered")
-        ev = load_table(spark, sf_dir, "events")
-        # TZ-proof day key (r5 driver red): INTEGER epoch-day, so neither
-        # the derivation (pure unix_micros arithmetic) nor the partition-dir
-        # round-trip (ints need no date parsing) can touch the session TZ.
-        ev.repartition(16).withColumn(
-            "event_day", partitioned.epoch_day("ts")
-        ).write.partitionBy("event_day").parquet(src)
-        out = _os.path.join(root, "compacted")
-        partitioned.compact_store(
-            spark, src, out, target_rows_per_file=2_000, partition_col="event_day"
-        )
-        _SRC_FMT_DIRS[key] = out
-    comp = spark.read.parquet(out)
+    comp = _compacted_store(spark, sf_dir)
     return comp.groupBy(F.col("event_day").cast("int").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
@@ -3958,27 +3919,10 @@ def src_compacted_events_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diagnostic twin of src_compacted_events: per-day counts plus min/max
     unix_micros and min/max event_id over the COMPACTED copy (same store
     memo).  All-integer; a future hash red on the main query localizes to
-    specific days/rows here instead of an opaque mismatch."""
-    import os as _os
-
-    from bulkfhirloader_spark.sources import partitioned
-
-    _utc(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, "events_compacted")
-    out = _SRC_FMT_DIRS.get(key)
-    if out is None:
-        root = tempfile.mkdtemp(prefix="bfls_evcomp_")
-        src = _os.path.join(root, "shattered")
-        ev = load_table(spark, sf_dir, "events")
-        ev.repartition(16).withColumn(
-            "event_day", partitioned.epoch_day("ts")
-        ).write.partitionBy("event_day").parquet(src)
-        out = _os.path.join(root, "compacted")
-        partitioned.compact_store(
-            spark, src, out, target_rows_per_file=2_000, partition_col="event_day"
-        )
-        _SRC_FMT_DIRS[key] = out
-    comp = spark.read.parquet(out)
+    specific days/rows here instead of an opaque mismatch.  Shares the
+    store-build helper (and so the round-trip memo) with the main query —
+    both see the identical on-disk state by construction."""
+    comp = _compacted_store(spark, sf_dir)
     return comp.groupBy(F.col("event_day").cast("int").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_micros(F.col("ts"))).alias("min_us"),
@@ -3998,6 +3942,55 @@ SELECT CAST(floor(epoch(ts) / 86400) AS INT) AS day,
 FROM events
 GROUP BY 1
 """
+
+
+def _partitioned_store_day(spark: SparkSession, sf_dir: str, day: str) -> DataFrame:
+    """Build (once per session+sf_dir, memoized in _SRC_FMT_DIRS) the
+    Hive-partitioned event store and read back ONE pruned day.  Single
+    source of truth for the store geometry shared by src_partitioned_events
+    and its _diag twin — whichever runs first writes the store BOTH hash
+    against, so the two can never diverge on build parameters."""
+    from bulkfhirloader_spark.sources import partitioned
+
+    _utc(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, "events_part")
+    path = _SRC_FMT_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bfls_evpart_") + "/events"
+        partitioned.write_events_partitioned(load_table(spark, sf_dir, "events"), path)
+        _SRC_FMT_DIRS[key] = path
+    return partitioned.read_events_day(spark, path, day)
+
+
+def _compacted_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per session+sf_dir, memoized) the deliberately SHATTERED
+    partitioned store (16 tasks x partitionBy = ~16 files/day), compact it
+    with data-derived per-day file counts, and return the compacted copy.
+    Single source of truth shared by src_compacted_events and its _diag
+    twin (same divergence argument as _partitioned_store_day).  TZ-proof
+    day key (r5 driver red): INTEGER epoch-day, so neither the derivation
+    (pure unix_micros arithmetic) nor the partition-dir round-trip (ints
+    need no date parsing) can touch the session TZ."""
+    import os as _os
+
+    from bulkfhirloader_spark.sources import partitioned
+
+    _utc(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, "events_compacted")
+    out = _SRC_FMT_DIRS.get(key)
+    if out is None:
+        root = tempfile.mkdtemp(prefix="bfls_evcomp_")
+        src = _os.path.join(root, "shattered")
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(16).withColumn(
+            "event_day", partitioned.epoch_day("ts")
+        ).write.partitionBy("event_day").parquet(src)
+        out = _os.path.join(root, "compacted")
+        partitioned.compact_store(
+            spark, src, out, target_rows_per_file=2_000, partition_col="event_day"
+        )
+        _SRC_FMT_DIRS[key] = out
+    return spark.read.parquet(out)
 
 
 _SRC_FMT_DIRS: dict[tuple[str, str, str], str] = {}
@@ -5449,8 +5442,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 # discount or ignore it (e.g. by sampling randomly instead of by prefix).
 #
 # ROUND-7 AMENDMENT (requested by the round-6 verdict, "Next round #2"):
-# rows that were RED in the most recent committed CORRECTNESS_r*.json are
-# placed FIRST, ahead of the blind round-robin.  Without this, registry
+# rows whose LATEST verdict across ALL committed CORRECTNESS_r*.json
+# artifacts is RED are placed FIRST, ahead of the blind round-robin (the
+# all-artifact scan also catches rows whose only red is rounds old and
+# has since rotated out of the window).  Without this, registry
 # growth shifts the rotation offset and a fixed failure can wait rounds for
 # its re-check.  The rule is deterministic, content-blind with respect to
 # everything except the harness's own committed verdicts, and can only
