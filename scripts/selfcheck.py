@@ -63,7 +63,28 @@ def main() -> int:
     import __spark_entry__ as e
     from bulkfhirloader_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
+    # HOSTILE mode (SPARK_GRAFT_HOSTILE=1): the external driver passes its
+    # OWN SparkSession, so none of get_spark's curated defaults (UTC
+    # session TZ, AQE, our shuffle sizing) can be assumed there.  This
+    # mode runs the whole registry under an adversarial session — a +14
+    # session timezone, a prime shuffle-partition count, AQE off, ANSI
+    # pinned on — so every hash must hold by CONSTRUCTION, not by session
+    # config.  Queries that legitimately need a conf must set it
+    # themselves (the _utc() pattern).  Artifact: SELFCHECK_OUT as usual.
+    if os.environ.get("SPARK_GRAFT_HOSTILE"):
+        spark = get_spark(
+            app_name="bulkfhirloader-selfcheck-hostile",
+            shuffle_partitions=7,
+            extra_conf={
+                "spark.sql.session.timeZone": "Pacific/Kiritimati",
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                "spark.sql.adaptive.skewJoin.enabled": "false",
+                "spark.sql.ansi.enabled": "true",
+            },
+        )
+    else:
+        spark = get_spark(shuffle_partitions=8)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -135,6 +156,10 @@ def main() -> int:
         "session_tz": spark.conf.get("spark.sql.session.timeZone", None),
         "os_tz": os.environ.get("TZ"),
         "spark_version": spark.version,
+        "hostile": bool(os.environ.get("SPARK_GRAFT_HOSTILE")),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions", None),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled", None),
+        "ansi": spark.conf.get("spark.sql.ansi.enabled", None),
     }
     out_path = os.environ.get("SELFCHECK_OUT", "/tmp/verify_local.json")
     with open(out_path, "w") as f:
