@@ -15,6 +15,7 @@ Scale design (the point at 100 TB):
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -67,6 +68,13 @@ _SIG_MEMO: "OrderedDict[tuple, tuple[list[DataFrame], DataFrame]]" = OrderedDict
 _SIG_MEMO_MAX = 4
 _ADMIT_MEMO: "OrderedDict[tuple, tuple[list[DataFrame], DataFrame]]" = OrderedDict()
 _ADMIT_MEMO_MAX = 4
+# One lock guards both memos: a concurrent harness may invoke registry
+# queries from multiple threads, and an OrderedDict mutated mid-iteration
+# (eviction scan vs insert) raises RuntimeError — a failure mode that
+# would exist ONLY under the external driver's execution model, never in
+# single-threaded local runs.  Duplicate builds on a lost race are merely
+# wasted work; the lock scope covers dict state, not Spark jobs.
+_MEMO_LOCK = threading.Lock()
 
 
 def _memo_evict(memo: "OrderedDict[tuple, tuple[list[DataFrame], DataFrame]]",
@@ -229,14 +237,27 @@ def cached_minhash_signatures(
     materialization.  LRU-bounded, dead-session entries purged first."""
     app_id = docs.sparkSession.sparkContext.applicationId
     key = (app_id, docs.semanticHash(), id_col, text_col, num_hashes, shingle_words)
-    sigs = _memo_get(_SIG_MEMO, key, [docs])
-    if sigs is None:
-        sigs = minhash_signatures(
-            docs, id_col, text_col, num_hashes, shingle_words
-        ).persist()
-        _SIG_MEMO[key] = ([docs], sigs)
+    with _MEMO_LOCK:
+        sigs = _memo_get(_SIG_MEMO, key, [docs])
+    if sigs is not None:
+        return sigs
+    built = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_words
+    ).persist()
+    with _MEMO_LOCK:
+        # double-check: a concurrent caller may have built+stored first;
+        # serve theirs and release ours (a lost race wastes only a lazy
+        # persist mark — no job has run yet)
+        again = _memo_get(_SIG_MEMO, key, [docs])
+        if again is not None:
+            try:
+                built.unpersist()
+            except Exception:  # pragma: no cover
+                pass
+            return again
+        _SIG_MEMO[key] = ([docs], built)
         _memo_evict(_SIG_MEMO, _SIG_MEMO_MAX, app_id)
-    return sigs
+    return built
 
 
 def band_hash_array(minhash_col, bands: int, num_hashes: int):
@@ -870,7 +891,8 @@ def incremental_near_dup_filter(
         shingle_words,
         threshold,
     )
-    cached = _memo_get(_ADMIT_MEMO, memo_key, [existing, new_batch])
+    with _MEMO_LOCK:
+        cached = _memo_get(_ADMIT_MEMO, memo_key, [existing, new_batch])
     if cached is not None:
         return new_batch.join(cached, id_col, "left_semi")
     union_docs = existing.select(F.col(id_col), F.col(text_col)).unionByName(
@@ -938,8 +960,17 @@ def incremental_near_dup_filter(
     # Persist the DECISION (admitted ids — one long per admitted doc, tiny
     # by construction) and memoize it for warm reuse; see docstring.
     admitted = remaining.join(dropped, id_col, "left_anti").persist()
-    _ADMIT_MEMO[memo_key] = ([existing, new_batch], admitted)
-    _memo_evict(_ADMIT_MEMO, _ADMIT_MEMO_MAX, app_id)
+    with _MEMO_LOCK:
+        again = _memo_get(_ADMIT_MEMO, memo_key, [existing, new_batch])
+        if again is not None:  # lost a concurrent race: serve the winner
+            try:
+                admitted.unpersist()
+            except Exception:  # pragma: no cover
+                pass
+            admitted = again
+        else:
+            _ADMIT_MEMO[memo_key] = ([existing, new_batch], admitted)
+            _memo_evict(_ADMIT_MEMO, _ADMIT_MEMO_MAX, app_id)
     return new_batch.join(admitted, id_col, "left_semi")
 
 

@@ -782,3 +782,42 @@ def test_memo_hygiene_dead_session_purge_and_collision_guard(spark):
         for r in dedup.incremental_near_dup_filter(existing, batch).collect()
     )
     assert cold == warm == [12]  # 11 is an exact dup of existing doc 1
+
+
+def test_memo_thread_safety_under_concurrent_callers(spark):
+    """A concurrent harness may invoke registry queries from multiple
+    threads; the memo dicts must neither raise (OrderedDict mutation mid
+    eviction scan) nor serve a wrong entry.  8 threads x 4 distinct
+    corpora, eviction bound 4 -> constant churn."""
+    import threading
+
+    corpora = [
+        spark.createDataFrame(
+            [(j * 100 + i, f"corpus {j} doc {i} alpha beta gamma") for i in range(6)],
+            "doc_id long, text string",
+        )
+        for j in range(4)
+    ]
+    expected = [
+        {r["doc_id"] for r in c.select("doc_id").collect()} for c in corpora
+    ]
+    dedup._SIG_MEMO.clear()
+    errors: list = []
+
+    def worker(tid: int) -> None:
+        try:
+            for k in range(6):
+                j = (tid + k) % 4
+                sigs = dedup.cached_minhash_signatures(corpora[j])
+                got = {r["doc_id"] for r in sigs.collect()}
+                assert got == expected[j], (tid, j, got)
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(dedup._SIG_MEMO) <= dedup._SIG_MEMO_MAX
