@@ -758,12 +758,27 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     band_bits: int = 16,
     max_hamming: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: docs whose signatures agree on at least
     one 16-bit band (pigeonhole: any pair within Hamming distance 3 of a
     64-bit signature shares one of 4 bands), verified by exact Hamming
-    distance ≤ max_hamming."""
-    sigs = simhash_signatures(docs, id_col, text_col)
+    distance ≤ max_hamming.
+
+    The default geometry's recall guarantee is DETERMINISTIC, not
+    probabilistic: with 64/band_bits bands, flipping <= (64/band_bits - 1)
+    bits cannot touch every band, so at max_hamming within that bound no
+    true pair can be missed (pytest-pinned on planted signatures in
+    tests/test_dedup_similarity.py).  The registry's test-scale query
+    widens to band_bits=4/max_hamming=15 because the shipped corpus's
+    near-dups sit farther apart — that geometry's recall is measured, not
+    guaranteed (see SCALE.md).
+
+    ``sigs`` injects precomputed (id, simhash) rows — the production flow
+    where signatures live in a stored table appended per batch — and is
+    what the geometry tests drive directly."""
+    if sigs is None:
+        sigs = simhash_signatures(docs, id_col, text_col)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sigs.select(

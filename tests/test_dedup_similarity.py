@@ -821,3 +821,51 @@ def test_memo_thread_safety_under_concurrent_callers(spark):
         t.join()
     assert not errors, errors
     assert len(dedup._SIG_MEMO) <= dedup._SIG_MEMO_MAX
+
+
+def test_simhash_production_geometry_pigeonhole_guarantee(spark):
+    """The production geometry (16-bit bands over a 64-bit signature,
+    max_hamming=3) has a DETERMINISTIC recall guarantee: <=3 flipped bits
+    cannot touch all 4 bands, so every true pair within Hamming 3 shares
+    a band and is proposed.  Planted signatures: for every k in 0..3 and
+    every spread of k flips across bands, the pair MUST be found with the
+    exact Hamming distance; a distance-4 pair with one flip in EACH band
+    must NOT collide (the bound is tight)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    expected = {}
+    pid = 0
+    # k flips confined to 'spread' distinct bands, all ways to choose bands
+    for k in range(0, 4):
+        for bands_hit in itertools.combinations(range(4), max(k, 1)) if k else [()]:
+            base = rng.getrandbits(63)  # keep sign bit clear (LongType)
+            flips = 0
+            for i, band in enumerate(bands_hit):
+                # place one flip per chosen band (k flips total, k<=3 so
+                # each chosen band gets exactly one here)
+                bit = band * 16 + rng.randrange(16)
+                flips |= 1 << bit
+            other = base ^ flips
+            a, b = pid, pid + 1
+            pid += 2
+            rows += [(a, base), (b, other)]
+            expected[(a, b)] = k
+    # tight-bound case: 4 flips, one per band -> no shared band
+    base = rng.getrandbits(63)
+    flips = 0
+    for band in range(4):
+        flips |= 1 << (band * 16 + rng.randrange(16))
+    far_a, far_b = pid, pid + 1
+    rows += [(far_a, base), (far_b, base ^ flips)]
+
+    # spread ids so planted pairs can't collide by chance: use big gaps
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    docs = sigs.select("doc_id")  # unused when sigs is injected
+    out = dedup.simhash_near_dup_pairs(docs, sigs=sigs)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    for pair, k in expected.items():
+        assert got.get(pair) == k, (pair, k, got.get(pair))
+    assert (far_a, far_b) not in got  # 4 flips across 4 bands: no band match
