@@ -5476,22 +5476,31 @@ def _completed_rounds() -> int:
     return len(_glob.glob(_os.path.join(_repo_root(), "CORRECTNESS_r*.json")))
 
 
-def _previous_red_rows() -> list[str]:
-    """Names whose LATEST verdict across all committed CORRECTNESS
-    artifacts is red (any of rows/schema/hash false, or errored),
-    alphabetical.  Scanning every artifact — not just the newest — also
-    front-loads rows whose only red is rounds old and has since rotated
-    out of the window (e.g. the 13 r4 events-loader casualties), so a fix
-    earns its green driver row at the next opportunity instead of waiting
-    on offset arithmetic.  Defensive: any parse problem degrades to the
-    plain round-robin rather than breaking import."""
+def _driver_verdicts() -> dict[str, bool]:
+    """Per-query LATEST driver verdict across all committed CORRECTNESS
+    artifacts: name -> green?  (green = rows AND schema AND hash all true;
+    any error/absence of the flags counts red).  Scanning every artifact —
+    not just the newest — also catches rows whose only red is rounds old
+    and has since rotated out of the window (e.g. the 13 r4 events-loader
+    casualties).  Artifacts are ordered by the NUMERIC round parsed from
+    the filename, not lexicographically — `sorted(glob)` would put r100
+    before r11..r99 and let a stale verdict override a newer one (advisor
+    round-7 finding).  Defensive: any parse problem degrades to an empty
+    map (plain round-robin) rather than breaking import."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     latest: dict[str, bool] = {}
     try:
-        for art in sorted(_glob.glob(_os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
+        arts = _glob.glob(_os.path.join(_repo_root(), "CORRECTNESS_r*.json"))
+
+        def _round_no(path: str) -> int:
+            m = _re.search(r"_r(\d+)\.json$", path)
+            return int(m.group(1)) if m else -1
+
+        for art in sorted(arts, key=_round_no):
             with open(art) as fh:
                 rows = _json.load(fh)
             for name, r in rows.items():
@@ -5502,18 +5511,42 @@ def _previous_red_rows() -> list[str]:
                         and r.get("hash_match")
                     )
     except Exception:  # pragma: no cover - corrupt artifact
-        return []
+        return {}
+    return latest
+
+
+def _previous_red_rows() -> list[str]:
+    """Names whose LATEST verdict is red, alphabetical — front-loaded so a
+    fix earns its green driver row at the next opportunity instead of
+    waiting on offset arithmetic."""
+    latest = _driver_verdicts()
     return sorted(name for name, green in latest.items() if not green)
+
+
+def _never_checked_rows() -> list[str]:
+    """Names that have NEVER received a driver hash row in any committed
+    CORRECTNESS artifact, alphabetical.  ROUND-8 AMENDMENT (requested by
+    the round-7 verdict, "Next round #2"): with zero latest-red rows the
+    red-first slot is empty, so never-driver-checked rows are front-loaded
+    next — selfcheck-green is the builder's own signal; a driver hash row
+    is the hard one, and the blind round-robin can leave a query waiting
+    rounds for its first.  Deterministic, content-blind with respect to
+    everything except the harness's own committed artifacts, and strictly
+    scrutiny-increasing (it only accelerates a query's FIRST independent
+    check).  Disclosed in AUDIT.md §1."""
+    latest = _driver_verdicts()
+    return sorted(name for name in REGISTRY if name not in latest)
 
 
 _names = sorted(REGISTRY)
 _off = (_HARNESS_WINDOW * _completed_rounds()) % len(_names)
 _rotated = _names[_off:] + _names[:_off]
-# Previous-round reds first (plus their *_diag twins so a red and its
-# diagnostic land in the same window), then the blind rotation.
+# Latest-red rows first (plus their *_diag twins so a red and its
+# diagnostic land in the same window), then never-driver-checked rows,
+# then the blind rotation.
 _reds = [n for n in _previous_red_rows() if n in REGISTRY]
 _reds += [n + "_diag" for n in list(_reds) if n + "_diag" in REGISTRY]
-_front = list(dict.fromkeys(_reds))
+_front = list(dict.fromkeys(_reds + _never_checked_rows()))
 REGISTRY = {
     name: REGISTRY[name]
     for name in _front + [n for n in _rotated if n not in set(_front)]

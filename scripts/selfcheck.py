@@ -71,17 +71,29 @@ def main() -> int:
     # pinned on — so every hash must hold by CONSTRUCTION, not by session
     # config.  Queries that legitimately need a conf must set it
     # themselves (the _utc() pattern).  Artifact: SELFCHECK_OUT as usual.
-    if os.environ.get("SPARK_GRAFT_HOSTILE"):
+    # r7 advisor finding: 34 registry queries call _utc(), which sets the
+    # session TZ to UTC and leaves it set — so asserting the hostile conf
+    # only at session build meant every query after the first _utc caller
+    # ran under UTC, and the "+14 TZ" sweep only genuinely covered the
+    # queries before it.  Fix: re-assert the hostile confs before EACH
+    # query (hostile_conf below is re-applied inside the loop) and record
+    # the per-query session TZ observed after the query ran, so the
+    # artifact proves which TZ each hash was computed under.
+    hostile_conf = {
+        "spark.sql.session.timeZone": "Pacific/Kiritimati",
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.ansi.enabled": "true",
+    }
+    hostile = bool(os.environ.get("SPARK_GRAFT_HOSTILE"))
+    if hostile:
         spark = get_spark(
             app_name="bulkfhirloader-selfcheck-hostile",
             shuffle_partitions=7,
-            extra_conf={
-                "spark.sql.session.timeZone": "Pacific/Kiritimati",
-                "spark.sql.adaptive.enabled": "false",
-                "spark.sql.adaptive.coalescePartitions.enabled": "false",
-                "spark.sql.adaptive.skewJoin.enabled": "false",
-                "spark.sql.ansi.enabled": "true",
-            },
+            extra_conf={k: v for k, v in hostile_conf.items()
+                        if k != "spark.sql.shuffle.partitions"},
         )
     else:
         spark = get_spark(shuffle_partitions=8)
@@ -101,6 +113,12 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         rec: dict = {}
+        if hostile:
+            # re-assert per query: _utc()-calling queries reset the session
+            # TZ to UTC and a single session-build assertion would shield
+            # every later query from the hostile TZ (r7 advisor finding)
+            for k, v in hostile_conf.items():
+                spark.conf.set(k, v)
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
@@ -108,6 +126,10 @@ def main() -> int:
             rec["spark_rows"] = len(rows)
             rec["spark_cols"] = sorted(cols)
             rec["spark_hash"] = value_hash(rows, cols)
+            if hostile:
+                rec["session_tz_after"] = spark.conf.get(
+                    "spark.sql.session.timeZone", None
+                )
         except Exception as ex:
             rec["error"] = f"spark: {type(ex).__name__}: {ex}"
             traceback.print_exc(limit=3)
