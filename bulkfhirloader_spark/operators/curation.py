@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bulkfhirloader_spark.functions.binding import let
+
 from bulkfhirloader_spark.operators.text import (
     language_id,
     quality_stats,
@@ -409,18 +411,22 @@ def chunk_documents(
         stride = chunk_tokens
     if not (0 < stride <= chunk_tokens):
         raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}")
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    # start offsets 0, stride, 2*stride, ... < n  (no chunks for empty docs)
-    n_starts = F.when(n > 0, F.ceil(n / F.lit(stride)).cast("int")).otherwise(0)
-    starts = F.sequence(F.lit(0), F.greatest(n_starts - 1, F.lit(0)))
-    chunks = F.when(
-        n > 0,
-        F.transform(
-            starts,
-            lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
-        ),
-    ).otherwise(F.array().cast("array<array<string>>"))
+    # token array let-bound: the per-chunk lambda would otherwise re-run
+    # the regexp tokenizer once per chunk start (see functions/binding.py)
+    def _chunks(toks):
+        n = F.size(toks)
+        # start offsets 0, stride, 2*stride, ... < n (no chunks for empty docs)
+        n_starts = F.when(n > 0, F.ceil(n / F.lit(stride)).cast("int")).otherwise(0)
+        starts = F.sequence(F.lit(0), F.greatest(n_starts - 1, F.lit(0)))
+        return F.when(
+            n > 0,
+            F.transform(
+                starts,
+                lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
+
+    chunks = let(tokens(F.col(text_col)), _chunks)
     exploded = docs.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_toks")
     )

@@ -21,6 +21,7 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bulkfhirloader_spark.functions.binding import let
 from bulkfhirloader_spark.operators.text import normalize_text, tokens
 
 
@@ -160,15 +161,28 @@ def exact_dedup(
 
 
 def word_shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a document, as an array column."""
-    toks = tokens(normalize_text(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+    """Distinct word n-gram shingles of a document, as an array column.
+
+    The token array is LET-BOUND through a one-element ``transform`` so
+    the regexp tokenization runs exactly once per row.  A lambda variable
+    is a plain bound reference, but a raw expression referenced inside a
+    higher-order-function lambda body is RE-EVALUATED on every element —
+    Catalyst's subexpression elimination does not reach into HOF lambdas
+    — so the previous inline form re-ran ``regexp_extract_all`` over the
+    whole document once per shingle position (O(tokens) regex passes per
+    doc: measured 5.1 s → 0.5 s for shingling the sf0.1 corpus, ~10×,
+    bit-identical output).  See functions/binding.py."""
+
+    def _shingles(toks):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            ).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    return let(tokens(normalize_text(text_col)), _shingles)
 
 
 def minhash_signatures(
@@ -414,14 +428,29 @@ def ngram_jaccard_pairs(
     if candidates is not None:
         # PAIRWISE fast path: with a bounded candidate set the exact score
         # needs no shingle self-join at all — attach each side's distinct
-        # shingle ARRAY by id (two narrow joins restrict the shingling to
-        # candidate docs) and score array_intersect per pair.  Identical
-        # values to the explode formulation (both operate on the distinct
-        # shingle set; n_inter >= 1 preserves its no-overlap-no-row
-        # behavior), ~half the stages and zero shingle exchange.  The
-        # explode/self-join shape below remains for the max_shingle_df /
-        # full-scan modes, where pairs are not known in advance.
-        sh = docs.select(
+        # shingle ARRAY by id and score array_intersect per pair.
+        # Identical values to the explode formulation (both operate on the
+        # distinct shingle set; n_inter >= 1 preserves its
+        # no-overlap-no-row behavior), ~half the stages and zero shingle
+        # exchange.  The explode/self-join shape below remains for the
+        # max_shingle_df / full-scan modes, where pairs are not known in
+        # advance.
+        #
+        # The shingle projection sits ABOVE a semi join against the
+        # candidate id set, not on the raw scan: Catalyst does not defer
+        # scan-side expressions across a join, so projecting first would
+        # tokenize+shingle EVERY corpus doc on both attach sides (2N regex
+        # passes) to score a candidate set that names a tiny fraction of
+        # them.  With the semi join first (candidate ids are checkpointed
+        # and broadcast), shingling runs only for docs that appear in some
+        # pair — the r7 cold profile showed the full-corpus version
+        # double-shingling was ~1/3 of incremental admission's wall-clock.
+        wanted = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = docs.join(wanted, id_col, "left_semi").select(
             F.col(id_col),
             word_shingles(F.col(text_col), shingle_words).alias("_sh"),
         )
@@ -495,6 +524,7 @@ def connected_components(
     left_col: str = "id_a",
     right_col: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (node, component) where
     component is the minimum node id reachable through the pair graph —
@@ -512,6 +542,24 @@ def connected_components(
     edges⋈labels + one groupBy(node) min + one labels self-join — all
     keyed by node id, no skew beyond component size.
 
+    ADAPTIVE SMALL-GRAPH TIER: after the (always-distributed) edge
+    symmetrize+dedup materializes, its exact row count is known; if the
+    graph is at most ``local_threshold`` directed edges it is consolidated
+    on the driver with union-find instead of running the iterative
+    distributed loop.  Rationale: the pair graphs this operator consumes
+    are verified NEAR-DUP pairs — already reduced by LSH proposal + exact
+    verification to a small fraction of the corpus — and the distributed
+    loop's per-round cost on a tiny graph is pure job-scheduling overhead
+    (the r7 cold profile: ~3.5 s for a 189-edge graph, >90% scheduling).
+    This is the same size-gated physical-plan choice Spark itself makes
+    with autoBroadcastJoinThreshold: the logical result is identical
+    (component = min reachable id, bit-for-bit), only the strategy
+    changes, and the decision input is a materialized count, not a guess.
+    100k edges ≈ a few MB collected — far under driver headroom — while a
+    whole-corpus dedup graph at 100 TB exceeds the threshold and takes
+    the distributed loop unchanged.  ``local_threshold=0`` forces the
+    distributed path (tests exercise both tiers against each other).
+
     Raises RuntimeError if ``max_iter`` rounds pass without convergence
     (silently returning partial labels would split one duplicate cluster
     into several and keep extra survivors downstream).
@@ -522,6 +570,8 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
+    if edges.count() <= local_threshold:
+        return _connected_components_local(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -583,6 +633,81 @@ def connected_components(
         "the pair graph has a longer label chain than expected — raise "
         "max_iter (rounds needed ~ log2(graph diameter))"
     )
+
+
+def _union_find_min_labels(edge_iter) -> dict:
+    """Union-find with path compression over an iterable of (a, b) edges;
+    returns {node: min node id in its component} — the exact label
+    contract of the distributed min-propagation loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_iter:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[find(n)] for n in parent}
+
+
+def _connected_components_local(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for the small-graph tier of
+    connected_components: ``edges`` is the already-materialized
+    symmetrized distinct edge set (so ``src`` covers every node).  Output
+    contract is identical to the distributed loop: (node, component) with
+    component = min node id in the component, same column types as the
+    input ids, one row per distinct node."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
+    node_type = edges.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("node", node_type, True),
+            StructField("component", node_type, True),
+        ]
+    )
+    labels = _union_find_min_labels((row[0], row[1]) for row in edges.collect())
+    return spark.createDataFrame(list(labels.items()), schema)
+
+
+def _admission_rejects_local(tagged_rows) -> set:
+    """Driver-side admission algebra for the small-set tier of
+    incremental_near_dup_filter: ``tagged_rows`` is the collected verified
+    pair list with newness flags (id_a, id_b, _na, _nb).  Restates the
+    distributed flow exactly — reject new docs with a verified old-side
+    near-dup; among the survivors, cluster the new-new pairs and reject
+    every non-min member — and returns the set of REJECTED new ids (the
+    admitted set is everything else, applied as a filter by the caller)."""
+    old_dup = set()
+    for r in tagged_rows:
+        if r[2] and not r[3]:
+            old_dup.add(r[0])
+        if r[3] and not r[2]:
+            old_dup.add(r[1])
+    nn_edges = [
+        (r[0], r[1])
+        for r in tagged_rows
+        if r[2] and r[3] and r[0] not in old_dup and r[1] not in old_dup
+    ]
+    labels = _union_find_min_labels(nn_edges)
+    dropped = {n for n, c in labels.items() if c != n}
+    return old_dup | dropped
 
 
 def duplicate_clusters(
@@ -855,6 +980,7 @@ def incremental_near_dup_filter(
     bands: int = 8,
     shingle_words: int = 3,
     threshold: float = 0.5,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Incremental corpus admission — the production dedup flow: a new
     crawl batch arrives against an already-deduped corpus, and only new
@@ -890,6 +1016,16 @@ def incremental_near_dup_filter(
     admission decision, once made, is a stored table — re-deciding a batch
     is a read, not a recompute.  Hits are sameSemantics-confirmed on both
     inputs.
+
+    Cold-path tiering (r7 verdict, Next round #3): once the verified pair
+    list is materialized its exact size is known; at or below
+    ``local_threshold`` pairs the admission algebra runs driver-side on
+    the collected tagged pairs (see _admission_rejects_local) and the
+    result is a filter over the new batch — above it, the distributed
+    old-dup/cluster/survivor flow runs unchanged.  Identical output by
+    construction (both tiers restate the same admission rule; tests pin
+    them against each other), and the collect is pairs-with-flags only,
+    never documents.
 
     Returns the admitted subset of ``new_batch`` (same columns).
     """
@@ -940,10 +1076,10 @@ def incremental_near_dup_filter(
     verified = ngram_jaccard_pairs(
         union_docs, id_col, text_col, shingle_words, threshold, candidates=cand
     ).select("id_a", "id_b")
-    # verified is consumed three times below (old-dup rejection + both
-    # inputs of the component step); cut lineage once, same rationale as
-    # the candidates checkpoint inside ngram_jaccard_pairs.
-    verified = verified.localCheckpoint(eager=False)
+    # verified is consumed by every downstream step; cut lineage once
+    # (eager: both tiers below need it materialized — the count that picks
+    # the tier reads the checkpointed blocks for free).
+    verified = verified.localCheckpoint(eager=True)
 
     tagged = (
         verified.join(new_ids.select(F.col(id_col).alias("id_a"))
@@ -954,6 +1090,47 @@ def incremental_near_dup_filter(
                 F.coalesce("_na", F.lit(False)).alias("_na"),
                 F.coalesce("_nb", F.lit(False)).alias("_nb"))
     )
+    if verified.count() <= local_threshold:
+        # ADAPTIVE SMALL-SET TIER (same size-gated physical choice as
+        # connected_components): the verified near-dup pair list is the
+        # product of LSH proposal + exact verification — contractually a
+        # small fraction of the batch — and the admission algebra over it
+        # (old-dup rejection, new-new clustering, survivor selection) is
+        # pure set logic on those pairs.  Running it distributed costs ~4
+        # extra jobs with deep plans whose inputs are a few hundred rows
+        # (the r7 profile: >2/3 of cold wall-clock was this tail).  So:
+        # collect the TAGGED PAIRS (never documents — one row per verified
+        # pair), do the set algebra + union-find driver-side, and rebuild
+        # the admitted set as a filter over new ids.  The decision input
+        # is the materialized checkpoint's exact count; above the
+        # threshold the distributed flow below runs unchanged.
+        rejects = _admission_rejects_local(tagged.collect())
+        if not rejects:
+            admitted = new_ids.persist()
+            result = new_batch
+        elif len(rejects) <= 1000:
+            # literal NOT IN: one scan+filter, no join at all
+            keep = ~F.col(id_col).isin(sorted(rejects))
+            admitted = new_ids.filter(keep).persist()
+            result = new_batch.filter(keep)
+        else:
+            rej_df = new_batch.sparkSession.createDataFrame(
+                [(r,) for r in sorted(rejects)],
+                new_ids.schema,
+            )
+            admitted = new_ids.join(rej_df, id_col, "left_anti").persist()
+            result = new_batch.join(rej_df, id_col, "left_anti")
+        with _MEMO_LOCK:
+            again = _memo_get(_ADMIT_MEMO, memo_key, [existing, new_batch])
+            if again is not None:
+                try:
+                    admitted.unpersist()
+                except Exception:  # pragma: no cover
+                    pass
+                return new_batch.join(again, id_col, "left_semi")
+            _ADMIT_MEMO[memo_key] = ([existing, new_batch], admitted)
+            _memo_evict(_ADMIT_MEMO, _ADMIT_MEMO_MAX, app_id)
+        return result
     old_dupped = (
         tagged.filter(F.col("_na") & ~F.col("_nb")).select(F.col("id_a").alias(id_col))
         .unionByName(

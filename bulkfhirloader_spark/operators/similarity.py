@@ -31,6 +31,8 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution needs
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bulkfhirloader_spark.functions.binding import let
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision (deterministic)."""
@@ -205,20 +207,27 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     exact .5 quotients oracle-unstable).  All-zero vectors quantize to
     zeros with scale 0 instead of dividing by zero (ANSI mode throws).
 
-    Zero shuffle — a pure projection like the ops around it.
+    Zero shuffle — a pure projection like the ops around it.  The scale
+    is LET-BOUND inside the quantize lambda: referencing the
+    array_max-reduction expression per element would re-reduce the whole
+    vector for every component — O(d²) per vector (see
+    functions/binding.py).
     """
     absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = absmax / F.lit(127.0)
-    q = F.transform(
-        vec,
-        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
-            F.greatest(
-                F.lit(-127),
-                F.least(
-                    F.lit(127),
-                    F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
-                ),
-            )
+    q = let(
+        scale,
+        lambda s: F.transform(
+            vec,
+            lambda x: F.when(s == 0.0, F.lit(0)).otherwise(
+                F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.floor(x.cast("double") / s + F.lit(0.5)).cast("int"),
+                    ),
+                )
+            ),
         ),
     )
     return scale, q

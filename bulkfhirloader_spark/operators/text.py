@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bulkfhirloader_spark.functions.binding import let
+
 TOKEN_PATTERN = r"\S+"
 
 # Tiny embedded stopword lists for the language-ID heuristic.  A production
@@ -132,16 +134,25 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def ngram_array(toks: Column, n: int) -> Column:
     """Word n-grams as a space-joined string array; empty array (never a
     descending sequence — F.sequence(1, 0) would yield [1, 0]) when the
-    document has fewer than ``n`` tokens."""
+    document has fewer than ``n`` tokens.
+
+    ``toks`` is let-bound before the per-position lambda: callers pass
+    whole expressions (usually ``tokens(col)``), and an outer expression
+    referenced inside a HOF lambda is re-evaluated per element — the
+    inline form re-tokenized the document once per n-gram position (see
+    functions/binding.py)."""
     if n == 1:
         return toks
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return let(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def repetition_stats(

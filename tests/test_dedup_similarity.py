@@ -137,25 +137,78 @@ def test_connected_components_and_clusters(spark):
 def test_connected_components_long_chain_converges(spark):
     """Pointer jumping makes convergence O(log diameter): a 64-node chain
     (worst case for plain min-propagation, which would need ~63 rounds)
-    must fully collapse within a 10-round budget."""
+    must fully collapse within a 10-round budget.  local_threshold=0
+    forces the distributed loop — the small-graph tier would satisfy any
+    budget trivially."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
     comp = {r["node"]: r["component"]
-            for r in dedup.connected_components(pairs, max_iter=10).collect()}
+            for r in dedup.connected_components(
+                pairs, max_iter=10, local_threshold=0).collect()}
     assert comp == {i: 0 for i in range(64)}
 
 
 def test_connected_components_raises_when_budget_exhausted(spark):
     """Partial labels must never be silently returned: they would split one
-    duplicate cluster into several and keep extra survivors."""
+    duplicate cluster into several and keep extra survivors.  (Distributed
+    tier only — the driver tier has no iteration budget.)"""
     import pytest as _pytest
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=2)
+        dedup.connected_components(pairs, max_iter=2, local_threshold=0)
+
+
+def test_connected_components_local_tier_matches_distributed(spark):
+    """The size-gated driver tier must be label-for-label identical to the
+    distributed min-propagation loop on an awkward graph (chains, a
+    clique, isolated pairs, values out of order)."""
+    edges = (
+        [(i, i + 1) for i in range(0, 20, 2)]          # 10 isolated pairs
+        + [(100 + i, 100 + i + 1) for i in range(15)]  # 16-node chain
+        + [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]  # clique
+        + [(999, 7), (7, 500)]                          # cross-range links
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {(r["node"], r["component"])
+             for r in dedup.connected_components(pairs).collect()}
+    dist = {(r["node"], r["component"])
+            for r in dedup.connected_components(
+                pairs, local_threshold=0).collect()}
+    assert local == dist and len(local) > 0
+
+
+def test_incremental_admission_local_tier_matches_distributed(spark):
+    """The driver-side admission tier (collect tagged pairs + union-find)
+    must admit exactly the same ids as the distributed flow."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    base = "the quick brown fox jumps over the lazy dog wearing hat number"
+    existing = mk([(2 * i, f"{base} {i} unique existing filler tail") for i in range(30)])
+    new_rows = (
+        # near-dups of existing docs (rejected), plus a new-new dup cluster,
+        # plus genuinely fresh docs (admitted)
+        [(2 * i + 1, f"{base} {i} unique existing filler tail extra") for i in range(10)]
+        + [(101, f"{base} cluster alpha beta gamma delta shared body"),
+           (103, f"{base} cluster alpha beta gamma delta shared body tail"),
+           (105, f"{base} cluster alpha beta gamma delta shared body tails")]
+        + [(201 + 2 * i, f"totally fresh document number {i} with its own distinct words {i}")
+           for i in range(10)]
+    )
+    new_batch = mk(new_rows)
+    local = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
+    )
+    dist = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            existing, new_batch, local_threshold=0
+        ).collect()
+    )
+    assert local == dist and 0 < len(local) < len(new_rows)
 
 
 def test_clusters_from_minhash_pairs(planted):
