@@ -391,11 +391,26 @@ def count_min_heavy_hitters(
         # value is cast BACK to the profiled column's type so both modes
         # return an identical schema (MG candidates arrive as strings);
         # buckets are hashed from the same string form either way.
+        # UNPARSEABLE candidates — non-null inputs whose try_cast comes
+        # back NULL — are DROPPED, not estimated: under ANSI (Spark 4's
+        # default) a plain cast would THROW on them mid-job, and under
+        # non-ANSI the cast-null would hash as the bare 'i/seed' bucket
+        # and alias onto the column's genuine NULL rows, silently
+        # reporting the NULL count as the bogus candidate's estimate (r7
+        # advisor).  A candidate that is itself NULL stays: it
+        # legitimately probes the NULL bucket.
         cand_buckets = _cms_bucket_exprs(F.col("value"), seed, depth, width)
-        cands = candidates.select(
-            F.col("value").cast(df.schema[col].dataType)
-        ).distinct().select(
-            "value", *[b.alias(f"_b{i}") for i, b in enumerate(cand_buckets)]
+        cands = (
+            candidates.select(
+                F.col("value").alias("_raw"),
+                F.col("value").try_cast(df.schema[col].dataType).alias("value"),
+            )
+            .filter(F.col("value").isNotNull() | F.col("_raw").isNull())
+            .select("value")
+            .distinct()
+            .select(
+                "value", *[b.alias(f"_b{i}") for i, b in enumerate(cand_buckets)]
+            )
         )
     else:
         cands = hashed.groupBy("value", *[f"_b{i}" for i in range(depth)]).agg(

@@ -3833,22 +3833,61 @@ def src_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip is certified just as strongly by the exact integer row
     multiset (sum of a unique BIGINT key = multiset fingerprint); the
     float column is gone from the hash surface entirely.  A diagnostic
-    twin (src_partitioned_events_diag) localizes any future red."""
+    twin (src_partitioned_events_diag) localizes any future red.
+
+    r8 (advisor): the integer-only rework left the double ``value`` column
+    with NO fidelity check at all.  Restored via an INTEGER-EXACT
+    invariant: ``sum(cast(floor(value * 2^20) as bigint))`` — multiplying
+    a double by a power of two is exact in IEEE-754 (pure exponent shift,
+    no rounding) and floor/cast/BIGINT-sum are exact on both engines, so
+    this is deterministic where the banned ``value*1e6`` float path was
+    not.  Guards: NULLs counted separately (n_null_value) and contribute
+    0; values outside ±1e6 (incl. NaN/±Inf, which fail the range
+    predicate identically on both engines) contribute 0 — the invariant
+    covers the in-range portion, which for this table is everything."""
     day = _partitioned_store_day(spark, sf_dir, "2024-01-05")
     return day.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
         F.sum("event_id").alias("sum_event_id"),
         F.sum("user_id").alias("sum_user_id"),
+        _value_q20_sum().alias("sum_value_q20"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null_value"),
     )
 
 
-_SRC_EVPART_SQL = """
+def _value_q20_sum():
+    """Integer-exact fixed-point fingerprint of the double ``value``
+    column: sum(cast(floor(value * 2^20) as bigint)) over in-range
+    non-null values.  *2^20 is an exponent shift (exact), floor/cast are
+    exact, BIGINT sums are order-independent — engine-deterministic by
+    construction, unlike any float aggregate."""
+    in_range = (
+        F.col("value").isNotNull()
+        & (F.col("value") >= F.lit(-1000000.0))
+        & (F.col("value") <= F.lit(1000000.0))
+    )
+    return F.sum(
+        F.when(in_range, F.floor(F.col("value") * F.lit(1048576.0)).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+
+
+_VALUE_Q20_SQL = (
+    "CAST(sum(CASE WHEN value IS NOT NULL AND value >= -1000000.0 "
+    "AND value <= 1000000.0 "
+    "THEN CAST(floor(value * 1048576.0) AS BIGINT) ELSE 0 END) AS BIGINT)"
+)
+
+
+_SRC_EVPART_SQL = f"""
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
-       CAST(sum(user_id) AS BIGINT) AS sum_user_id
+       CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+       {_VALUE_Q20_SQL} AS sum_value_q20,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value
 FROM events
 WHERE (DATE '1970-01-01' + CAST(floor(epoch(ts) / 86400) AS INT)) = DATE '2024-01-05'
 GROUP BY event_type
@@ -3894,22 +3933,27 @@ def src_compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compacted copy aggregated per day.  The oracle computes the same
     aggregate from the ORIGINAL events — a green row proves compaction is
     lossless; the file-count reduction itself is pytest-asserted
-    (tests/test_plans.py)."""
+    (tests/test_plans.py).  The double ``value`` column is covered by the
+    integer-exact q20 fixed-point sum (see src_partitioned_events)."""
     comp = _compacted_store(spark, sf_dir)
     return comp.groupBy(F.col("event_day").cast("int").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
         F.sum("event_id").alias("sum_event_id"),
         F.sum("user_id").alias("sum_user_id"),
+        _value_q20_sum().alias("sum_value_q20"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null_value"),
     )
 
 
-_SRC_EVCOMP_SQL = """
+_SRC_EVCOMP_SQL = f"""
 SELECT CAST(floor(epoch(ts) / 86400) AS INT) AS day,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
        CAST(sum(event_id) AS BIGINT) AS sum_event_id,
-       CAST(sum(user_id) AS BIGINT) AS sum_user_id
+       CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+       {_VALUE_Q20_SQL} AS sum_value_q20,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value
 FROM events
 GROUP BY 1
 """

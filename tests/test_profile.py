@@ -128,3 +128,29 @@ def test_misra_gries_candidates_superset_and_bounded(spark):
     # same estimate (same sketch table, same hashes)
     for i in range(7):
         assert probed[f"u{i}"] == full[f"u{i}"]
+
+
+def test_count_min_drops_unparseable_candidates(spark):
+    """A candidate string that cannot cast to the profiled column's type
+    must be DROPPED, not estimated: its cast-null would hash as the bare
+    'i/seed' bucket and alias onto the column's genuine NULL rows,
+    reporting the NULL count as the bogus candidate's estimate (r7
+    advisor).  A genuinely-NULL candidate still probes the NULL bucket."""
+    from bulkfhirloader_spark.operators.profile import count_min_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(7,)] * 50 + [(None,)] * 30 + [(9,)] * 5, "v int"
+    )
+    cands = spark.createDataFrame(
+        [("7",), ("not-a-number",), (None,)], "value string"
+    )
+    out = {
+        r["value"]: r["est_count"]
+        for r in count_min_heavy_hitters(
+            df, "v", width=64, depth=4, min_estimate=1, candidates=cands
+        ).collect()
+    }
+    assert out[7] >= 50
+    # unparseable candidate gone entirely; NULL candidate probes NULLs
+    assert set(out) == {7, None}
+    assert out[None] >= 30
