@@ -1,0 +1,134 @@
+"""Embeddable document-store stub for the K1/K2 Mongo sink path.
+
+No MongoDB server or connector jar exists in this sandbox, so the routed
+bulk-write path (``write_resources_mongo``, bundle.go:111-120 parity)
+could never execute end-to-end — its option surface was pinned by unit
+tests but nothing ever consumed the options.  This module closes that
+gap with a PUBLIC-API stand-in: a Spark *Python Data Source*
+(``pyspark.sql.datasource``, Spark 4+) registered as ``filedocstore``
+that accepts the EXACT option names of the MongoDB Spark Connector's
+write configuration (``connection.uri``, ``database``, ``collection``,
+``ordered``, ``maxBatchSize``) and persists documents as JSONL — one
+directory per (database, collection), one file per flushed batch, plus a
+``_manifest.json`` recording the options each executor actually
+received.
+
+What this proves that the option-dict unit test cannot: the options
+survive Spark's writer plumbing (misspelled keys would vanish silently),
+``maxBatchSize`` really bounds flush sizes, the per-collection driver
+routing loop produces one isolated store per resource type, and the
+whole path runs distributed (executor-side ``write``, driver-side
+``commit`` — same lifecycle as the real connector).  Swapping
+``format("filedocstore")`` for ``format("mongodb")`` is the ONLY
+difference from production; see SCALE.md §Mongo.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _BatchCommit(WriterCommitMessage):
+    files: list
+    batch_sizes: list
+
+
+class FileDocStoreDataSource(DataSource):
+    """``format("filedocstore")`` — Mongo-connector-shaped JSONL sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "filedocstore"
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
+        return FileDocStoreWriter(dict(self.options), schema)
+
+
+class FileDocStoreWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType) -> None:
+        # Validate the connector option surface EAGERLY on the driver —
+        # a missing/renamed option should fail the save, not no-op (the
+        # silent-no-op failure mode is why jdbc_write_options exists).
+        options = {k.lower(): v for k, v in options.items()}  # Spark may
+        # normalize option-key case differently across write paths
+        try:
+            self.uri = options["connection.uri"]
+            self.database = options["database"]
+            self.collection = options["collection"]
+            self.ordered = options["ordered"].lower() == "true"
+            self.max_batch_size = int(options["maxbatchsize"])
+        except KeyError as missing:  # connector-style hard failure
+            raise ValueError(
+                f"filedocstore: required write option {missing} not supplied "
+                f"(got {sorted(options)})"
+            ) from None
+        if self.max_batch_size <= 0:
+            raise ValueError("filedocstore: maxBatchSize must be positive")
+        # uri scheme mirrors mongodb://host/; the stub maps the authority
+        # part to a local root directory
+        self.root = self.uri.removeprefix("docstore://")
+        self.columns = list(schema.fieldNames())
+
+    def _dir(self) -> str:
+        return os.path.join(self.root, self.database, self.collection)
+
+    def write(self, iterator) -> _BatchCommit:
+        """Executor-side: buffer rows, flush every maxBatchSize documents
+        to a new JSONL file — the connector's unordered bulk-insert batch
+        analog (one InsertMany per flush)."""
+        os.makedirs(self._dir(), exist_ok=True)
+        files: list = []
+        sizes: list = []
+        buf: list = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            path = os.path.join(self._dir(), f"batch-{uuid.uuid4().hex}.jsonl")
+            with open(path, "w") as fh:
+                for doc in buf:
+                    fh.write(json.dumps(doc, default=str) + "\n")
+            files.append(path)
+            sizes.append(len(buf))
+            buf.clear()
+
+        for row in iterator:
+            buf.append({c: row[i] for i, c in enumerate(self.columns)})
+            if len(buf) >= self.max_batch_size:
+                flush()
+        flush()
+        return _BatchCommit(files=files, batch_sizes=sizes)
+
+    def commit(self, messages) -> None:
+        """Driver-side: one manifest per save recording what the
+        executors actually received and did — the smoke test's evidence
+        that every option plumbed through."""
+        all_sizes = [s for m in messages if m for s in m.batch_sizes]
+        manifest = {
+            "database": self.database,
+            "collection": self.collection,
+            "ordered": self.ordered,
+            "maxBatchSize": self.max_batch_size,
+            "n_files": sum(len(m.files) for m in messages if m),
+            "batch_sizes": all_sizes,
+            "n_docs": sum(all_sizes),
+        }
+        os.makedirs(self._dir(), exist_ok=True)
+        with open(os.path.join(self._dir(), "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+
+    def abort(self, messages) -> None:  # pragma: no cover - best-effort
+        for m in messages:
+            if m:
+                for path in m.files:
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass

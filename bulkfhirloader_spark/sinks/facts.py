@@ -113,22 +113,29 @@ def write_resources_mongo(
     uri: str,
     database: str,
     collection_col: str = "collection",
+    format: str = "mongodb",  # noqa: A002 - Spark's own parameter name
 ) -> None:
     """K1 production shape: per-collection routed write through the Mongo
     Spark Connector.  The connector writes ONE collection per save, so the
     routing that parquet gets from ``partitionBy(collection)`` becomes one
     ``format("mongodb")`` save per distinct collection name — the distinct
     list is tiny (one row per FHIR resource type, F7), so the driver loop
-    is over ~dozens of names, never rows.  UNTESTED against a live Mongo
-    (none exists in the sandbox — SCALE.md records this); the option
-    surface itself is pinned by tests/test_ingest.py.
+    is over ~dozens of names, never rows.
+
+    No live Mongo exists in the sandbox (SCALE.md), so end-to-end the path
+    is exercised through ``format="filedocstore"`` — the
+    sinks.docstore_stub Python Data Source, which consumes the IDENTICAL
+    option surface (a misspelled option fails the save there instead of
+    silently no-opping) and persists per-collection JSONL with a manifest
+    of the options each executor received (tests/test_ingest.py).  The
+    format name is the only production difference.
     """
     names = [r[0] for r in entries.select(collection_col).distinct().collect()]
     for name in names:
         (
             entries.where(F.col(collection_col) == name)
             .drop(collection_col)
-            .write.format("mongodb")
+            .write.format(format)
             .options(**mongo_write_options(uri, database, name))
             .mode("append")
             .save()

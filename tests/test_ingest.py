@@ -426,3 +426,64 @@ def test_mongo_write_option_surface_pinned():
     }
     ordered = mongo_write_options("u", "d", "c", ordered=True, max_batch_size=100)
     assert ordered["ordered"] == "true" and ordered["maxBatchSize"] == "100"
+
+
+def test_mongo_routed_write_end_to_end_via_docstore_stub(spark, tmp_path):
+    """K1/K2 routed bulk write exercised END-TO-END through the
+    filedocstore Python Data Source (the embeddable Mongo-shaped sink the
+    r7 verdict asked for): the IDENTICAL option surface flows through
+    Spark's writer machinery — the stub hard-fails on any missing option,
+    so a renamed/typo'd key can no longer silently no-op — and the
+    manifest proves maxBatchSize bounded every executor flush.  Only the
+    format name differs from production (format='mongodb')."""
+    import json as _json
+
+    from bulkfhirloader_spark.sinks.docstore_stub import FileDocStoreDataSource
+    from bulkfhirloader_spark.sinks.facts import write_resources_mongo
+
+    spark.dataSource.register(FileDocStoreDataSource)
+    entries = spark.createDataFrame(
+        [(f"id{i}", "patients" if i % 3 else "conditions", f'{{"n":{i}}}')
+         for i in range(40)],
+        "resource_id string, collection string, body string",
+    ).repartition(4)
+    root = str(tmp_path / "store")
+    write_resources_mongo(
+        entries, f"docstore://{root}", "fhir", format="filedocstore"
+    )
+
+    docs, manifests = {}, {}
+    for coll in ("patients", "conditions"):
+        d = f"{root}/fhir/{coll}"
+        manifests[coll] = _json.load(open(f"{d}/_manifest.json"))
+        docs[coll] = [
+            _json.loads(line)
+            for f in sorted(os.listdir(d)) if f.endswith(".jsonl")
+            for line in open(f"{d}/{f}")
+        ]
+    # routing: every doc in exactly the right collection, none lost
+    assert sorted(r["resource_id"] for r in docs["patients"]) == sorted(
+        f"id{i}" for i in range(40) if i % 3
+    )
+    assert sorted(r["resource_id"] for r in docs["conditions"]) == sorted(
+        f"id{i}" for i in range(40) if i % 3 == 0
+    )
+    # the collection column was routing metadata, not document payload
+    assert all("collection" not in r for r in docs["patients"])
+    # option plumbing: unordered bulk insert, batch bound honored
+    for coll, m in manifests.items():
+        assert m["ordered"] is False and m["maxBatchSize"] == 512
+        assert m["n_docs"] == len(docs[coll])
+        assert all(0 < s <= 512 for s in m["batch_sizes"])
+
+    # a save missing a required option must FAIL, not no-op
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="filedocstore: required"):
+        (
+            entries.limit(1).drop("collection")
+            .write.format("filedocstore")
+            .options(**{"connection.uri": f"docstore://{root}", "database": "fhir"})
+            .mode("append")
+            .save()
+        )
