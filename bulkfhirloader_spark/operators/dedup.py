@@ -445,12 +445,20 @@ def ngram_jaccard_pairs(
         # and broadcast), shingling runs only for docs that appear in some
         # pair — the r7 cold profile showed the full-corpus version
         # double-shingling was ~1/3 of incremental admission's wall-clock.
+        # single reference to the candidate plan (explode beats a
+        # two-branch union: the lazy checkpoint collapses re-reads at
+        # runtime, but the printed plan — and the census that audits it —
+        # would still carry the subplan twice)
         wanted = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
+            candidates.select(
+                F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+            ).distinct()
         )
-        sh = docs.join(wanted, id_col, "left_semi").select(
+        # explicit broadcast: the candidate id set is small by the same
+        # contract that justifies checkpointing it, and without the hint
+        # Catalyst plans a sort-merge semi join (2 Exchanges + 2 Sorts on
+        # the DOCUMENT side — the side we are trying not to move)
+        sh = docs.join(F.broadcast(wanted), id_col, "left_semi").select(
             F.col(id_col),
             word_shingles(F.col(text_col), shingle_words).alias("_sh"),
         )
