@@ -29,5 +29,10 @@ from pyspark.sql import functions as F
 def let(value: Column, body: Callable[[Column], Column]) -> Column:
     """Evaluate ``value`` once per row and pass the bound reference to
     ``body``.  Use whenever a non-trivial expression would otherwise be
-    referenced inside a higher-order-function lambda."""
+    referenced inside a higher-order-function lambda.
+
+    Caveat: struct FIELD NAMES assigned inside ``body`` (via ``.alias``
+    on ``F.struct`` members) do not survive the transform's result type —
+    downstream field-by-name access resolves wrong.  Bind only the
+    scalar/array computation and build named structs OUTSIDE the let."""
     return F.element_at(F.transform(F.array(value), body), 1)

@@ -55,8 +55,17 @@ def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     n_chars = F.length(F.col(text_col))
     n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    # stoplist let-bound: a literal array referenced inside the filter
+    # lambda is re-CONSTRUCTED per token — ~100 literal evals per element
+    # and a matching codegen blowup (see functions/binding.py; measured
+    # cold 3.2 s → 1.0 s on the 5-language analog below)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+    n_stop = let(
+        en_stop,
+        lambda stop: F.size(
+            F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))
+        ),
+    )
     # nullif guards: an empty/whitespace-only document must yield NULL ratios,
     # not kill the whole job under Spark 4's default ANSI DIVIDE_BY_ZERO.
     safe_tokens = F.nullif(n_tokens, F.lit(0)).cast("double")
@@ -80,12 +89,21 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     scores = []
     for lang, words in STOPWORDS.items():
+        # stoplist let-bound — inline, the ~100-literal array rebuilds per
+        # token and per language (cold 3.2 s → 1.0 s, warm −17% at sf0.1;
+        # see functions/binding.py).  Only the size fold is bound: struct
+        # field names assigned INSIDE a lambda body do not survive the
+        # transform's result type, which scrambles downstream
+        # field-by-name access.
         wl = F.array(*[F.lit(w) for w in words])
+        hits = let(
+            wl,
+            lambda stop: F.size(
+                F.filter(toks, lambda t: F.array_contains(stop, t))
+            ),
+        )
         scores.append(
-            F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
+            F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
         )
     best = F.array_max(F.array(*scores))
     declared = (
