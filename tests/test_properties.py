@@ -173,3 +173,81 @@ def test_mg_update_batch_split_equivalence(stream, m, cut):
     one = _mg_update({}, s, m)
     two = _mg_update(_mg_update({}, s[:cut], m), s[cut:], m)
     assert one == two
+
+
+# ---------------------------------------------------------------------------
+# Driver-side union-find (_union_find_min_labels): the small-graph tier of
+# connected_components and the admission algebra both stand on it.  Pure
+# Python, so full hypothesis budget; the Spark-tier equivalence (local vs
+# distributed loop on the same DataFrames) is pinned separately in
+# tests/test_dedup_similarity.py.
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        max_size=120,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_union_find_min_labels_matches_reachability_closure(edges):
+    """Label = min node reachable through the undirected edge graph —
+    checked against a brute-force transitive-closure simulation."""
+    from bulkfhirloader_spark.operators.dedup import _union_find_min_labels
+
+    labels = _union_find_min_labels(list(edges))
+
+    # brute force: grow components by fixpoint union
+    nodes = {n for e in edges for n in e}
+    assert set(labels) == nodes
+    comp = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            merged = comp[a] | comp[b]
+            if merged != comp[a] or merged != comp[b]:
+                for n in merged:
+                    comp[n] = merged
+                changed = True
+    for n in nodes:
+        assert labels[n] == min(comp[n]), (n, labels[n], sorted(comp[n]))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            st.booleans(),
+            st.booleans(),
+        ),
+        max_size=80,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_admission_rejects_local_restates_distributed_rule(rows):
+    """_admission_rejects_local == the distributed flow's set algebra:
+    old-dup rejection first, then min-id survivorship over the new-new
+    pair clusters among survivors — simulated independently here."""
+    from bulkfhirloader_spark.operators.dedup import (
+        _admission_rejects_local,
+        _union_find_min_labels,
+    )
+
+    tagged = [(a, b, na, nb) for (a, b), na, nb in rows]
+    got = _admission_rejects_local(tagged)
+
+    old_dup = {a for a, b, na, nb in tagged if na and not nb} | {
+        b for a, b, na, nb in tagged if nb and not na
+    }
+    nn = [
+        (a, b)
+        for a, b, na, nb in tagged
+        if na and nb and a not in old_dup and b not in old_dup
+    ]
+    labels = _union_find_min_labels(nn)
+    dropped = {n for n, c in labels.items() if c != n}
+    assert got == old_dup | dropped
