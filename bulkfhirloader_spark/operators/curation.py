@@ -28,8 +28,6 @@ from pyspark.sql import functions as F
 from bulkfhirloader_spark.functions.binding import let
 
 from bulkfhirloader_spark.operators.text import (
-    language_id,
-    quality_stats,
     token_count_bpe_ish,
     tokens,
 )
@@ -137,9 +135,30 @@ def select_for_training(
 
     Returns (id, source, n_tokens, alpha_ratio, source_rank) for the
     selected documents.
+
+    Scale shape (r8): the quality and language features are PURE
+    PROJECTIONS, so they are evaluated in the SAME corpus scan as the id
+    and source columns (text.quality_exprs / text.language_pred_exprs)
+    instead of the old scan-per-operator + equi-join-per-operator
+    composition — that shape shuffled the full corpus twice on doc_id
+    just to reattach per-row features to their own rows.  The one
+    remaining join is the exact-dedup survivorship semi join, which
+    genuinely needs an aggregation.
     """
-    q = quality_stats(docs, id_col, text_col)
-    lid = language_id(docs, id_col, text_col).select(id_col, "lang_pred")
+    from bulkfhirloader_spark.operators.text import (
+        language_pred_exprs,
+        quality_exprs,
+    )
+
+    qe = quality_exprs(text_col)
+    le = language_pred_exprs(text_col)
+    feats = docs.select(
+        F.col(id_col),
+        F.col("source"),
+        qe["n_tokens"].alias("n_tokens"),
+        qe["alpha_ratio"].alias("alpha_ratio"),
+        le["lang_pred"].alias("lang_pred"),
+    )
     # exact-dedup survivors: the min id per normalized content group
     from bulkfhirloader_spark.operators.dedup import exact_dedup
 
@@ -147,10 +166,7 @@ def select_for_training(
         F.col("keep_id").alias(id_col)
     )
     gated = (
-        docs.select(id_col, "source")
-        .join(q.select(id_col, "n_tokens", "alpha_ratio"), id_col)
-        .join(lid, id_col)
-        .join(survivors, id_col, "left_semi")
+        feats.join(survivors, id_col, "left_semi")
         .filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("n_tokens") <= max_tokens)

@@ -47,9 +47,14 @@ def term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document quality features: token count, char stats, punctuation
-    and stopword ratios.  Narrow (no shuffle): one projection."""
+def quality_exprs(text_col: str = "text") -> dict:
+    """Per-document quality feature EXPRESSIONS, name -> Column — the
+    projection behind quality_stats, exposed so composed policies
+    (curation.select_for_training) can evaluate the features they need in
+    the SAME corpus scan as their other per-row features instead of a
+    scan-per-operator + join-per-operator shape (each of those joins is a
+    full-corpus shuffle at scale).  Pure projection; an unused entry
+    costs nothing (only selected expressions are evaluated)."""
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -70,22 +75,30 @@ def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # not kill the whole job under Spark 4's default ANSI DIVIDE_BY_ZERO.
     safe_tokens = F.nullif(n_tokens, F.lit(0)).cast("double")
     safe_chars = F.nullif(n_chars, F.lit(0)).cast("double")
+    return {
+        "n_tokens": n_tokens,
+        "n_chars_computed": n_chars,
+        "avg_token_len": n_chars.cast("double") / safe_tokens,
+        "alpha_ratio": n_alpha.cast("double") / safe_chars,
+        "punct_ratio": n_punct.cast("double") / safe_chars,
+        "stopword_ratio": n_stop.cast("double") / safe_tokens,
+    }
+
+
+def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, char stats, punctuation
+    and stopword ratios.  Narrow (no shuffle): one projection."""
+    exprs = quality_exprs(text_col)
     return docs.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars_computed"),
-        (n_chars.cast("double") / safe_tokens).alias("avg_token_len"),
-        (n_alpha.cast("double") / safe_chars).alias("alpha_ratio"),
-        (n_punct.cast("double") / safe_chars).alias("punct_ratio"),
-        (n_stop.cast("double") / safe_tokens).alias("stopword_ratio"),
+        *[c.alias(name) for name, c in exprs.items()],
     )
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """N-gram/stopword language-ID heuristic: score each language by
-    stopword hits in the token stream; argmax wins, 'und' when no hits.
-    Pure expressions — the per-language scores are independent array
-    filters over one tokenization."""
+def language_pred_exprs(text_col: str = "text") -> dict:
+    """Language-ID EXPRESSIONS, name -> Column ({lang_pred,
+    stopword_hits}) — the projection behind language_id, exposed for the
+    same one-scan composition reason as quality_exprs."""
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     scores = []
     for lang, words in STOPWORDS.items():
@@ -106,14 +119,28 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
         )
     best = F.array_max(F.array(*scores))
+    return {
+        "lang_pred": F.when(best["hits"] > 0, best["lang"]).otherwise(
+            F.lit("und")
+        ),
+        "stopword_hits": best["hits"],
+    }
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language-ID heuristic: score each language by
+    stopword hits in the token stream; argmax wins, 'und' when no hits.
+    Pure expressions — the per-language scores are independent array
+    filters over one tokenization."""
+    exprs = language_pred_exprs(text_col)
     declared = (
         F.col("lang") if "lang" in docs.columns else F.lit(None).cast("string")
     )
     return docs.select(
         F.col(id_col),
         declared.alias("lang_declared"),
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["hits"].alias("stopword_hits"),
+        exprs["lang_pred"].alias("lang_pred"),
+        exprs["stopword_hits"].alias("stopword_hits"),
     )
 
 
