@@ -348,3 +348,37 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     b = spark.read.parquet(out)
     assert a.count() == b.count()
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_select_for_training_is_one_scan_plus_survivorship(spark):
+    """The selection policy computes its quality/language features in the
+    SAME scan that reads id+source (r8 fusion): exactly TWO document
+    scans in the whole plan — the feature projection and the exact-dedup
+    aggregation — and no join other than the survivorship semi join plus
+    the per-source-cap window.  The pre-fusion shape (scan-per-feature +
+    equi-join-per-feature) re-shuffled the full corpus twice; this pins
+    it out for good."""
+    fn, _ = registry.REGISTRY["cur_select_for_training"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    # one semi join (survivorship); no other join operators
+    assert plan.count("Join") == 1 and "LeftSemi" in plan
+
+
+def test_incremental_admission_small_tier_returns_scan_filter(spark):
+    """At harness scale the admission query takes the size-gated driver
+    tier: the heavy band-join/verify phases run at construction behind
+    checkpoints, and the RETURNED plan is a plain pruned scan + filter —
+    no Exchange, no join.  (The distributed tier's shape is exercised via
+    local_threshold=0 in test_dedup_similarity.py.)"""
+    from bulkfhirloader_spark.operators import dedup as dedup_ops
+
+    # drop any admitted-set memo a prior test left: a warm hit returns
+    # the (also fine) one-semi-join read plan; the pin targets the cold
+    # small-tier shape
+    with dedup_ops._MEMO_LOCK:
+        dedup_ops._ADMIT_MEMO.clear()
+    fn, _ = registry.REGISTRY["dedup_incremental_admission"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "PushedFilters" in plan and "Not(In(doc_id" in plan
