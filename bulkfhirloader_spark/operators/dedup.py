@@ -1117,7 +1117,10 @@ def incremental_near_dup_filter(
             admitted = new_ids.persist()
             result = new_batch
         elif len(rejects) <= 1000:
-            # literal NOT IN: one scan+filter, no join at all
+            # literal NOT IN: one scan+filter, no join at all — and the
+            # predicate reaches the parquet reader (PushedFilters:
+            # Not(In(doc_id, …)), plan-asserted in tests/test_plans.py),
+            # so rejected row groups can be skipped at the source
             keep = ~F.col(id_col).isin(sorted(rejects))
             admitted = new_ids.filter(keep).persist()
             result = new_batch.filter(keep)
