@@ -185,6 +185,16 @@ def main() -> None:
                              "15m": load_at_start[2],
                              "ncpu": os.cpu_count()},
         "sf": sf,
+        "notes": {
+            # honesty marker (r7 verdict): warm re-runs of the admission
+            # query hit the stored-decision memo — by design the at-scale
+            # contract is decision-is-a-stored-table — so its warm row
+            # measures the decision READ; the full-pipeline number is the
+            # cold row.
+            "dedup_incremental_admission": "warm = stored-decision read "
+            "(admitted-set memo, sameSemantics-confirmed); cold = full "
+            "band-join + exact-verify + clustering pipeline",
+        },
     }
     detail_path = _detail_path()
     try:

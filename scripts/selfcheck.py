@@ -86,6 +86,9 @@ def main() -> int:
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.sql.adaptive.skewJoin.enabled": "false",
         "spark.sql.ansi.enabled": "true",
+        # r8 axis: a case-sensitive analyzer breaks any query relying on
+        # case-insensitive column resolution
+        "spark.sql.caseSensitive": "true",
     }
     hostile = bool(os.environ.get("SPARK_GRAFT_HOSTILE"))
     if hostile:
@@ -182,6 +185,7 @@ def main() -> int:
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions", None),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled", None),
         "ansi": spark.conf.get("spark.sql.ansi.enabled", None),
+        "case_sensitive": spark.conf.get("spark.sql.caseSensitive", None),
     }
     out_path = os.environ.get("SELFCHECK_OUT", "/tmp/verify_local.json")
     with open(out_path, "w") as f:
