@@ -1,0 +1,121 @@
+"""Measured scaling evidence for the dedup family (SCALE.md §Scaling evidence).
+
+Generates deterministic synthetic corpora at 5k / 50k / 500k docs (~60-token
+documents over a 10k-word vocabulary, 2% planted near-dup pairs: doc i copies
+doc i-1 with one token changed whenever i % 50 == 1) plus a hot-cluster
+pathology corpus (5k docs, 1000 of which are near-copies of ONE document —
+a C(1000,2) = 499,500-pair clique), then times the four dedup operators at
+each size.  Pair counts are known by construction, so the run doubles as a
+correctness check: minhash pairs must scale exactly 10x with corpus size
+(100 / 1,000 / 10,000) and the hot corpus must surface the full clique.
+
+Usage:  python scripts/scale_evidence.py
+Writes corpora under /tmp/scaledocs (regenerated each run) and prints one
+line per (corpus, operator) with wall seconds and output rows.  Single-box
+local[32] numbers: the signal is the growth RATE between sizes, not the
+absolute times (which include fixed Spark job-scheduling overhead).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+CORPORA = [(5_000, "d5k"), (50_000, "d50k"), (500_000, "d500k")]
+OUTDIR = "/tmp/scaledocs"
+
+
+def generate() -> None:
+    os.makedirs(OUTDIR, exist_ok=True)
+    con = duckdb.connect()
+    for n, name in CORPORA:
+        con.execute(
+            f"""
+            COPY (
+              WITH base AS (
+                SELECT i AS doc_id,
+                       CASE WHEN i % 50 = 1 AND i > 0 THEN i - 1 ELSE i END AS seed,
+                       i % 50 = 1 AND i > 0 AS is_dup
+                FROM range({n}) t(i)
+              )
+              SELECT doc_id,
+                     'src' || (doc_id % 7) AS source,
+                     array_to_string(
+                       list_transform(range(60),
+                         j -> 'w' || ((hash(seed * 131071 + j * 524287) +
+                                       CASE WHEN is_dup AND j = 3 THEN 7 ELSE 0 END) % 10000)),
+                       ' ') AS text
+              FROM base
+            ) TO '{OUTDIR}/{name}.parquet' (FORMAT PARQUET)
+            """
+        )
+    con.execute(
+        f"""
+        COPY (
+          SELECT i AS doc_id, 'hot' AS source,
+                 CASE WHEN i < 1000
+                      THEN 'the same boilerplate body repeated everywhere token' ||
+                           array_to_string(list_transform(range(55), j -> ' b' || (hash(j*7919) % 9000)), '') ||
+                           ' tail' || i
+                      ELSE array_to_string(list_transform(range(60), j -> 'u' || ((hash(i * 131071 + j * 524287)) % 10000)), ' ')
+                 END AS text
+          FROM range(5000) t(i)
+        ) TO '{OUTDIR}/hot.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+
+def measure() -> None:
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import dedup
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-evidence")
+    tm = time.monotonic
+
+    def run(name: str, path: str, force_dist: bool = False) -> None:
+        docs = spark.read.parquet(path)
+        docs.count()  # warm the scan so measured time is operator work
+        res = {}
+        t0 = tm()
+        n = dedup.exact_dedup(docs).count()
+        res["exact"] = (tm() - t0, n)
+        t0 = tm()
+        pairs = dedup.minhash_near_dup_pairs(docs, num_hashes=16, bands=8, threshold=0.5)
+        n = pairs.count()
+        res["minhash_pairs"] = (tm() - t0, n)
+        # Incremental admission: even doc_ids = existing corpus, odd = new batch.
+        ex = docs.where(F.col("doc_id") % 2 == 0)
+        nw = docs.where(F.col("doc_id") % 2 == 1)
+        kw = {"local_threshold": 0} if force_dist else {}
+        t0 = tm()
+        n = dedup.incremental_near_dup_filter(ex, nw, **kw).count()
+        res["admission" + ("_dist" if force_dist else "")] = (tm() - t0, n)
+        t0 = tm()
+        n = dedup.simhash_near_dup_pairs(docs, band_bits=16, max_hamming=3).count()
+        res["simhash"] = (tm() - t0, n)
+        out = "  ".join(f"{k}={v[0]:.1f}s({v[1]})" for k, v in res.items())
+        print(f"{name:6s} {out}", flush=True)
+
+    for _, name in CORPORA:
+        run(name.replace("d", ""), f"{OUTDIR}/{name}.parquet")
+    # Fresh (un-memoized) 500k admission on swapped halves: different plan
+    # fingerprint, so the admitted-set memo cannot serve it.
+    docs = spark.read.parquet(f"{OUTDIR}/d500k.parquet")
+    ex = docs.where(F.col("doc_id") % 2 == 1)
+    nw = docs.where(F.col("doc_id") % 2 == 0)
+    t0 = tm()
+    n = dedup.incremental_near_dup_filter(ex, nw, local_threshold=0).count()
+    print(f"500k admission DISTRIBUTED tier (fresh inputs): {tm()-t0:.1f}s rows={n}", flush=True)
+    run("hot", f"{OUTDIR}/hot.parquet")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    generate()
+    measure()
