@@ -1,0 +1,159 @@
+"""Measured scaling evidence for the similarity/ANN family (SCALE.md).
+
+Generates deterministic clustered synthetic embeddings (dim 64, 64 true
+Gaussian clusters on the unit sphere, seeded numpy) at several corpus
+sizes plus a fixed 100-query batch, then times each top-k tier and
+measures its recall@10 against the exact bruteforce ground truth:
+
+- ``bruteforce``  — exact cosine, JVM HOF expressions (the correctness tier)
+- ``blas``        — exact cosine via the Arrow/BLAS pandas tier
+- ``ivf``         — in-session IVF (KMeans train + probe; train time dominates)
+- ``stored-ivf``  — build_ivf_index once (timed separately), then probe the
+  Hive-partitioned lists with planning-time partition pruning; the query
+  cost should be ~flat in corpus size (reads only probed lists)
+- ``lsh``         — hyperplane buckets, multi-probe, 4 OR-combined tables
+
+Usage:  python scripts/ann_scale_evidence.py [sizes...]   (default 10k 100k 500k)
+Writes corpora/indexes under /tmp/annscale and prints one line per
+(size, tier) with wall seconds and mean recall@10.  Single-box local[32]
+numbers: the signal is the growth RATE across sizes (and stored-IVF's
+flat probe cost), not the absolute seconds.
+"""
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+DIM = 64
+N_CLUSTERS_TRUE = 64
+N_QUERIES = 100
+K = 10
+OUTDIR = "/tmp/annscale"
+
+
+def generate(sizes: list[int]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUTDIR, exist_ok=True)
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(N_CLUSTERS_TRUE, DIM)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def make(n: int, seed: int) -> np.ndarray:
+        r = np.random.default_rng(seed)
+        assign = r.integers(0, N_CLUSTERS_TRUE, size=n)
+        pts = centers[assign] + 0.25 * r.normal(size=(n, DIM)).astype(np.float32)
+        return pts.astype(np.float32)
+
+    for n in sizes:
+        pts = make(n, seed=n)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(tbl, f"{OUTDIR}/emb_{n}.parquet")
+    qpts = make(N_QUERIES, seed=7)
+    qtbl = pa.table(
+        {
+            # query ids offset past every corpus id so the self-pair filter
+            # in the bruteforce tier never drops a genuine neighbor
+            "query_id": pa.array(np.arange(10**9, 10**9 + N_QUERIES, dtype=np.int64)),
+            "query_vec": pa.array(list(qpts), type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(qtbl, f"{OUTDIR}/queries.parquet")
+
+
+def recall_at_k(approx_rows, exact_rows, k: int = K) -> float:
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recs = [
+        len(approx.get(q, set()) & cands) / len(cands) for q, cands in exact.items()
+    ]
+    return sum(recs) / len(recs)
+
+
+def measure(sizes: list[int]) -> None:
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-scale-evidence")
+    tm = time.monotonic
+    queries = spark.read.parquet(f"{OUTDIR}/queries.parquet")
+    queries.count()
+
+    for n in sizes:
+        cands = spark.read.parquet(f"{OUTDIR}/emb_{n}.parquet")
+        cands.count()  # warm the scan
+        nlist = min(256, max(16, int(n**0.5)))
+
+        # HOF-fold bruteforce is the d<=64 correctness tier; it is linear in
+        # n (measured ~0.9 ms/doc for 100 queries) so run it only at the
+        # sizes where that is minutes-cheap.  Ground truth for recall is the
+        # BLAS tier, which is exact by construction (and measures 1.00
+        # against the fold tier wherever both run).
+        t_bf, bf_recall = float("nan"), float("nan")
+        # the pandas tier projects the query DF with the CORPUS column names
+        q_as_corpus = queries.select(
+            F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
+        )
+        t0 = tm()
+        blas = sim.cosine_topk_pandas(q_as_corpus, cands, k=K).collect()
+        t_blas = tm() - t0
+        exact = blas
+        if n <= 100_000:
+            t0 = tm()
+            bf = sim.cosine_topk_bruteforce(queries, cands, k=K).collect()
+            t_bf = tm() - t0
+            bf_recall = recall_at_k(bf, exact)
+
+        t0 = tm()
+        ivf = sim.cosine_topk_ivf(
+            queries, cands, k=K, n_clusters=nlist, n_probe=8
+        ).collect()
+        t_ivf = tm() - t0
+
+        idx_path = f"{OUTDIR}/ivf_{n}"
+        shutil.rmtree(idx_path, ignore_errors=True)
+        t0 = tm()
+        sim.build_ivf_index(cands, idx_path, n_clusters=nlist)
+        t_build = tm() - t0
+        t0 = tm()
+        stored = sim.query_ivf_index(spark, idx_path, queries, k=K, n_probe=8).collect()
+        t_stored = tm() - t0
+
+        t0 = tm()
+        lsh = sim.cosine_topk_lsh(
+            queries, cands, k=K, n_planes=10, n_tables=4, dim=DIM
+        ).collect()
+        t_lsh = tm() - t0
+
+        print(
+            f"n={n:>7d} nlist={nlist:3d} | "
+            f"bruteforce={t_bf:5.1f}s({bf_recall:.2f}) blas={t_blas:5.1f}s(1.00) "
+            f"ivf={t_ivf:5.1f}s({recall_at_k(ivf, exact):.2f}) "
+            f"stored-ivf build={t_build:5.1f}s probe={t_stored:4.1f}s({recall_at_k(stored, exact):.2f}) "
+            f"lsh={t_lsh:5.1f}s({recall_at_k(lsh, exact):.2f})",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sizes = [int(s) for s in sys.argv[1:]] or [10_000, 100_000, 500_000]
+    generate(sizes)
+    measure(sizes)
