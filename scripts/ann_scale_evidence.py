@@ -153,7 +153,44 @@ def measure(sizes: list[int]) -> None:
     spark.stop()
 
 
+def measure_lsh_amplification(n: int = 100_000) -> None:
+    """Recall@10 / time vs ``n_tables`` at a fixed corpus size — the
+    OR-combination amplification curve the LSH docstring promises
+    (per-neighbor miss probability decays exponentially in table count)."""
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-lsh-amplification")
+    tm = time.monotonic
+    queries = spark.read.parquet(f"{OUTDIR}/queries.parquet")
+    cands = spark.read.parquet(f"{OUTDIR}/emb_{n}.parquet")
+    cands.count()
+    q_as_corpus = queries.select(
+        F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
+    )
+    exact = sim.cosine_topk_pandas(q_as_corpus, cands, k=K).collect()
+    for n_tables in (1, 2, 4, 8, 16):
+        t0 = tm()
+        lsh = sim.cosine_topk_lsh(
+            queries, cands, k=K, n_planes=10, n_tables=n_tables, dim=DIM
+        ).collect()
+        print(
+            f"n={n} n_planes=10 n_tables={n_tables:2d} "
+            f"lsh={tm()-t0:5.1f}s recall={recall_at_k(lsh, exact):.2f}",
+            flush=True,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    sizes = [int(s) for s in sys.argv[1:]] or [10_000, 100_000, 500_000]
-    generate(sizes)
-    measure(sizes)
+    if sys.argv[1:2] == ["--lsh-amplification"]:
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        if not os.path.exists(f"{OUTDIR}/emb_{n}.parquet"):
+            generate([n])
+        measure_lsh_amplification(n)
+    else:
+        sizes = [int(s) for s in sys.argv[1:]] or [10_000, 100_000, 500_000]
+        generate(sizes)
+        measure(sizes)
