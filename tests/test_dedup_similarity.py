@@ -274,6 +274,27 @@ def test_ivf_topk_contains_true_neighbor(spark):
     assert len(got & brute) >= 2  # decent recall with 2/8 cells probed
 
 
+def test_ivf_sampled_training_still_finds_true_neighbor(spark):
+    """train_fraction<1 trains the quantizer on a seeded sample, but the
+    assignment covers every vector — the planted near-identical neighbor
+    must still surface (it shares the query's cell regardless of where the
+    sampled centroids landed), and output schema/k are unchanged."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    rows.append((999, [v + 0.001 for v in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.cosine_topk_ivf(
+        q, emb, k=5, n_clusters=8, n_probe=2, train_fraction=0.25
+    ).collect()
+    assert {r["vec_id"] for r in got} >= {999}
+    assert len(got) == 5 and [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+
+
 def test_lsh_topk_contains_true_neighbor(spark):
     import random
 
