@@ -369,6 +369,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     max_shingle_df: int | None = None,
     allow_full_scan: bool = False,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
@@ -454,11 +455,19 @@ def ngram_jaccard_pairs(
                 F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
             ).distinct()
         )
-        # explicit broadcast: the candidate id set is small by the same
-        # contract that justifies checkpointing it, and without the hint
-        # Catalyst plans a sort-merge semi join (2 Exchanges + 2 Sorts on
-        # the DOCUMENT side — the side we are trying not to move)
-        sh = docs.join(F.broadcast(wanted), id_col, "left_semi").select(
+        # explicit broadcast BY DEFAULT: the candidate id set is small by
+        # the same contract that justifies checkpointing it, and without
+        # the hint Catalyst plans a sort-merge semi join (2 Exchanges +
+        # 2 Sorts on the DOCUMENT side — the side we are trying not to
+        # move).  The hint is a hard commitment, though: a candidate set
+        # naming O(corpus) ids (high-duplication corpus, permissive
+        # banding) would blow Spark's broadcast-table limit where a
+        # shuffle semi join completes — callers in that regime pass
+        # ``broadcast_candidates=False`` and let AQE re-promote the join
+        # to broadcast if the measured size allows.
+        if broadcast_candidates:
+            wanted = F.broadcast(wanted)
+        sh = docs.join(wanted, id_col, "left_semi").select(
             F.col(id_col),
             word_shingles(F.col(text_col), shingle_words).alias("_sh"),
         )
@@ -646,8 +655,12 @@ def connected_components(
 def _union_find_min_labels(edge_iter) -> dict:
     """Union-find with path compression over an iterable of (a, b) edges;
     returns {node: min node id in its component} — the exact label
-    contract of the distributed min-propagation loop."""
+    contract of the distributed min-propagation loop, including its NULL
+    behavior: a None endpoint is a node (the distinct-src node list keeps
+    it) but its equi-joins never match, so it stays an isolated node
+    labeled None and merges nothing."""
     parent: dict = {}
+    saw_null = False
 
     def find(x):
         root = x
@@ -658,6 +671,12 @@ def _union_find_min_labels(edge_iter) -> dict:
         return root
 
     for a, b in edge_iter:
+        if a is None or b is None:
+            saw_null = True
+            for n in (a, b):
+                if n is not None and n not in parent:
+                    parent[n] = n
+            continue
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -670,7 +689,10 @@ def _union_find_min_labels(edge_iter) -> dict:
         r = find(n)
         if r not in comp_min or n < comp_min[r]:
             comp_min[r] = n
-    return {n: comp_min[find(n)] for n in parent}
+    labels = {n: comp_min[find(n)] for n in parent}
+    if saw_null:
+        labels[None] = None
+    return labels
 
 
 def _connected_components_local(edges: DataFrame) -> DataFrame:
@@ -1012,7 +1034,10 @@ def incremental_near_dup_filter(
     of longs, appended per admitted batch) instead of being recomputed —
     recomputation here keeps the operator self-contained; the banding cost
     is a pure projection either way.  Ids must be unique ACROSS both
-    inputs (they name graph nodes).
+    inputs (they name graph nodes), and NULL-id rows are never admitted
+    on any tier (a NULL can't name a pair-graph node; the final semi
+    join drops it by join semantics and the local tier filters it
+    explicitly so cold/warm outputs agree).
 
     Warm-path memo (r6 verdict, What's wrong #3): the admitted ID SET for a
     given (existing plan, batch plan, params) is deterministic, so it is
@@ -1113,15 +1138,20 @@ def incremental_near_dup_filter(
         # is the materialized checkpoint's exact count; above the
         # threshold the distributed flow below runs unchanged.
         rejects = _admission_rejects_local(tagged.collect())
+        # NULL-id rows are never admitted on ANY path (the distributed
+        # tier's final left_semi and the warm memo replay both drop them —
+        # a NULL id can't name a pair-graph node), so the local tier must
+        # drop them too or cold/warm outputs would disagree.
+        notnull = F.col(id_col).isNotNull()
         if not rejects:
-            admitted = new_ids.persist()
-            result = new_batch
+            admitted = new_ids.filter(notnull).persist()
+            result = new_batch.filter(notnull)
         elif len(rejects) <= 1000:
             # literal NOT IN: one scan+filter, no join at all — and the
             # predicate reaches the parquet reader (PushedFilters:
             # Not(In(doc_id, …)), plan-asserted in tests/test_plans.py),
             # so rejected row groups can be skipped at the source
-            keep = ~F.col(id_col).isin(sorted(rejects))
+            keep = notnull & ~F.col(id_col).isin(sorted(rejects))
             admitted = new_ids.filter(keep).persist()
             result = new_batch.filter(keep)
         else:
@@ -1129,8 +1159,10 @@ def incremental_near_dup_filter(
                 [(r,) for r in sorted(rejects)],
                 new_ids.schema,
             )
-            admitted = new_ids.join(rej_df, id_col, "left_anti").persist()
-            result = new_batch.join(rej_df, id_col, "left_anti")
+            admitted = (
+                new_ids.filter(notnull).join(rej_df, id_col, "left_anti").persist()
+            )
+            result = new_batch.filter(notnull).join(rej_df, id_col, "left_anti")
         with _MEMO_LOCK:
             again = _memo_get(_ADMIT_MEMO, memo_key, [existing, new_batch])
             if again is not None:

@@ -233,6 +233,28 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     return scale, q
 
 
+def _quantizer_train_set(
+    with_feat: DataFrame, n_clusters: int, train_fraction: float, seed: int
+) -> DataFrame:
+    """Pick the KMeans training input for an IVF build: the full corpus at
+    train_fraction=1.0 (bit-identical to the historical behavior), else a
+    seeded Bernoulli sample — guarded so a sample too small to support
+    ``n_clusters`` centroids (tiny corpus × small fraction) falls back to
+    the full corpus instead of failing inside MLlib with an error that
+    names neither the knob nor the cause."""
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(
+            f"train_fraction must be in (0, 1], got {train_fraction!r}"
+        )
+    if train_fraction >= 1.0:
+        return with_feat
+    sampled = with_feat.sample(train_fraction, seed)
+    # bounded probe: limit(k) stops the scan as soon as k rows surface
+    if sampled.limit(n_clusters).count() < n_clusters:
+        return with_feat
+    return sampled
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     candidates: DataFrame,
@@ -276,9 +298,7 @@ def cosine_topk_ivf(
         "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
     )
     with_feat = cand_n.withColumn("features", array_to_vector(F.col("_nv")))
-    train_set = (
-        with_feat if train_fraction >= 1.0 else with_feat.sample(train_fraction, seed)
-    )
+    train_set = _quantizer_train_set(with_feat, n_clusters, train_fraction, seed)
     model = KMeans(k=n_clusters, seed=seed).fit(train_set)
     assigned = (
         model.transform(with_feat)
@@ -646,9 +666,7 @@ def build_ivf_index(
         "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
     )
     with_feat = cand_n.withColumn("features", array_to_vector(F.col("_nv")))
-    train_set = (
-        with_feat if train_fraction >= 1.0 else with_feat.sample(train_fraction, seed)
-    )
+    train_set = _quantizer_train_set(with_feat, n_clusters, train_fraction, seed)
     model = KMeans(k=n_clusters, seed=seed).fit(train_set)
     assigned = (
         model.transform(with_feat)

@@ -5559,15 +5559,16 @@ def _driver_verdicts() -> dict[str, bool]:
     return latest
 
 
-def _previous_red_rows() -> list[str]:
+def _previous_red_rows(latest: dict[str, bool] | None = None) -> list[str]:
     """Names whose LATEST verdict is red, alphabetical — front-loaded so a
     fix earns its green driver row at the next opportunity instead of
     waiting on offset arithmetic."""
-    latest = _driver_verdicts()
+    if latest is None:
+        latest = _driver_verdicts()
     return sorted(name for name, green in latest.items() if not green)
 
 
-def _never_checked_rows() -> list[str]:
+def _never_checked_rows(latest: dict[str, bool] | None = None) -> list[str]:
     """Names that have NEVER received a driver hash row in any committed
     CORRECTNESS artifact, alphabetical.  ROUND-8 AMENDMENT (requested by
     the round-7 verdict, "Next round #2"): with zero latest-red rows the
@@ -5578,7 +5579,8 @@ def _never_checked_rows() -> list[str]:
     everything except the harness's own committed artifacts, and strictly
     scrutiny-increasing (it only accelerates a query's FIRST independent
     check).  Disclosed in AUDIT.md §1."""
-    latest = _driver_verdicts()
+    if latest is None:
+        latest = _driver_verdicts()
     return sorted(name for name in REGISTRY if name not in latest)
 
 
@@ -5587,10 +5589,12 @@ _off = (_HARNESS_WINDOW * _completed_rounds()) % len(_names)
 _rotated = _names[_off:] + _names[:_off]
 # Latest-red rows first (plus their *_diag twins so a red and its
 # diagnostic land in the same window), then never-driver-checked rows,
-# then the blind rotation.
-_reds = [n for n in _previous_red_rows() if n in REGISTRY]
+# then the blind rotation.  The verdict map is parsed once and shared —
+# it globs + JSON-parses every committed CORRECTNESS artifact.
+_verdicts = _driver_verdicts()
+_reds = [n for n in _previous_red_rows(_verdicts) if n in REGISTRY]
 _reds += [n + "_diag" for n in list(_reds) if n + "_diag" in REGISTRY]
-_front = list(dict.fromkeys(_reds + _never_checked_rows()))
+_front = list(dict.fromkeys(_reds + _never_checked_rows(_verdicts)))
 REGISTRY = {
     name: REGISTRY[name]
     for name in _front + [n for n in _rotated if n not in set(_front)]

@@ -79,11 +79,20 @@ class FileDocStoreWriter(DataSourceWriter):
     def _dir(self) -> str:
         return os.path.join(self.root, self.database, self.collection)
 
+    def _staging(self) -> str:
+        # Task attempts write here; only commit() publishes into the
+        # collection directory.  This is the same visibility rule as the
+        # real sink's task-retry story: a retried or speculative attempt's
+        # files must never be observable — commit() moves exactly the
+        # files named by the SUCCESSFUL attempts' messages and discards
+        # the rest of staging wholesale.
+        return os.path.join(self._dir(), "_staging")
+
     def write(self, iterator) -> _BatchCommit:
         """Executor-side: buffer rows, flush every maxBatchSize documents
-        to a new JSONL file — the connector's unordered bulk-insert batch
-        analog (one InsertMany per flush)."""
-        os.makedirs(self._dir(), exist_ok=True)
+        to a new staged JSONL file — the connector's unordered bulk-insert
+        batch analog (one InsertMany per flush)."""
+        os.makedirs(self._staging(), exist_ok=True)
         files: list = []
         sizes: list = []
         buf: list = []
@@ -91,7 +100,7 @@ class FileDocStoreWriter(DataSourceWriter):
         def flush() -> None:
             if not buf:
                 return
-            path = os.path.join(self._dir(), f"batch-{uuid.uuid4().hex}.jsonl")
+            path = os.path.join(self._staging(), f"batch-{uuid.uuid4().hex}.jsonl")
             with open(path, "w") as fh:
                 for doc in buf:
                     fh.write(json.dumps(doc, default=str) + "\n")
@@ -107,28 +116,45 @@ class FileDocStoreWriter(DataSourceWriter):
         return _BatchCommit(files=files, batch_sizes=sizes)
 
     def commit(self, messages) -> None:
-        """Driver-side: one manifest per save recording what the
-        executors actually received and did — the smoke test's evidence
-        that every option plumbed through."""
+        """Driver-side: publish the successful attempts' staged files into
+        the collection directory (failed/speculative attempts' orphans die
+        with the staging dir), then merge this save into the cumulative
+        manifest — an append save must extend the history, not erase it."""
+        import shutil
+
+        os.makedirs(self._dir(), exist_ok=True)
         all_sizes = [s for m in messages if m for s in m.batch_sizes]
+        n_files = 0
+        for m in messages:
+            if m:
+                for path in m.files:
+                    os.replace(
+                        path, os.path.join(self._dir(), os.path.basename(path))
+                    )
+                    n_files += 1
+        shutil.rmtree(self._staging(), ignore_errors=True)
+        manifest_path = os.path.join(self._dir(), "_manifest.json")
         manifest = {
             "database": self.database,
             "collection": self.collection,
             "ordered": self.ordered,
             "maxBatchSize": self.max_batch_size,
-            "n_files": sum(len(m.files) for m in messages if m),
+            "n_files": n_files,
             "batch_sizes": all_sizes,
             "n_docs": sum(all_sizes),
+            "n_saves": 1,
         }
-        os.makedirs(self._dir(), exist_ok=True)
-        with open(os.path.join(self._dir(), "_manifest.json"), "w") as fh:
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = json.load(fh)
+            manifest["n_files"] += prior.get("n_files", 0)
+            manifest["batch_sizes"] = prior.get("batch_sizes", []) + all_sizes
+            manifest["n_docs"] += prior.get("n_docs", 0)
+            manifest["n_saves"] += prior.get("n_saves", 1)
+        with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=1)
 
     def abort(self, messages) -> None:  # pragma: no cover - best-effort
-        for m in messages:
-            if m:
-                for path in m.files:
-                    try:
-                        os.remove(path)
-                    except OSError:
-                        pass
+        import shutil
+
+        shutil.rmtree(self._staging(), ignore_errors=True)

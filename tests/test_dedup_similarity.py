@@ -202,6 +202,11 @@ def test_incremental_admission_local_tier_matches_distributed(spark):
         r["doc_id"]
         for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
     )
+    # the admitted-set memo key omits local_threshold BY DESIGN (both tiers
+    # promise identical decisions) — clear it so the second call genuinely
+    # executes the distributed flow instead of replaying the local tier's
+    # memoized decision, which would make this equivalence check vacuous
+    dedup._ADMIT_MEMO.clear()
     dist = sorted(
         r["doc_id"]
         for r in dedup.incremental_near_dup_filter(
@@ -209,6 +214,56 @@ def test_incremental_admission_local_tier_matches_distributed(spark):
         ).collect()
     )
     assert local == dist and 0 < len(local) < len(new_rows)
+
+
+def test_connected_components_null_node_both_tiers(spark):
+    """A NULL edge endpoint is an isolated node labeled NULL on BOTH tiers
+    (equi-joins never match NULL in the distributed loop; the union-find
+    mirrors that instead of raising TypeError on None comparisons)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 5), (7, None)], "id_a long, id_b long"
+    )
+    for thresh in (100_000, 0):  # local tier, then distributed
+        got = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components(pairs, local_threshold=thresh).collect()
+        }
+        assert (None, None) in got
+        assert (1, 1) in got and (2, 1) in got and (3, 1) in got
+        # 5 and 7 only touch the NULL node, so they stay their own components
+        assert (5, 5) in got and (7, 7) in got
+
+
+def test_incremental_admission_null_id_consistent_cold_warm_dist(spark):
+    """A NULL-id row in the new batch is never admitted, identically on the
+    cold local tier, the warm memo replay, and the distributed tier (the
+    r8 review found the cold no-rejects branch used to keep it while the
+    warm replay's semi join dropped it)."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    existing = mk([(1, "some very ordinary existing document body here")])
+    new_batch = mk(
+        [
+            (10, "a completely fresh document about gardens and rivers"),
+            (None, "an id-less row that must never be admitted anywhere"),
+        ]
+    )
+    dedup._ADMIT_MEMO.clear()
+    cold = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
+    )
+    warm = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
+    )
+    dedup._ADMIT_MEMO.clear()
+    dist = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            existing, new_batch, local_threshold=0
+        ).collect()
+    )
+    assert cold == warm == dist == [10]
 
 
 def test_clusters_from_minhash_pairs(planted):

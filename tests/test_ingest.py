@@ -476,6 +476,21 @@ def test_mongo_routed_write_end_to_end_via_docstore_stub(spark, tmp_path):
         assert m["n_docs"] == len(docs[coll])
         assert all(0 < s <= 512 for s in m["batch_sizes"])
 
+    # staged attempt files were all published — no staging residue
+    for coll in ("patients", "conditions"):
+        assert not os.path.exists(f"{root}/fhir/{coll}/_staging")
+
+    # a second append save must EXTEND the manifest history, not erase it
+    write_resources_mongo(
+        entries.where("resource_id in ('id1', 'id3')"),  # one per collection
+        f"docstore://{root}", "fhir", format="filedocstore",
+    )
+    for coll in ("patients", "conditions"):
+        m2 = _json.load(open(f"{root}/fhir/{coll}/_manifest.json"))
+        assert m2["n_saves"] == 2
+        assert m2["n_docs"] > manifests[coll]["n_docs"]
+        assert m2["n_docs"] == sum(m2["batch_sizes"])
+
     # a save missing a required option must FAIL, not no-op
     import pytest as _pytest
 
