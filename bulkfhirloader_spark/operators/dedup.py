@@ -18,7 +18,7 @@ from __future__ import annotations
 import threading
 from collections import OrderedDict
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bulkfhirloader_spark.functions.binding import let
@@ -305,13 +305,27 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_words: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate generation + MinHash Jaccard estimate.
 
     bands × rows_per_band = num_hashes; a pair collides if any band's
     signature slice matches exactly.  The band bucket join is an equi join
-    on (band_index, band_hash) — shuffle keys are uniform hashes, so no
-    skew even on pathological corpora.
+    on (band_index, band_hash) — PARTITION placement is uniform (the keys
+    are hashes), but bucket-local OUTPUT is not: a boilerplate cluster of
+    m near-identical docs shares buckets and emits its full C(m,2) pair
+    clique (measured: a planted 1000-doc clique → 499,500 pairs,
+    scripts/scale_evidence.py).  Fine at m=10³; at a 100 TB corpus a
+    m=10⁶ template cluster would emit 5·10¹¹ pairs from one bucket.
+    ``max_bucket_size`` is the cap for that regime: band rows in buckets
+    larger than the cap are EXCLUDED from the join (the window count
+    shares the join's (band_idx, band_hash) partitioning, so the guard
+    rides the shuffle that was already happening).  A pair sharing any
+    non-capped band still surfaces; docs whose every shared band is
+    capped are the pathological boilerplate case — handle those with
+    exact_dedup (identical bodies collapse for free) or
+    ngram_containment_pairs on the flagged bucket members.  Default None
+    keeps the exhaustive behavior.
 
     Cache hygiene: signatures for (corpus plan, geometry) are memoized via
     cached_minhash_signatures, so repeat calls over the same corpus reuse
@@ -337,6 +351,15 @@ def minhash_near_dup_pairs(
             "band_idx", "band_hash"
         ),
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
+        w = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
 
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")

@@ -216,6 +216,32 @@ def test_incremental_admission_local_tier_matches_distributed(spark):
     assert local == dist and 0 < len(local) < len(new_rows)
 
 
+def test_minhash_max_bucket_size_caps_boilerplate_clique(spark):
+    """max_bucket_size drops band rows from oversized buckets: a 40-doc
+    boilerplate clique (whose every band bucket has ~40 members) emits
+    zero pairs under a cap of 10, while an ordinary near-dup pair (bucket
+    size 2) still surfaces — and with the cap off the clique dominates."""
+    base = "the same boilerplate body repeated across the whole mirror set"
+    rows = [(i, f"{base} common tail marker {'x' if i % 2 else 'y'}") for i in range(40)]
+    pair_body = " ".join(f"glacier moraine token{j} drift" for j in range(12))
+    rows += [
+        (100, f"{pair_body} terminal"),
+        (101, f"{pair_body} lateral"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    capped = dedup.minhash_near_dup_pairs(
+        docs, threshold=0.5, max_bucket_size=10
+    ).collect()
+    assert len(uncapped) > 100  # the clique's C(~40,2) pairs dominate
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in capped_pairs  # small buckets unaffected
+    assert all(a >= 100 for a, _ in capped_pairs)  # clique fully capped
+
+    with pytest.raises(ValueError):
+        dedup.minhash_near_dup_pairs(docs, max_bucket_size=1)
+
+
 def test_connected_components_null_node_both_tiers(spark):
     """A NULL edge endpoint is an isolated node labeled NULL on BOTH tiers
     (equi-joins never match NULL in the distributed loop; the union-find
