@@ -1034,6 +1034,7 @@ def incremental_near_dup_filter(
     shingle_words: int = 3,
     threshold: float = 0.5,
     local_threshold: int = 100_000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental corpus admission — the production dedup flow: a new
     crawl batch arrives against an already-deduped corpus, and only new
@@ -1097,6 +1098,10 @@ def incremental_near_dup_filter(
         bands,
         shingle_words,
         threshold,
+        # the cap changes which pairs get proposed, hence the admitted
+        # set: two calls differing only in max_bucket_size must not share
+        # a memoized decision
+        max_bucket_size,
     )
     with _MEMO_LOCK:
         cached = _memo_get(_ADMIT_MEMO, memo_key, [existing, new_batch])
@@ -1115,6 +1120,22 @@ def incremental_near_dup_filter(
         band_hash_array(F.col("minhash"), bands, num_hashes)
     ).alias("band_idx", "band_hash")
     banded = sigs.select(F.col(id_col), band_hashes)
+    if max_bucket_size is not None:
+        # same skew cap as minhash_near_dup_pairs: a boilerplate cluster
+        # spanning existing corpus + batch would otherwise propose its
+        # full bucket-local clique against the new side.  Capped docs are
+        # NOT proposed, so pathological boilerplate must be handled
+        # upstream by exact_dedup (identical bodies) — the cap trades
+        # recall on mega-template clusters for a bounded join, the same
+        # contract as the one-shot operator.
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
+        _w = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(_w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     new_ids = new_batch.select(F.col(id_col)).distinct()
     banded_new = banded.join(new_ids, id_col, "left_semi")
     # (old u new) x new collisions; normalize so pairs are undirected

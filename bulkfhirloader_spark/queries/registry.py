@@ -1867,6 +1867,27 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5
 """
 
 
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_near_dup_pairs with the max_bucket_size skew cap ENGAGED on
+    the hash path: cap=32 is ≥2× the measured worst bucket (13 at sf0.1,
+    4 at sf0.01/0.001 for this K=16/8-band geometry — census in the r8
+    SCALE.md notes), so on these corpora the capped answer must equal the
+    exact full-scan ground truth bit-for-bit.  A green row certifies the
+    guard's window-count + filter machinery is a no-op below the cap —
+    i.e. engaging the 100 TB skew protection does not disturb answers on
+    healthy data.  EXCLUSION semantics (mega-bucket cliques dropped, small
+    buckets untouched, admission memo isolation) are deliberately not
+    oracle-checked — they depend on Spark-side band hashes and are pinned
+    by planted-clique pytest cases in tests/test_dedup_similarity.py,
+    alongside the bucket-census margin assertion that fails loudly if
+    regenerated testdata ever grows a bucket past cap/2."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_near_dup_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.5, max_bucket_size=32
+    )
+    return cand.select("id_a", "id_b")
+
+
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup tier: MinHash-LSH proposes candidate pairs
     (~linear), exact n-gram Jaccard re-scores ONLY those pairs — the
@@ -5369,6 +5390,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact_normalized": (dedup_exact_normalized, _DEDUP_EXACT_NORM_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, _DEDUP_NGRAM_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs, _DEDUP_MINHASH_SQL),
+    # same exact-ground-truth oracle: with cap >= 2x the measured worst
+    # bucket, the capped path must reproduce the uncapped answer set
+    "dedup_minhash_capped": (dedup_minhash_capped, _DEDUP_MINHASH_SQL),
     "dedup_minhash_verified": (dedup_minhash_verified, _DEDUP_NGRAM_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _DEDUP_NGRAM_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),

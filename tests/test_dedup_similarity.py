@@ -242,6 +242,71 @@ def test_minhash_max_bucket_size_caps_boilerplate_clique(spark):
         dedup.minhash_near_dup_pairs(docs, max_bucket_size=1)
 
 
+def test_minhash_bucket_census_margin(spark):
+    """Pin the dedup_minhash_capped geometry: its cap (32) must stay >= 2x
+    the worst band-bucket population on the test corpus, so the registry
+    row keeps certifying 'cap engaged, answer undisturbed'.  If testdata
+    regeneration ever grows a boilerplate bucket past cap/2, this fails
+    loudly and the cap gets re-measured (registry conventions: measured
+    margins, never guessed)."""
+    from bulkfhirloader_spark.operators.dedup import (
+        band_hash_array,
+        cached_minhash_signatures,
+    )
+    from bulkfhirloader_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = cached_minhash_signatures(docs, "doc_id", "text", 16, 3)
+    banded = sigs.select(
+        F.posexplode(band_hash_array(F.col("minhash"), 8, 16)).alias(
+            "band_idx", "band_hash"
+        )
+    )
+    worst = (
+        banded.groupBy("band_idx", "band_hash").count().agg(F.max("count")).collect()
+    )[0][0]
+    assert worst <= 16, (
+        f"worst band bucket {worst} exceeds cap/2=16 — re-measure the "
+        "dedup_minhash_capped cap (13 at sf0.1 when pinned)"
+    )
+
+
+def test_incremental_admission_bucket_cap_memo_isolated(spark):
+    """max_bucket_size on the admission path: capped mega-buckets stop
+    proposing pairs (boilerplate batch docs pass through — the documented
+    recall trade), ordinary near-dups are still rejected, and the two
+    geometries never share a memoized decision (cap is part of the key)."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    boiler = "identical boilerplate navigation header body footer block repeated"
+    existing = mk(
+        [(i, f"{boiler} tail {'x' if i % 2 else 'y'}") for i in range(20)]
+        + [(50, "an ordinary existing page about riparian woodland ecology here")]
+    )
+    new_batch = mk(
+        [(100 + i, f"{boiler} tail {'x' if i % 2 else 'y'}") for i in range(5)]
+        + [(200, "an ordinary existing page about riparian woodland ecology too")]
+    )
+    dedup._ADMIT_MEMO.clear()
+    uncapped = {
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
+    }
+    capped = {
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            existing, new_batch, max_bucket_size=8
+        ).collect()
+    }
+    # uncapped: every boilerplate newcomer collides with the existing
+    # cluster and is rejected; 200 is rejected as a near-dup of 50
+    assert uncapped == set()
+    # capped: the >8-member boilerplate buckets are excluded, so those
+    # docs are never proposed and pass through; the 2-member buckets of
+    # the ordinary near-dup still reject 200
+    assert capped == {100, 101, 102, 103, 104}
+
+
 def test_connected_components_null_node_both_tiers(spark):
     """A NULL edge endpoint is an isolated node labeled NULL on BOTH tiers
     (equi-joins never match NULL in the distributed loop; the union-find
