@@ -526,6 +526,44 @@ def classify_nearest_centroid(
     )
 
 
+def _batch_topk_rows(ids, qids, scores_qb, k: int):
+    """Per-batch partial top-k per query for Arrow scoring tiers: top-k is
+    a monoid, so emitting each batch's k best per query (instead of every
+    scored pair) leaves the final window's answer bit-identical while
+    cutting Python→JVM rows from n_batch×n_queries to n_queries×k.
+    Self-pairs (id == query id) are masked so they can't consume a slot,
+    and in-batch ties are broken by the exact (score desc, id asc) rule
+    the final window uses — including ALL ties at the k-th score before
+    ordering, so the deterministic tiebreak never loses a candidate.
+
+    ``scores_qb`` is (n_queries, n_batch); returns (ids, qids, scores)
+    arrays or None if nothing qualifies."""
+    import numpy as np
+
+    sel_i, sel_q, sel_s = [], [], []
+    for qi, qid in enumerate(qids):
+        col = scores_qb[qi]
+        cand_idx = np.nonzero(ids != qid)[0]
+        if len(cand_idx) == 0:
+            continue
+        if len(cand_idx) > k:
+            vals = col[cand_idx]
+            kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+            cand_idx = cand_idx[vals >= kth]
+        order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+        chosen = cand_idx[order]
+        sel_i.append(ids[chosen])
+        sel_q.append(np.full(len(chosen), qid, dtype=np.int64))
+        sel_s.append(col[chosen])
+    if not sel_i:
+        return None
+    return (
+        np.concatenate(sel_i),
+        np.concatenate(sel_q),
+        np.concatenate(sel_s),
+    )
+
+
 def cosine_topk_pandas(
     queries: DataFrame,
     emb: DataFrame,
@@ -592,32 +630,11 @@ def cosine_topk_pandas(
             if len(ids) == 0:
                 continue
             S = (C @ b_Q.T) / cn[:, None]
-            sel_ids, sel_qids, sel_scores = [], [], []
-            for qi, qid in enumerate(b_qids):
-                col = S[:, qi]
-                keep = ids != qid  # self-pair must not consume a k slot
-                cand_idx = np.nonzero(keep)[0]
-                if len(cand_idx) == 0:
-                    continue
-                if len(cand_idx) > k:
-                    vals = col[cand_idx]
-                    # k-th largest score, ALL ties included so the exact
-                    # (score desc, id asc) tiebreak below stays faithful
-                    kth = np.partition(vals, len(vals) - k)[len(vals) - k]
-                    cand_idx = cand_idx[vals >= kth]
-                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
-                chosen = cand_idx[order]
-                sel_ids.append(ids[chosen])
-                sel_qids.append(np.full(len(chosen), qid, dtype=np.int64))
-                sel_scores.append(col[chosen])
-            if not sel_ids:
+            picked = _batch_topk_rows(ids, b_qids, S.T, k)
+            if picked is None:
                 continue
             yield pd.DataFrame(
-                {
-                    id_col: np.concatenate(sel_ids),
-                    query_id_col: np.concatenate(sel_qids),
-                    "score": np.concatenate(sel_scores),
-                }
+                {id_col: picked[0], query_id_col: picked[1], "score": picked[2]}
             )
 
     scored = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
@@ -943,18 +960,19 @@ def cosine_topk_pq(
             for i in range(m):
                 S += b_lut[:, i, :][:, codes[:, i]]
             ids = pdf[cand_id].to_numpy()
+            # map-side partial cut at n_candidates (same monoid argument
+            # as cosine_topk_pandas — the _arank window's answer over
+            # batch winners is identical, and self-pairs are masked here
+            # instead of by a post-hoc filter)
+            picked = _batch_topk_rows(ids, b_qids, S, n_candidates)
+            if picked is None:
+                continue
             yield pd.DataFrame(
-                {
-                    cand_id: np.repeat(ids, nq),
-                    query_id: np.tile(b_qids, nb),
-                    "_approx": S.T.ravel(),
-                }
+                {cand_id: picked[0], query_id: picked[1], "_approx": picked[2]}
             )
 
-    scanned = (
-        candidates.select(cand_id, cand_vec)
-        .mapInPandas(scan, schema=out_schema)
-        .where(F.col(query_id) != F.col(cand_id))
+    scanned = candidates.select(cand_id, cand_vec).mapInPandas(
+        scan, schema=out_schema
     )
     wa = Window.partitionBy(query_id).orderBy(F.desc("_approx"), F.col(cand_id))
     proposed = (
