@@ -297,6 +297,23 @@ def band_hash_array(minhash_col, bands: int, num_hashes: int):
     )
 
 
+def _cap_band_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """The shared max_bucket_size contract for LSH band joins: EXCLUDE band
+    rows whose (band_idx, band_hash) bucket exceeds the cap.  The window
+    count shares the downstream join's partitioning keys, so the guard
+    adds no extra Exchange (plan-checked).  Used by both the one-shot and
+    incremental operators — one definition so their semantics cannot
+    silently diverge."""
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -352,14 +369,7 @@ def minhash_near_dup_pairs(
         ),
     )
     if max_bucket_size is not None:
-        if max_bucket_size < 2:
-            raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
-        w = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+        banded = _cap_band_buckets(banded, max_bucket_size)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -1127,15 +1137,8 @@ def incremental_near_dup_filter(
         # NOT proposed, so pathological boilerplate must be handled
         # upstream by exact_dedup (identical bodies) — the cap trades
         # recall on mega-template clusters for a bounded join, the same
-        # contract as the one-shot operator.
-        if max_bucket_size < 2:
-            raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
-        _w = Window.partitionBy("band_idx", "band_hash")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(_w))
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+        # contract as the one-shot operator (_cap_band_buckets).
+        banded = _cap_band_buckets(banded, max_bucket_size)
     new_ids = new_batch.select(F.col(id_col)).distinct()
     banded_new = banded.join(new_ids, id_col, "left_semi")
     # (old u new) x new collisions; normalize so pairs are undirected

@@ -48,11 +48,11 @@ class FileDocStoreDataSource(DataSource):
         return "filedocstore"
 
     def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
-        return FileDocStoreWriter(dict(self.options), schema)
+        return FileDocStoreWriter(dict(self.options), schema, overwrite)
 
 
 class FileDocStoreWriter(DataSourceWriter):
-    def __init__(self, options: dict, schema: StructType) -> None:
+    def __init__(self, options: dict, schema: StructType, overwrite: bool = False) -> None:
         # Validate the connector option surface EAGERLY on the driver —
         # a missing/renamed option should fail the save, not no-op (the
         # silent-no-op failure mode is why jdbc_write_options exists).
@@ -75,6 +75,13 @@ class FileDocStoreWriter(DataSourceWriter):
         # part to a local root directory
         self.root = self.uri.removeprefix("docstore://")
         self.columns = list(schema.fieldNames())
+        self.overwrite = overwrite
+        # Per-SAVE staging id, minted once on the driver and shipped to
+        # every task via the pickled writer: concurrent saves to the same
+        # collection each stage under their own directory, so one save's
+        # commit/abort cleanup can never delete another save's staged
+        # files (the r8 review's concurrent-append clobber).
+        self.save_id = uuid.uuid4().hex
 
     def _dir(self) -> str:
         return os.path.join(self.root, self.database, self.collection)
@@ -85,8 +92,8 @@ class FileDocStoreWriter(DataSourceWriter):
         # real sink's task-retry story: a retried or speculative attempt's
         # files must never be observable — commit() moves exactly the
         # files named by the SUCCESSFUL attempts' messages and discards
-        # the rest of staging wholesale.
-        return os.path.join(self._dir(), "_staging")
+        # the rest of this save's staging wholesale.
+        return os.path.join(self._dir(), f"_staging-{self.save_id}")
 
     def write(self, iterator) -> _BatchCommit:
         """Executor-side: buffer rows, flush every maxBatchSize documents
@@ -118,11 +125,20 @@ class FileDocStoreWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         """Driver-side: publish the successful attempts' staged files into
         the collection directory (failed/speculative attempts' orphans die
-        with the staging dir), then merge this save into the cumulative
-        manifest — an append save must extend the history, not erase it."""
+        with this save's staging dir), then merge this save into the
+        cumulative manifest — an append save must extend the history, not
+        erase it, while an OVERWRITE save replaces both documents and
+        history (the connector's collection-replace analog)."""
         import shutil
 
         os.makedirs(self._dir(), exist_ok=True)
+        if self.overwrite:
+            for name in os.listdir(self._dir()):
+                if name.endswith(".jsonl") or name == "_manifest.json":
+                    try:
+                        os.remove(os.path.join(self._dir(), name))
+                    except OSError:  # pragma: no cover - concurrent cleanup
+                        pass
         all_sizes = [s for m in messages if m for s in m.batch_sizes]
         n_files = 0
         for m in messages:

@@ -491,6 +491,41 @@ def test_mongo_routed_write_end_to_end_via_docstore_stub(spark, tmp_path):
         assert m2["n_docs"] > manifests[coll]["n_docs"]
         assert m2["n_docs"] == sum(m2["batch_sizes"])
 
+    # mode("overwrite") replaces documents AND manifest history (the r8
+    # review: it used to silently append with a merged multi-save manifest)
+    (
+        entries.where("resource_id = 'id2'").drop("collection")
+        .write.format("filedocstore")
+        .options(**{
+            "connection.uri": f"docstore://{root}", "database": "fhir",
+            "collection": "patients", "ordered": "false", "maxBatchSize": "512",
+        })
+        .mode("overwrite")
+        .save()
+    )
+    d = f"{root}/fhir/patients"
+    m3 = _json.load(open(f"{d}/_manifest.json"))
+    assert m3["n_saves"] == 1 and m3["n_docs"] == 1
+    over_docs = [
+        _json.loads(line)
+        for f in sorted(os.listdir(d)) if f.endswith(".jsonl")
+        for line in open(f"{d}/{f}")
+    ]
+    assert [r["resource_id"] for r in over_docs] == ["id2"]
+
+    # concurrent saves stage under per-save directories: a second writer's
+    # staged files survive another writer's commit-time cleanup
+    from bulkfhirloader_spark.sinks.docstore_stub import FileDocStoreWriter
+    from pyspark.sql.types import StructType as _St
+
+    opts = {
+        "connection.uri": f"docstore://{root}", "database": "fhir",
+        "collection": "patients", "ordered": "false", "maxBatchSize": "512",
+    }
+    w1 = FileDocStoreWriter(dict(opts), _St([]))
+    w2 = FileDocStoreWriter(dict(opts), _St([]))
+    assert w1._staging() != w2._staging()
+
     # a save missing a required option must FAIL, not no-op
     import pytest as _pytest
 
