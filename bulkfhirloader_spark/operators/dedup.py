@@ -297,16 +297,20 @@ def band_hash_array(minhash_col, bands: int, num_hashes: int):
     )
 
 
-def _cap_band_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
-    """The shared max_bucket_size contract for LSH band joins: EXCLUDE band
-    rows whose (band_idx, band_hash) bucket exceeds the cap.  The window
-    count shares the downstream join's partitioning keys, so the guard
-    adds no extra Exchange (plan-checked).  Used by both the one-shot and
-    incremental operators — one definition so their semantics cannot
-    silently diverge."""
+def _cap_band_buckets(
+    banded: DataFrame,
+    max_bucket_size: int,
+    keys: tuple = ("band_idx", "band_hash"),
+) -> DataFrame:
+    """The shared max_bucket_size contract for LSH bucket joins: EXCLUDE
+    rows whose bucket (``keys`` group) exceeds the cap.  The window count
+    shares the downstream join's partitioning keys, so the guard adds no
+    extra Exchange (plan-checked).  Used by the one-shot and incremental
+    MinHash operators and the embedding hyperplane tier — one definition
+    so their semantics cannot silently diverge."""
     if max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
-    w = Window.partitionBy("band_idx", "band_hash")
+    w = Window.partitionBy(*keys)
     return (
         banded.withColumn("_bn", F.count(F.lit(1)).over(w))
         .filter(F.col("_bn") <= max_bucket_size)
@@ -796,6 +800,7 @@ def embedding_cosine_pairs(
     n_tables: int = 1,
     dim: int = 64,
     allow_full_scan: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
     cosine similarity ≥ ``threshold``.
@@ -814,6 +819,14 @@ def embedding_cosine_pairs(
       corpus.  The bucket join carries (id, table, bucket) only — vectors
       are re-attached by narrow id joins, so the shuffle never drags
       embedding payloads through the candidate fan-out.
+
+    ``max_bucket_size`` (LSH tier only): same skew contract as the
+    MinHash band joins (_cap_band_buckets) — a cluster of m
+    near-identical embeddings shares its (table, bucket) cells and emits
+    a C(m,2) clique; the cap excludes oversized buckets' members from
+    the join, trading recall on mega-clusters for a bounded output.
+    Ignored by the exact tier (which is already an explicit O(n²)
+    opt-in).
     """
     from bulkfhirloader_spark.operators.similarity import (
         cosine_with_norms,
@@ -850,6 +863,8 @@ def embedding_cosine_pairs(
         F.col(id_col),
         F.posexplode(_table_buckets(F.col(vec_col), tables)).alias("tbl", "bucket"),
     )
+    if max_bucket_size is not None:
+        b = _cap_band_buckets(b, max_bucket_size, keys=("tbl", "bucket"))
     probes = F.explode(
         F.array(
             F.col("bucket"),

@@ -242,6 +242,36 @@ def test_minhash_max_bucket_size_caps_boilerplate_clique(spark):
         dedup.minhash_near_dup_pairs(docs, max_bucket_size=1)
 
 
+def test_embedding_lsh_bucket_cap(spark):
+    """max_bucket_size on the hyperplane tier: a 30-vector near-identical
+    cluster (one bucket per table) emits no pairs under a cap of 10, while
+    an ordinary planted near-dup pair still surfaces."""
+    import random
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [
+        (i, [v * (1 + 0.001 * (i % 7)) for v in base]) for i in range(30)
+    ]  # same direction -> same bucket cells
+    other = [rng.gauss(0, 1) for _ in range(16)]
+    rows += [(100, other), (101, [v * 1.01 for v in other])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, threshold=0.95, n_planes=8, dim=16
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, threshold=0.95, n_planes=8, dim=16, max_bucket_size=10
+        ).collect()
+    }
+    assert len(uncapped) > 100 and (100, 101) in uncapped
+    assert capped == {(100, 101)}
+
+
 def test_minhash_bucket_census_margin(spark):
     """Pin the dedup_minhash_capped geometry: its cap (32) must stay >= 2x
     the worst band-bucket population on the test corpus, so the registry
