@@ -312,7 +312,10 @@ def stratified_sample(
 
 
 def incremental_merge(
-    base: DataFrame, updates: DataFrame, id_col: str = "doc_id"
+    base: DataFrame,
+    updates: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_updates: bool = True,
 ) -> DataFrame:
     """Upsert an incremental batch into a corpus snapshot: batch rows REPLACE
     base rows with the same id, unmatched batch rows append.  The reference
@@ -320,15 +323,18 @@ def incremental_merge(
     at 100 TB a re-crawl delta must merge, not reload.
 
     MERGE INTO without a table format: anti-join the base against the batch's
-    ids, union the batch back.  The batch (a delta — small relative to the
-    corpus) is BROADCAST, so the anti-join is map-side and the corpus never
-    shuffles; output partitioning is the corpus's own.  With a Delta/Iceberg
-    sink the same plan runs as ``MERGE INTO``; this operator is the engine-
-    neutral core.
+    ids, union the batch back.  The batch's id column is BROADCAST by
+    default (a delta — small relative to the corpus), so the anti-join is
+    map-side and the corpus never shuffles; a backfill-sized delta whose
+    id set outgrows broadcast headroom passes ``broadcast_updates=False``
+    and takes the shuffle anti join (AQE re-promotes when small).  With a
+    Delta/Iceberg sink the same plan runs as ``MERGE INTO``; this operator
+    is the engine-neutral core.
     """
-    survivors = base.join(
-        F.broadcast(updates.select(id_col)), on=id_col, how="left_anti"
-    )
+    upd_ids = updates.select(id_col)
+    if broadcast_updates:
+        upd_ids = F.broadcast(upd_ids)
+    survivors = base.join(upd_ids, on=id_col, how="left_anti")
     return survivors.unionByName(updates)
 
 

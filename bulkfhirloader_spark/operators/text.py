@@ -521,6 +521,7 @@ def repeated_block_dedup(
     max_block_df: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Corpus-level repeated-span removal — the "dedupe repeated lines
     across the corpus" pass of a crawl-cleaning pipeline (boilerplate
@@ -539,10 +540,16 @@ def repeated_block_dedup(
     Scale shape: blocks explode map-side (posexplode of list_slice, same
     zero-shuffle shape as curation.chunk_documents), block df is ONE
     hash-keyed count agg (partial agg absorbs the zipfian head: the
-    per-partition combine emits each (block, doc) once), the hot-block set
-    is the JOIN'S BROADCAST SIDE by construction (blocks with df > T are
-    the skewed few), and reassembly is one groupBy(doc) with an
-    order-restoring array_sort — never a window.
+    per-partition combine emits each (block, doc) once), and reassembly
+    is one groupBy(doc) with an order-restoring array_sort — never a
+    window.  The hot-block set is broadcast BY DEFAULT — right for a
+    corpus whose boilerplate comes from a bounded set of sources — but
+    its cardinality grows with the number of DISTINCT repeated blocks
+    (every site's nav chrome is its own hot block), not with df: at
+    crawl scale millions of hot strings would strain the broadcast, so
+    pass ``broadcast_hot=False`` there and let the anti join shuffle
+    (AQE re-promotes it to broadcast when the measured size allows) —
+    the same escape hatch as ngram_jaccard_pairs' broadcast_candidates.
     """
     toks = docs.select(
         F.col(id_col),
@@ -570,7 +577,9 @@ def repeated_block_dedup(
         .filter(F.col("_bdf") > max_block_df)
         .select("block")
     )
-    kept = blocks.join(F.broadcast(hot), "block", "left_anti")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = blocks.join(hot, "block", "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
