@@ -13,7 +13,8 @@ The stdout line is kept compact (the driver's tail capture is ~2000
 chars; r7's all-inclusive line outgrew it and the round lost its parsed
 perf number).  Full diagnostics — warm medians, net-of-floor timings,
 ingest breakdown, loadavg/quiesce readings, per-query errors — are
-written to BENCH_DETAIL_r{N}.json at the repo root and committed.
+written to BENCH_DETAIL.json at the repo root and committed (the round
+is recorded inside the JSON, not in the filename).
 """
 
 from __future__ import annotations
@@ -50,6 +51,12 @@ HEADLINE = [
     # the round's flagship operator, tracked so its 4-phase plan has a
     # round-over-round perf signal.
     "dedup_incremental_admission",
+    # r9 additions (verdict ask #8): the two r8 scale mechanisms, tracked
+    # round-over-round by the official artifact — the stored-IVF probe
+    # (prebuilt index; measures partition-pruned probe cost only) and the
+    # skew-capped MinHash band join (cap engaged at its registry params).
+    "sim_topk_ivf_stored",
+    "dedup_minhash_capped",
 ]
 
 
@@ -113,6 +120,16 @@ def main() -> None:
             load_table(spark, sf_dir, name).limit(1).collect()
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[f"warmup:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+    # Prebuild the stored-IVF index during warmup so the timed
+    # sim_topk_ivf_stored row measures the probe (pruned read + in-list
+    # scoring), not the one-time quantizer build — the headline tracks the
+    # query-many half of the train-once/query-many contract.
+    try:
+        from bulkfhirloader_spark.queries.registry import prebuild_ivf_index
+
+        prebuild_ivf_index(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        errors["warmup:ivf_index"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Measured empty-job floor: plan + schedule + collect round-trip with no
     # data.  At toy scale every query pays roughly this constant regardless
@@ -159,12 +176,15 @@ def main() -> None:
     # The driver captures only the LAST ~2000 chars of stdout; in r7 the
     # single all-inclusive JSON line outgrew that and the round lost its
     # parsed perf number ("parsed": null).  So: per-query warm/net/floor/
-    # ingest/load diagnostics go to a committed BENCH_DETAIL_r{N}.json
-    # file, and stdout ends with ONE compact line (summary scalars + the
-    # per-query cold map the driver's documented format asks for) that
-    # stays far under the capture limit.
+    # ingest/load diagnostics go to a committed BENCH_DETAIL.json file
+    # (fixed name — the round lives INSIDE the JSON, avoiding the r8
+    # off-by-one where the detail file was numbered one round ahead of
+    # the official BENCH_r{N}.json), and stdout ends with ONE compact
+    # line (summary scalars + the per-query cold map the driver's
+    # documented format asks for) that stays far under the capture limit.
     detail = {
         "metric": "headline_total",
+        "round_at_run": _latest_artifact_round(),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -217,16 +237,34 @@ def main() -> None:
     }
     line = json.dumps(compact)
     if len(line) > 1800:  # paranoid: never outgrow the capture again
-        compact.pop("queries")
+        # Don't silently drop the per-query map (the r7 failure mode in
+        # miniature): replace it with a loud pointer at the detail file,
+        # which always carries the full map, and print a stderr marker.
+        compact["queries"] = f"TRUNCATED:see {compact.get('detail')}"
         line = json.dumps(compact)
+        print("bench: compact line exceeded 1800 chars; per-query map "
+              "redirected to the detail file", file=sys.stderr)
     print(line)
 
 
 def _detail_path() -> str:
-    """Repo-root path BENCH_DETAIL_r{N}.json, N = 1 + the highest round
-    number among committed BENCH_r*/CORRECTNESS_r* artifacts (the bench for
-    round N runs while round N-1's artifacts are the newest on disk).
-    Re-runs within a round overwrite the same file."""
+    """Repo-root path of the committed per-run detail file.  Fixed name
+    BENCH_DETAIL.json: the round is recorded INSIDE the JSON
+    ("round_at_run" = highest committed CORRECTNESS/BENCH round at run
+    time), never in the filename — naming by round was off by one in r8
+    (the driver runs bench after committing CORRECTNESS_r{N}, so a
+    "+1"-named detail file pointed one round ahead of the official
+    BENCH_r{N}.json it belonged to).  Re-runs overwrite."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, "BENCH_DETAIL.json")
+
+
+def _latest_artifact_round() -> int:
+    """Highest round number among committed BENCH_r*/CORRECTNESS_r*
+    artifacts at run time — recorded inside the detail JSON so a reader
+    can tie a detail run to the driver round without filename games (the
+    driver's own BENCH_r{N} for the CURRENT round is committed after the
+    run, so this equals N-1 during an official end-of-round run)."""
     import glob
     import re
 
@@ -237,7 +275,7 @@ def _detail_path() -> str:
             m = re.search(r"_r(\d+)\.json$", p)
             if m:
                 rounds.append(int(m.group(1)))
-    return os.path.join(root, f"BENCH_DETAIL_r{max(rounds) + 1:02d}.json")
+    return max(rounds)
 
 
 def bench_ingest(spark, sf: float) -> dict:

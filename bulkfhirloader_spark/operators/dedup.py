@@ -303,11 +303,19 @@ def _cap_band_buckets(
     keys: tuple = ("band_idx", "band_hash"),
 ) -> DataFrame:
     """The shared max_bucket_size contract for LSH bucket joins: EXCLUDE
-    rows whose bucket (``keys`` group) exceeds the cap.  The window count
-    shares the downstream join's partitioning keys, so the guard adds no
-    extra Exchange (plan-checked).  Used by the one-shot and incremental
-    MinHash operators and the embedding hyperplane tier — one definition
-    so their semantics cannot silently diverge."""
+    rows whose bucket (``keys`` group) exceeds the cap.
+
+    Exchange accounting (scoped claim — r8 advisor): in the MinHash
+    operators (one-shot and incremental) the window keys equal the band
+    join's keys (band_idx, band_hash), so the guard's count rides the
+    shuffle that was already happening — no extra Exchange, plan-checked.
+    In the embedding hyperplane tier the downstream join is on
+    (tbl, probe) AFTER the multi-probe explode, so the window's
+    (tbl, bucket) Exchange is NOT the join's left-side partitioning: that
+    tier pays one extra Exchange over narrow (id, tbl, bucket) rows, and
+    the two join sides share the windowed subplan via ReuseExchange
+    (documented at the call site).  One definition for all three callers
+    so the cap's semantics cannot silently diverge."""
     if max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
     w = Window.partitionBy(*keys)
@@ -864,6 +872,12 @@ def embedding_cosine_pairs(
         F.posexplode(_table_buckets(F.col(vec_col), tables)).alias("tbl", "bucket"),
     )
     if max_bucket_size is not None:
+        # Unlike the MinHash band join, the join below is on (tbl, probe)
+        # post-explode, so this window's (tbl, bucket) Exchange is an
+        # EXTRA shuffle for the left side (narrow 3-long rows; the right
+        # side joins on probe=bucket so the partitioning is reusable
+        # there) and both sides dedupe the windowed subplan through
+        # ReuseExchange — see _cap_band_buckets's scoped claim.
         b = _cap_band_buckets(b, max_bucket_size, keys=("tbl", "bucket"))
     probes = F.explode(
         F.array(

@@ -536,14 +536,30 @@ def _batch_topk_rows(ids, qids, scores_qb, k: int):
     the final window uses — including ALL ties at the k-th score before
     ordering, so the deterministic tiebreak never loses a candidate.
 
+    NULL-id and non-finite parity with the replaced SQL filter: Arrow
+    hands a nullable int id column to pandas as float64 with NaN, and
+    ``NaN != qid`` is True — so without an explicit finiteness mask a
+    NULL-id corpus row would pass the self-pair mask here even though the
+    old ``F.col(id) != F.col(query_id)`` predicate dropped it
+    (NULL-comparison semantics).  A NaN score is worse: NaN sorts last
+    under np.partition, so a single NaN candidate can make the k-th
+    threshold NaN and ``vals >= NaN`` all-False — silently dropping every
+    candidate for that query in the batch.  Both are excluded up front.
+
     ``scores_qb`` is (n_queries, n_batch); returns (ids, qids, scores)
     arrays or None if nothing qualifies."""
     import numpy as np
 
+    # one batch-wide validity mask: finite ids (NaN = NULL after Arrow)
+    ids_ok = (
+        np.isfinite(ids)
+        if np.issubdtype(ids.dtype, np.floating)
+        else np.ones(len(ids), dtype=bool)
+    )
     sel_i, sel_q, sel_s = [], [], []
     for qi, qid in enumerate(qids):
         col = scores_qb[qi]
-        cand_idx = np.nonzero(ids != qid)[0]
+        cand_idx = np.nonzero(ids_ok & np.isfinite(col) & (ids != qid))[0]
         if len(cand_idx) == 0:
             continue
         if len(cand_idx) > k:
@@ -552,7 +568,9 @@ def _batch_topk_rows(ids, qids, scores_qb, k: int):
             cand_idx = cand_idx[vals >= kth]
         order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
         chosen = cand_idx[order]
-        sel_i.append(ids[chosen])
+        # surviving ids are finite by the mask above; emit int64 even when
+        # Arrow delivered a NaN-carrying (hence float64) id column
+        sel_i.append(ids[chosen].astype(np.int64))
         sel_q.append(np.full(len(chosen), qid, dtype=np.int64))
         sel_s.append(col[chosen])
     if not sel_i:

@@ -613,20 +613,22 @@ def vocab_coverage(
     tokenizer bug, and will fragment into long byte-level sequences).
 
     Scale shape: the vocabulary is ONE term-count aggregate cut to the
-    top-N (rank by count desc with a term tiebreak — deterministic), and
-    it is the BROADCAST side of the probe by construction (N ≪ corpus);
-    per-doc counting is a map-side explode → broadcast left-anti probe →
-    doc-keyed count, so document text never shuffles.  The OOV rate is a
-    single IEEE division of exact counts (NULL for token-free docs, never
-    a divide-by-zero throw under ANSI)."""
-    from pyspark.sql import Window
-
+    top-N via ``orderBy(...).limit(N)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition top-N heaps + a driver-side merge
+    of N·n_partitions rows), NOT a single-partition sort, so it stays
+    bounded even though a web-scale corpus's distinct-term table is
+    zipfian-unbounded (typos/numbers/URLs).  The count-desc + term-asc
+    ordering matches the old row_number rank tiebreak exactly, so the cut
+    is deterministic and identical.  The vocabulary is the BROADCAST side
+    of the probe by construction (N ≪ corpus); per-doc counting is a
+    map-side explode → broadcast left-anti probe → doc-keyed count, so
+    document text never shuffles.  The OOV rate is a single IEEE division
+    of exact counts (NULL for token-free docs, never a divide-by-zero
+    throw under ANSI)."""
     tc = term_counts(docs, text_col=text_col)
-    w = Window.orderBy(F.desc("term_count"), F.col("term").asc())
-    # the rank window is over the (tiny) distinct-term table, not the corpus
     vocab = (
-        tc.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= vocab_size)
+        tc.orderBy(F.desc("term_count"), F.col("term").asc())
+        .limit(vocab_size)
         .select("term")
     )
     toks = docs.select(

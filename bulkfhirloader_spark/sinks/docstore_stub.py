@@ -160,15 +160,35 @@ class FileDocStoreWriter(DataSourceWriter):
             "n_docs": sum(all_sizes),
             "n_saves": 1,
         }
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                prior = json.load(fh)
-            manifest["n_files"] += prior.get("n_files", 0)
-            manifest["batch_sizes"] = prior.get("batch_sizes", []) + all_sizes
-            manifest["n_docs"] += prior.get("n_docs", 0)
-            manifest["n_saves"] += prior.get("n_saves", 1)
-        with open(manifest_path, "w") as fh:
-            json.dump(manifest, fh, indent=1)
+        # Merge under a per-collection lock file, and publish atomically
+        # via temp-file + os.replace: two concurrent saves to the same
+        # collection each do read-modify-write here, and an unlocked
+        # interleave would lose one save's history (the staging-dir
+        # clobber was fixed in r8; this closes the manifest race).  Lock
+        # scope is driver-side commit only — data files were already
+        # os.replace'd in (atomic, unique names), so the lock serializes
+        # nothing but the tiny manifest merge.  flock is advisory and
+        # single-host, which matches the stub's sandbox contract; the
+        # real connector's server owns this merge transactionally.
+        lock_path = os.path.join(self._dir(), "_manifest.lock")
+        with open(lock_path, "a") as lock_fh:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            except (ImportError, OSError):  # pragma: no cover - non-POSIX
+                pass
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    prior = json.load(fh)
+                manifest["n_files"] += prior.get("n_files", 0)
+                manifest["batch_sizes"] = prior.get("batch_sizes", []) + all_sizes
+                manifest["n_docs"] += prior.get("n_docs", 0)
+                manifest["n_saves"] += prior.get("n_saves", 1)
+            tmp_path = manifest_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp_path, "w") as fh:
+                json.dump(manifest, fh, indent=1)
+            os.replace(tmp_path, manifest_path)
 
     def abort(self, messages) -> None:  # pragma: no cover - best-effort
         import shutil
