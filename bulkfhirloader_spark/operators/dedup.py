@@ -1063,6 +1063,105 @@ def survivors_by_score(
     )
 
 
+def signature_store_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    mode: str = "append",
+) -> None:
+    """Persist MinHash signatures for ``docs`` into the parquet signature
+    store at ``path`` — the deployment half of the incremental-admission
+    contract (the operator docstring's "stored signature table", the one
+    measured corpus-linear term of the self-contained form: SCALE.md's
+    fixed-batch table showed ~4.4× cost for a 10× corpus, all of it the
+    existing side's shingle+minhash recompute).
+
+    Layout (all Spark-written, so the store lives wherever the cluster's
+    storage does — object store included, no driver-local filesystem
+    assumptions):
+      <path>/meta.parquet — one row (num_hashes, shingle_words): the
+          geometry the signatures were computed under.  Band count is NOT
+          stored: banding is a pure projection over the signature array,
+          so readers may re-band stored signatures any way that divides
+          num_hashes.
+      <path>/sigs         — (id, minhash array<long>) rows, appended per
+          admitted batch (~K longs/doc; at K=16 that is ~128 B/doc —
+          a 10⁹-doc corpus's store is ~130 GB of longs, scanned as a
+          columnar projection instead of re-shingling the corpus text).
+
+    ``mode="append"`` extends an existing store after validating that its
+    geometry matches (admitting under one geometry and probing under
+    another would silently miss every collision); "overwrite" replaces
+    store + meta.  Id uniqueness across appended batches is the CALLER's
+    contract (ids name pair-graph nodes downstream), which the admission
+    flow provides by construction: each appended batch is the admitted
+    (hence id-distinct, never-readmitted) subset."""
+    spark = docs.sparkSession
+    meta_path = f"{path}/meta.parquet"
+    if mode == "append":
+        try:
+            have_meta = len(_read_store_meta(spark, meta_path)) > 0
+        except Exception:
+            have_meta = False
+        if have_meta:
+            _validate_store_geometry(spark, meta_path, num_hashes, shingle_words)
+        else:
+            spark.createDataFrame(
+                [(num_hashes, shingle_words)],
+                "num_hashes int, shingle_words int",
+            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    else:
+        spark.createDataFrame(
+            [(num_hashes, shingle_words)],
+            "num_hashes int, shingle_words int",
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    sigs = minhash_signatures(
+        docs.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_words,
+    )
+    sigs.write.mode(mode if mode != "append" else "append").parquet(f"{path}/sigs")
+
+
+def _read_store_meta(spark, meta_path: str) -> list:
+    return spark.read.parquet(meta_path).collect()
+
+
+def _validate_store_geometry(
+    spark, meta_path: str, num_hashes: int, shingle_words: int
+) -> None:
+    rows = _read_store_meta(spark, meta_path)
+    if len(rows) != 1:
+        raise ValueError(f"corrupt signature store meta at {meta_path}: {rows}")
+    m = rows[0]
+    if m["num_hashes"] != num_hashes or m["shingle_words"] != shingle_words:
+        raise ValueError(
+            f"signature store geometry mismatch: store has "
+            f"num_hashes={m['num_hashes']}, shingle_words={m['shingle_words']}; "
+            f"caller asked num_hashes={num_hashes}, shingle_words={shingle_words} "
+            f"— signatures under different geometries never collide, so this "
+            f"probe would silently admit every duplicate"
+        )
+
+
+def signature_store_read(
+    spark, path: str, num_hashes: int, shingle_words: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, minhash) rows of the store at ``path``, geometry-validated
+    against the caller's parameters (hard error on mismatch — see
+    signature_store_write)."""
+    _validate_store_geometry(spark, f"{path}/meta.parquet", num_hashes, shingle_words)
+    df = spark.read.parquet(f"{path}/sigs")
+    if id_col != "doc_id" and id_col not in df.columns and "doc_id" in df.columns:
+        df = df.withColumnRenamed("doc_id", id_col)
+    return df.select(F.col(id_col), F.col("minhash"))
+
+
 def incremental_near_dup_filter(
     existing: DataFrame,
     new_batch: DataFrame,
@@ -1074,6 +1173,7 @@ def incremental_near_dup_filter(
     threshold: float = 0.5,
     local_threshold: int = 100_000,
     max_bucket_size: int | None = None,
+    signature_store: str | None = None,
 ) -> DataFrame:
     """Incremental corpus admission — the production dedup flow: a new
     crawl batch arrives against an already-deduped corpus, and only new
@@ -1092,11 +1192,25 @@ def incremental_near_dup_filter(
     it incremental: the band join's RIGHT side is only the new batch's
     band rows, so join output is (old u new) x new collisions — never the
     existing corpus against itself.  Shuffle carries (id, band_hash) longs
-    only; signatures re-attach by id.  At 100 TB the existing side's
-    signatures/bands come from a stored signature table (one column family
-    of longs, appended per admitted batch) instead of being recomputed —
-    recomputation here keeps the operator self-contained; the banding cost
-    is a pure projection either way.  Ids must be unique ACROSS both
+    only; signatures re-attach by id.
+
+    STORED-SIGNATURE TIER (r9, the verdict's "Next round #3"): pass
+    ``signature_store=<path>`` (built/extended via signature_store_write)
+    and the EXISTING side's signatures are read from the store — an
+    append-only columnar scan of (id, K longs) — instead of re-shingling
+    the existing corpus's text, which SCALE.md's fixed-batch measurement
+    showed to be the operator's one corpus-linear term (~4.4× cost for a
+    10× corpus at constant batch size).  Only the new batch's signatures
+    are computed; the exact-verify tier still reads the TEXT of the few
+    candidate-pair docs from ``existing`` (a candidate-bounded lookup,
+    not a corpus projection — verification stays exact, never
+    estimate-from-signature).  Contract: the store's ids must be a subset
+    of ``existing``'s ids under the SAME geometry (geometry is validated
+    hard; a store id missing from ``existing`` cannot be exact-verified,
+    so its proposed pairs would silently fail verification and the
+    duplicate would be admitted).  Without the parameter the operator
+    stays self-contained and recomputes, byte-identical admitted set
+    (pytest-pinned at two scales).  Ids must be unique ACROSS both
     inputs (they name graph nodes), and NULL-id rows are never admitted
     on any tier (a NULL can't name a pair-graph node; the final semi
     join drops it by join semantics and the local tier filters it
@@ -1126,7 +1240,18 @@ def incremental_near_dup_filter(
     Returns the admitted subset of ``new_batch`` (same columns).
     """
     assert num_hashes % bands == 0
-    app_id = new_batch.sparkSession.sparkContext.applicationId
+    spark = new_batch.sparkSession
+    app_id = spark.sparkContext.applicationId
+    store_fp = None
+    if signature_store is not None:
+        # memo fingerprint for the store side: parquet appends add part
+        # files and never rewrite existing ones, so the sorted file
+        # listing (a cheap FS listing, no job) changes iff the store's
+        # contents changed — a grown store must not be served a stale
+        # admitted-set memo
+        store_fp = hash(
+            tuple(sorted(spark.read.parquet(f"{signature_store}/sigs").inputFiles()))
+        )
     memo_key = (
         app_id,
         existing.semanticHash(),
@@ -1141,6 +1266,8 @@ def incremental_near_dup_filter(
         # set: two calls differing only in max_bucket_size must not share
         # a memoized decision
         max_bucket_size,
+        signature_store,
+        store_fp,
     )
     with _MEMO_LOCK:
         cached = _memo_get(_ADMIT_MEMO, memo_key, [existing, new_batch])
@@ -1149,12 +1276,26 @@ def incremental_near_dup_filter(
     union_docs = existing.select(F.col(id_col), F.col(text_col)).unionByName(
         new_batch.select(F.col(id_col), F.col(text_col))
     )
-    # memoized persist: the banding reads sigs once, but warm re-runs of the
-    # same admission batch (and the stored-signature-table analogy at scale)
-    # reuse the one materialization
-    sigs = cached_minhash_signatures(
-        union_docs, id_col, text_col, num_hashes, shingle_words
-    )
+    if signature_store is not None:
+        # existing side = stored (id, minhash) columnar scan; only the new
+        # batch pays the shingle+minhash projection (see docstring)
+        store_sigs = signature_store_read(
+            spark, signature_store, num_hashes, shingle_words, id_col
+        )
+        new_sigs = cached_minhash_signatures(
+            new_batch.select(F.col(id_col), F.col(text_col)),
+            id_col,
+            text_col,
+            num_hashes,
+            shingle_words,
+        )
+        sigs = store_sigs.unionByName(new_sigs.select(F.col(id_col), "minhash"))
+    else:
+        # memoized persist: the banding reads sigs once, but warm re-runs
+        # of the same admission batch reuse the one materialization
+        sigs = cached_minhash_signatures(
+            union_docs, id_col, text_col, num_hashes, shingle_words
+        )
     band_hashes = F.posexplode(
         band_hash_array(F.col("minhash"), bands, num_hashes)
     ).alias("band_idx", "band_hash")

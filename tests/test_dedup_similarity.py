@@ -1119,3 +1119,115 @@ def test_simhash_production_geometry_pigeonhole_guarantee(spark):
     for pair, k in expected.items():
         assert got.get(pair) == k, (pair, k, got.get(pair))
     assert (far_a, far_b) not in got  # 4 flips across 4 bands: no band match
+
+
+# ---------------------------------------------------------------------------
+# Stored-signature admission tier (r9, verdict "Next round #3")
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_signature_store_admission_parity(spark, sf_dir, tmp_path):
+    """The store-probing tier must produce the SAME admitted set as the
+    self-contained operator, pinned at two scales (the r8 verdict's "done"
+    bar).  Even doc_ids play the existing corpus, odd the new batch; the
+    store is built from the existing side under the same geometry."""
+    from bulkfhirloader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "sigstore")
+    dedup.signature_store_write(existing, store, num_hashes=16, shingle_words=3)
+
+    plain = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
+    )
+    stored = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            existing, new_batch, signature_store=store
+        ).collect()
+    )
+    assert stored == plain and len(plain) > 0
+
+
+def test_signature_store_geometry_mismatch_raises(spark, tmp_path):
+    """Probing a store built under a different (num_hashes, shingle_words)
+    must hard-error — mismatched geometries never collide, so a silent
+    probe would admit every duplicate."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sigstore")
+    dedup.signature_store_write(docs, store, num_hashes=16, shingle_words=3)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        dedup.signature_store_read(spark, store, num_hashes=32, shingle_words=3)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        dedup.incremental_near_dup_filter(
+            docs, docs, num_hashes=32, bands=8, signature_store=store
+        )
+    # append under the wrong geometry must also refuse
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        dedup.signature_store_write(docs, store, num_hashes=16, shingle_words=5)
+
+
+def test_signature_store_append_extends_and_invalidates_memo(spark, tmp_path):
+    """The admission flow's deployment loop: admit batch 1, append its
+    signatures, then batch 2 must be screened against the GROWN store —
+    i.e. (a) append extends the stored rowset exactly like a rebuild over
+    the union, and (b) the admitted-set memo keyed on the store listing
+    must not serve the pre-append decision after the store grows."""
+    base = "the quick brown fox jumps over the lazy dog while rain falls on rooftops"
+    uniq = "unrelated content about catalyst shuffles codegen and arrow batches"
+    corpus0 = spark.createDataFrame(
+        [(1, base), (2, uniq)], "doc_id long, text string"
+    )
+    store = str(tmp_path / "sigstore")
+    dedup.signature_store_write(corpus0, store, num_hashes=16, shingle_words=3)
+
+    batch = spark.createDataFrame(
+        [(10, base + " slightly changed"), (11, "totally novel text about beam search")],
+        "doc_id long, text string",
+    )
+    got1 = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            corpus0, batch, signature_store=store
+        ).collect()
+    )
+    assert got1 == [11]  # 10 is a near-dup of stored doc 1
+
+    # admit a second corpus slice whose signature makes doc 11 a dup
+    corpus1 = spark.createDataFrame(
+        [(3, "totally novel text about beam search plus one token")],
+        "doc_id long, text string",
+    )
+    dedup.signature_store_write(corpus1, store, num_hashes=16, shingle_words=3)
+    # stored rowset == rebuild over the union (append really appended)
+    rebuilt = str(tmp_path / "rebuilt")
+    dedup.signature_store_write(
+        corpus0.unionByName(corpus1), rebuilt, num_hashes=16, shingle_words=3
+    )
+    a = sorted(
+        (r["doc_id"], tuple(r["minhash"]))
+        for r in dedup.signature_store_read(spark, store, 16, 3).collect()
+    )
+    b = sorted(
+        (r["doc_id"], tuple(r["minhash"]))
+        for r in dedup.signature_store_read(spark, rebuilt, 16, 3).collect()
+    )
+    assert a == b
+    # same (existing, batch) PLANS but a grown store: the memo must not
+    # serve got1 — doc 11 is now a dup of stored doc 3.  existing must
+    # cover the store's ids for exact verification, per the contract.
+    existing_all = corpus0.unionByName(corpus1)
+    got2 = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            existing_all, batch, signature_store=store
+        ).collect()
+    )
+    assert got2 == []
