@@ -9,7 +9,20 @@ each size.  Pair counts are known by construction, so the run doubles as a
 correctness check: minhash pairs must scale exactly 10x with corpus size
 (100 / 1,000 / 10,000) and the hot corpus must surface the full clique.
 
-Usage:  python scripts/scale_evidence.py
+Usage:  python scripts/scale_evidence.py               (full dedup sweep)
+        python scripts/scale_evidence.py fixed-batch   (admission tiers only)
+
+``fixed-batch`` re-measures the r8 finding that a CONSTANT 2.5k batch
+admitted against growing corpora pays a corpus-linear cost in the
+self-contained operator (the existing side's shingle+minhash recompute),
+and measures the r9 stored-signature tier against the same inputs: the
+existing side's signatures come from a parquet signature store (built
+once per corpus, timed separately — in deployment that build is the
+append of each previously-admitted batch, amortized), so the admission
+probe should be ~flat in corpus size.  The two tiers' admitted sets are
+asserted identical, so the measurement doubles as a parity check on
+corpora 200x larger than the pytest fixtures.
+
 Writes corpora under /tmp/scaledocs (regenerated each run) and prints one
 line per (corpus, operator) with wall seconds and output rows.  Single-box
 local[32] numbers: the signal is the growth RATE between sizes, not the
@@ -116,6 +129,100 @@ def measure() -> None:
     spark.stop()
 
 
+def generate_fixed_batch() -> None:
+    """A constant 2.5k-doc batch under the same text family as the corpora:
+    even j copies corpus doc (j*97 % 5000)'s token stream with one token
+    flipped (a near-dup of a doc present in EVERY corpus size, since the
+    corpora share seeds 0..4999), odd j is novel.  Ids start at 10M so they
+    never collide with corpus ids (the operator's uniqueness contract)."""
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          WITH base AS (
+            SELECT 10000000 + j AS doc_id,
+                   (j * 97) % 5000 AS seed,
+                   j % 2 = 0 AS is_dup
+            FROM range(2500) t(j)
+          )
+          SELECT doc_id, 'batch' AS source,
+                 array_to_string(
+                   list_transform(range(60),
+                     i -> CASE WHEN is_dup
+                          THEN 'w' || ((hash(seed * 131071 + i * 524287) +
+                                        CASE WHEN i = 5 THEN 7 ELSE 0 END) % 10000)
+                          ELSE 'n' || ((hash(doc_id * 131071 + i * 524287)) % 10000)
+                          END),
+                   ' ') AS text
+          FROM base
+        ) TO '{OUTDIR}/batch2500.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+
+def measure_fixed_batch() -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import dedup
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-evidence-fixed-batch")
+    tm = time.monotonic
+
+    def forced(df) -> tuple[int, int]:
+        """Force full evaluation of every column (a bare .count() lets
+        Catalyst prune the projection — see SCALE.md's text-family caveat)
+        and return (rows, combined hash) for cross-tier parity."""
+        # mask to 40 bits so the ANSI sum cannot overflow a long
+        h = F.xxhash64(F.struct(*df.columns)).bitwiseAND(F.lit((1 << 40) - 1))
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(h).alias("h")
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
+    batch = spark.read.parquet(f"{OUTDIR}/batch2500.parquet")
+    batch.count()
+    for _, name in CORPORA:
+        corpus = spark.read.parquet(f"{OUTDIR}/{name}.parquet")
+        corpus.count()  # warm the scan
+        store = f"/tmp/sigstore_{name}"
+        shutil.rmtree(store, ignore_errors=True)
+        t0 = tm()
+        dedup.signature_store_write(corpus, store, num_hashes=16, shingle_words=3)
+        t_build = tm() - t0
+        t0 = tm()
+        n_plain, h_plain = forced(
+            dedup.incremental_near_dup_filter(corpus, batch, local_threshold=0)
+        )
+        t_plain = tm() - t0
+        t0 = tm()
+        n_stored, h_stored = forced(
+            dedup.incremental_near_dup_filter(
+                corpus, batch, local_threshold=0, signature_store=store
+            )
+        )
+        t_stored = tm() - t0
+        assert (n_plain, h_plain) == (n_stored, h_stored), (
+            f"{name}: tier mismatch plain=({n_plain},{h_plain}) "
+            f"stored=({n_stored},{h_stored})"
+        )
+        print(
+            f"{name:6s} store_build={t_build:.1f}s  "
+            f"self_contained={t_plain:.1f}s  stored_probe={t_stored:.1f}s  "
+            f"admitted={n_plain} (parity OK)",
+            flush=True,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    generate()
-    measure()
+    if len(sys.argv) > 1 and sys.argv[1] == "fixed-batch":
+        generate()
+        generate_fixed_batch()
+        measure_fixed_batch()
+    else:
+        generate()
+        measure()
