@@ -698,6 +698,7 @@ def build_ivf_index(
     cand_id: str = "vec_id",
     cand_vec: str = "embedding",
     train_fraction: float = 1.0,
+    precomputed_centroids: list[list[float]] | None = None,
 ) -> None:
     """Persist an IVF index: train the KMeans coarse quantizer, assign the
     corpus, and write
@@ -720,31 +721,95 @@ def build_ivf_index(
     cosine_topk_ivf) — at index-build scale this is the norm: the
     quantizer needs ~hundreds of points per centroid, not the corpus.
     Assignment (and therefore the stored lists) still covers every row.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    ``precomputed_centroids`` skips KMeans entirely and assigns every row
+    to the euclidean-nearest of the GIVEN centroids (the frozen-quantizer
+    rebuild: re-laying out / compacting an index after many appends, or
+    building a fresh index that must stay probe-compatible with an
+    existing one — same centroids ⇒ same list boundaries ⇒ identical
+    probe results).  ``n_clusters``/``seed``/``train_fraction`` are
+    ignored in that mode.
+    """
+    spark = candidates.sparkSession
     cand_n = candidates.withColumn("_cn", l2_norm(F.col(cand_vec))).withColumn(
         "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
     )
-    with_feat = cand_n.withColumn("features", array_to_vector(F.col("_nv")))
-    train_set = _quantizer_train_set(with_feat, n_clusters, train_fraction, seed)
-    model = KMeans(k=n_clusters, seed=seed).fit(train_set)
-    assigned = (
-        model.transform(with_feat)
-        .withColumnRenamed("prediction", "_cluster")
-        .drop("features", "_nv")
-    )
-    spark = candidates.sparkSession
-    centers = [
-        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    if precomputed_centroids is not None:
+        centers_list = [[float(v) for v in c] for c in precomputed_centroids]
+        assigned = cand_n.withColumn(
+            "_cluster",
+            _probe_clusters(F.col("_nv"), centers_list, 1)[0],
+        ).drop("_nv")
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        with_feat = cand_n.withColumn("features", array_to_vector(F.col("_nv")))
+        train_set = _quantizer_train_set(with_feat, n_clusters, train_fraction, seed)
+        model = KMeans(k=n_clusters, seed=seed).fit(train_set)
+        assigned = (
+            model.transform(with_feat)
+            .withColumnRenamed("prediction", "_cluster")
+            .drop("features", "_nv")
+        )
+        centers_list = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = [(i, c) for i, c in enumerate(centers_list)]
     spark.createDataFrame(
         centers, "centroid_id int, center array<double>"
     ).coalesce(1).write.parquet(f"{path}/centroids.parquet")
     assigned.repartition(F.col("_cluster")).write.partitionBy("_cluster").parquet(
         f"{path}/lists.parquet"
     )
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+) -> None:
+    """Append vectors to a stored IVF index WITHOUT retraining — the
+    index-maintenance half of the train-once/query-many contract
+    (reference parity anchor: none — this is the LLM-pipeline extension's
+    own deployment surface; FAISS `add` after `train` is the public
+    precedent).
+
+    Each new vector is assigned to the euclidean-nearest of the STORED
+    centroids (the same metric KMeans assignment minimizes, evaluated by
+    the same `_probe_clusters` literal-array expression queries use — a
+    zero-shuffle projection), then appended into its list's Hive
+    partition directory.  The centroids file is untouched, so every
+    existing and future probe sees one consistent quantizer; probes after
+    an append remain planning-time partition-pruned because the layout is
+    unchanged — new part-files land INSIDE the `_cluster=<c>` directories.
+
+    Parity contract (pytest-pinned): build(n) then append(m) answers
+    probes identically to build(n+m) under the same frozen centroids
+    (`precomputed_centroids=` on build_ivf_index).  Appending shifts list
+    SIZES but never list boundaries; when drift accumulates (centroids no
+    longer near the data's true clusters, recall decays), retrain by
+    rebuilding — the measured recall/n_probe curve in SCALE.md is the
+    monitoring signal.
+
+    Ids are the caller's uniqueness contract, as in build: a re-appended
+    id would surface twice in probe results (the store is append-only and
+    never dedups).
+    """
+    spark = new_vectors.sparkSession
+    centers_rows = sorted(
+        (r["centroid_id"], r["center"])
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    )
+    centers = [[float(v) for v in c] for _i, c in centers_rows]
+    cand_n = new_vectors.withColumn("_cn", l2_norm(F.col(cand_vec))).withColumn(
+        "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
+    )
+    assigned = cand_n.withColumn(
+        "_cluster", _probe_clusters(F.col("_nv"), centers, 1)[0]
+    ).drop("_nv")
+    assigned.repartition(F.col("_cluster")).write.mode("append").partitionBy(
+        "_cluster"
+    ).parquet(f"{path}/lists.parquet")
 
 
 def query_ivf_index(

@@ -1231,3 +1231,68 @@ def test_signature_store_append_extends_and_invalidates_memo(spark, tmp_path):
         ).collect()
     )
     assert got2 == []
+
+
+# ---------------------------------------------------------------------------
+# IVF append-without-retrain (r9, verdict "Next round #4")
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_append_without_retrain_matches_frozen_rebuild(spark, tmp_path):
+    """build(n) + append(m) must answer probes identically to build(n+m)
+    under the SAME frozen centroids: appending shifts list sizes, never
+    list boundaries.  Also pins that the stored rowsets (id, _cluster)
+    agree — i.e. the append path's literal-expression assignment matches
+    the frozen build's for every row — and that probes after an append
+    are still planning-time partition-pruned."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    first = emb.where(F.col("vec_id") % 3 != 0)
+    extra = emb.where(F.col("vec_id") % 3 == 0)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    similarity.build_ivf_index(first, a, n_clusters=8)
+    similarity.append_ivf_index(extra, a)
+    centers = [
+        r["center"]
+        for r in sorted(
+            spark.read.parquet(f"{a}/centroids.parquet").collect(),
+            key=lambda r: r["centroid_id"],
+        )
+    ]
+    similarity.build_ivf_index(emb, b, precomputed_centroids=centers)
+
+    # same frozen quantizer on disk
+    cb = [
+        r["center"]
+        for r in sorted(
+            spark.read.parquet(f"{b}/centroids.parquet").collect(),
+            key=lambda r: r["centroid_id"],
+        )
+    ]
+    assert cb == centers
+    # stored rowsets agree row-for-row including assignment
+    la = sorted(
+        (r["vec_id"], r["_cluster"])
+        for r in spark.read.parquet(f"{a}/lists.parquet").collect()
+    )
+    lb = sorted(
+        (r["vec_id"], r["_cluster"])
+        for r in spark.read.parquet(f"{b}/lists.parquet").collect()
+    )
+    assert la == lb and len(la) == emb.count()
+    # probe parity
+    probed_a = similarity.query_ivf_index(spark, a, q, k=5, n_probe=3)
+    ra = sorted(
+        (r.query_id, r.vec_id, round(r.score, 9), r.rank) for r in probed_a.collect()
+    )
+    rb = sorted(
+        (r.query_id, r.vec_id, round(r.score, 9), r.rank)
+        for r in similarity.query_ivf_index(spark, b, q, k=5, n_probe=3).collect()
+    )
+    assert ra == rb and len(ra) > 0
+    # pruning survives the append (new part-files land INSIDE _cluster dirs)
+    plan = probed_a._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cluster" in plan
