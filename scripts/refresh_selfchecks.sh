@@ -14,3 +14,6 @@ SELFCHECK_OUT=SELFCHECK_sf01.json  python scripts/selfcheck.py /root/testdata/sf
 SELFCHECK_OUT=SELFCHECK_sf1.json   python scripts/selfcheck.py /root/testdata/sf0.1
 SPARK_GRAFT_HOSTILE=1 SELFCHECK_OUT=SELFCHECK_hostile.json \
     python scripts/selfcheck.py /root/testdata/sf0.01
+SPARK_GRAFT_HOSTILE=1 SPARK_GRAFT_ROWREADER=1 \
+    SELFCHECK_OUT=SELFCHECK_hostile_rowreader.json \
+    python scripts/selfcheck.py /root/testdata/sf0.01

@@ -122,12 +122,34 @@ def main() -> int:
         "spark.sql.caseSensitive": "true",
     }
     hostile = bool(os.environ.get("SPARK_GRAFT_HOSTILE"))
+    # ROWREADER axis (SPARK_GRAFT_ROWREADER=1, composes with HOSTILE): turn
+    # OFF the vectorized parquet/ORC readers so every scan takes the
+    # row-at-a-time path — hashes must not depend on the columnar reader's
+    # batch layout or its type-widening behavior.  Re-asserted per query
+    # like the hostile confs (it's a runtime SQL conf) and recorded in _env.
+    rowreader = bool(os.environ.get("SPARK_GRAFT_ROWREADER"))
+    reader_conf = {
+        "spark.sql.parquet.enableVectorizedReader": "false",
+        "spark.sql.orc.enableVectorizedReader": "false",
+    }
+    # per-query re-asserted confs: the hostile set when hostile, plus the
+    # row-reader axis when requested (composable: HOSTILE=1 ROWREADER=1
+    # sweeps both at once)
+    assert_conf = dict(hostile_conf) if hostile else {}
+    if rowreader:
+        assert_conf.update(reader_conf)
     if hostile:
         spark = get_spark(
             app_name="bulkfhirloader-selfcheck-hostile",
             shuffle_partitions=7,
-            extra_conf={k: v for k, v in hostile_conf.items()
+            extra_conf={k: v for k, v in assert_conf.items()
                         if k != "spark.sql.shuffle.partitions"},
+        )
+    elif rowreader:
+        spark = get_spark(
+            app_name="bulkfhirloader-selfcheck-rowreader",
+            shuffle_partitions=8,
+            extra_conf=dict(reader_conf),
         )
     else:
         spark = get_spark(shuffle_partitions=8)
@@ -147,11 +169,11 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         rec: dict = {}
-        if hostile:
+        if assert_conf:
             # re-assert per query: _utc()-calling queries reset the session
             # TZ to UTC and a single session-build assertion would shield
             # every later query from the hostile TZ (r7 advisor finding)
-            for k, v in hostile_conf.items():
+            for k, v in assert_conf.items():
                 spark.conf.set(k, v)
         try:
             df = fn(spark, sf_dir)
@@ -207,12 +229,22 @@ def main() -> int:
 
     # Environment diagnostics for hunting env-sensitive mismatches (the r5
     # src_* reds): record what the hash-relevant session state actually was.
+    # Re-assert the sweep confs first so _env records the state each query
+    # STARTED under (a _utc()-calling final query would otherwise leave its
+    # own UTC here and make the artifact look non-hostile); the per-query
+    # post-state is already recorded as session_tz_after.
+    for k, v in assert_conf.items():
+        spark.conf.set(k, v)
     results["_env"] = {
         "sf_dir": sf_dir,
         "session_tz": spark.conf.get("spark.sql.session.timeZone", None),
         "os_tz": os.environ.get("TZ"),
         "spark_version": spark.version,
         "hostile": bool(os.environ.get("SPARK_GRAFT_HOSTILE")),
+        "rowreader": rowreader,
+        "vectorized_parquet_reader": spark.conf.get(
+            "spark.sql.parquet.enableVectorizedReader", None
+        ),
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions", None),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled", None),
         "ansi": spark.conf.get("spark.sql.ansi.enabled", None),

@@ -69,13 +69,30 @@ def test_hostile_selfcheck_really_ran_hostile():
     assert str(env.get("case_sensitive")).lower() == "true"
 
 
+def test_rowreader_selfcheck_really_ran_with_vectorized_reader_off():
+    """The r8 'unrecorded-artifact' closure: the vectorized-reader-off
+    sweep must exist as a committed artifact whose _env proves the
+    row-at-a-time reader (and the hostile axis it composes with) was
+    actually in effect."""
+    path = os.path.join(REPO, "SELFCHECK_hostile_rowreader.json")
+    assert os.path.exists(path), "no committed SELFCHECK_hostile_rowreader.json"
+    env = _load(path).get("_env", {})
+    assert env.get("rowreader") is True
+    assert str(env.get("vectorized_parquet_reader")).lower() == "false"
+    assert env.get("hostile") is True
+    assert env.get("session_tz") == "Pacific/Kiritimati"
+
+
 def test_committed_selfchecks_are_all_green():
     """The committed evidence must support the claim it exists to make:
     every per-query record in every committed selfcheck artifact is green
     (hash-match where an oracle exists, no errors)."""
     paths = sorted(
         glob.glob(os.path.join(REPO, "SELFCHECK_sf*.json"))
-        + [os.path.join(REPO, "SELFCHECK_hostile.json")]
+        + [
+            os.path.join(REPO, "SELFCHECK_hostile.json"),
+            os.path.join(REPO, "SELFCHECK_hostile_rowreader.json"),
+        ]
     )
     for path in paths:
         if not os.path.exists(path):
