@@ -61,15 +61,117 @@ def stream_interval_join(
     return wl.join(wr, cond, "inner").drop("_r_key")
 
 
+def banded_signature_store_write(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_words: int = 3,
+    mode: str = "append",
+) -> None:
+    """Persist the BANDED signature table the streaming admission gate's
+    static side reads at 100 TB: (id, band_idx, band_hash, shingles) rows,
+    appended per admitted batch.  Unlike the batch operator's store
+    (dedup.signature_store_write — minhash arrays only), this one carries
+    the shingle SETS because the streaming gate verifies exact Jaccard
+    INSIDE the join condition — storage is ~text-sized × bands, the price
+    of exact verification with zero stream-side lookback.  Geometry
+    (num_hashes, bands, shingle_words) is validated hard on append and
+    read: bands are PRE-projected here (not re-bandable like the minhash
+    store), so all three parameters pin the layout.
+
+    Layout: ``<path>/meta.parquet`` (one geometry row) and
+    ``<path>/bands`` (the banded rows, plain parquet appends — at scale,
+    partition the writes by arrival date outside this helper if retention
+    windows matter).  Id uniqueness across appended batches is the
+    caller's contract, as in the batch store."""
+    from bulkfhirloader_spark.operators.dedup import (
+        band_hash_array,
+        minhash_sig_expr,
+        word_shingles,
+    )
+
+    assert num_hashes % bands == 0
+    spark = docs.sparkSession
+    meta_path = f"{path}/meta.parquet"
+    if mode == "append":
+        try:
+            rows = spark.read.parquet(meta_path).collect()
+        except Exception:
+            rows = []
+        if rows:
+            _validate_banded_geometry(rows, meta_path, num_hashes, bands, shingle_words)
+        else:
+            _write_banded_meta(spark, meta_path, num_hashes, bands, shingle_words)
+    else:
+        _write_banded_meta(spark, meta_path, num_hashes, bands, shingle_words)
+    with_sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+    )
+    with_sig = with_sh.withColumn(
+        "_minhash", minhash_sig_expr(F.col("shingles"), num_hashes)
+    )
+    band_cols = F.posexplode(
+        band_hash_array(F.col("_minhash"), bands, num_hashes)
+    ).alias("band_idx", "band_hash")
+    with_sig.select("id", band_cols, "shingles").write.mode(
+        mode if mode != "append" else "append"
+    ).parquet(f"{path}/bands")
+
+
+def _write_banded_meta(spark, meta_path, num_hashes, bands, shingle_words) -> None:
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle_words)],
+        "num_hashes int, bands int, shingle_words int",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
+def _validate_banded_geometry(
+    rows, meta_path, num_hashes, bands, shingle_words
+) -> None:
+    if len(rows) != 1:
+        raise ValueError(f"corrupt banded store meta at {meta_path}: {rows}")
+    m = rows[0]
+    got = (m["num_hashes"], m["bands"], m["shingle_words"])
+    want = (num_hashes, bands, shingle_words)
+    if got != want:
+        raise ValueError(
+            f"banded store geometry mismatch at {meta_path}: store has "
+            f"(num_hashes, bands, shingle_words)={got}, caller asked {want} "
+            f"— mismatched bands never collide, so the gate would silently "
+            f"admit every duplicate"
+        )
+
+
+def banded_signature_store_read(
+    spark, path: str, num_hashes: int, bands: int, shingle_words: int
+) -> DataFrame:
+    """(id, band_idx, band_hash, shingles) rows of the banded store at
+    ``path``, geometry-validated hard (see banded_signature_store_write)."""
+    meta_path = f"{path}/meta.parquet"
+    _validate_banded_geometry(
+        spark.read.parquet(meta_path).collect(),
+        meta_path,
+        num_hashes,
+        bands,
+        shingle_words,
+    )
+    return spark.read.parquet(f"{path}/bands")
+
+
 def stream_near_dup_admission(
     stream_docs: DataFrame,
-    existing: DataFrame,
+    existing: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 8,
     shingle_words: int = 3,
     threshold: float = 0.5,
+    banded_store: str | None = None,
 ) -> DataFrame:
     """Streaming twin of dedup.incremental_near_dup_filter's first rule:
     admit arriving docs that have NO exact-verified near-dup (n-gram
@@ -89,8 +191,15 @@ def stream_near_dup_admission(
     the aggregate completes within the batch; run in update mode).
 
     At 100 TB the static side is the stored signature table (id, band_idx,
-    band_hash, shingle set) appended per admitted batch — here it is
-    derived from ``existing`` to stay self-contained.  State: the
+    band_hash, shingle set) appended per admitted batch — implemented: pass
+    ``banded_store=<path>`` (built/extended via banded_signature_store_write,
+    geometry-validated hard) and the static side is a parquet scan of the
+    pre-banded table instead of being re-derived from ``existing``'s text
+    (``existing`` may then be omitted).  Micro-batch semantics are
+    IDENTICAL either way (pytest-pinned); the stream-static join
+    re-resolves the parquet table per batch, so batches see appends
+    without a restart.  Without the parameter the static side is derived
+    from ``existing`` to stay self-contained.  State: the
     stream-static join itself is STATELESS (the static side re-resolves
     per micro-batch); only the final per-doc count keeps O(1) state per
     in-flight doc.  New-new (intra-stream) near-dup admission needs
@@ -135,8 +244,27 @@ def stream_near_dup_admission(
     # previous invocation's cache is released on the next call.
     while _live_static_band_caches:
         _live_static_band_caches.pop().unpersist()
-    static_banded = banded(existing, "_e").persist()
-    _live_static_band_caches.append(static_banded)
+    if banded_store is not None:
+        # deployment tier: the static side IS the stored banded table — a
+        # columnar scan, no text re-shingling.  Deliberately NOT persisted:
+        # re-resolving the parquet per micro-batch is what lets a live gate
+        # see concurrently-appended admissions without a restart.
+        static_banded = banded_signature_store_read(
+            stream_docs.sparkSession, banded_store, num_hashes, bands, shingle_words
+        ).select(
+            F.col("id").alias("id_e"),
+            "band_idx",
+            "band_hash",
+            F.col("shingles").alias("sh_e"),
+        )
+    else:
+        if existing is None:
+            raise ValueError(
+                "stream_near_dup_admission needs either an `existing` corpus "
+                "or a `banded_store=` path"
+            )
+        static_banded = banded(existing, "_e").persist()
+        _live_static_band_caches.append(static_banded)
 
     inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_e")))
     union = F.size("sh_s") + F.size("sh_e") - inter

@@ -519,3 +519,63 @@ def test_stream_attribution_cross_batch_and_trim_fallback(spark, tmp_path):
     # user 2: windowed model empty, unbounded model served from the trim scalar
     assert got[4].first_touch_event_id is None
     assert got[4].last_touch_event_id == 2
+
+
+def test_stream_near_dup_admission_from_banded_store(spark, tmp_path):
+    """The deployment tier of the streaming gate: the static side read
+    from a pre-banded signature store must admit EXACTLY what the
+    self-contained (text-derived) form admits, `existing` omitted
+    entirely; a store built under different geometry must hard-error
+    (mismatched bands never collide — the gate would admit everything)."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.streaming.joins import (
+        banded_signature_store_write,
+        stream_near_dup_admission,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on rooftops"
+    uniq1 = "structured streaming bounds its state with watermarks and timeouts"
+    uniq2 = "catalyst rewrites logical plans before tungsten generates bytecode"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus filler text about parquet footers")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bandstore")
+    banded_signature_store_write(existing, store)
+
+    schema = "doc_id long, text string"
+    batch1 = [(10, base + " slightly changed"), (11, uniq1)]
+    batch2 = [(12, uniq2), (13, base + " another tiny change")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f0")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f1")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "in" / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_near_dup_admission(stream, banded_store=store)
+        .writeStream.format("memory")
+        .queryName("stream_admission_store_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.table("stream_admission_store_t").collect())
+    assert got == [11, 12]  # identical to the self-contained test's verdicts
+
+    # geometry mismatches refuse loudly — on the gate, on read, on append
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        stream_near_dup_admission(stream, bands=4, banded_store=store)
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        banded_signature_store_write(existing, store, num_hashes=32)
+    # neither a corpus nor a store is an error
+    with _pytest.raises(ValueError, match="existing"):
+        stream_near_dup_admission(stream)
