@@ -1296,3 +1296,39 @@ def test_ivf_append_without_retrain_matches_frozen_rebuild(spark, tmp_path):
     # pruning survives the append (new part-files land INSIDE _cluster dirs)
     plan = probed_a._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cluster" in plan
+
+
+def test_pandas_topk_null_id_and_nonfinite_parity(spark):
+    """r8 advisor finding, pinned: a NULL-id corpus row arrives in pandas
+    as NaN (nullable int -> float64), and NaN != qid is True — so without
+    the finiteness mask it could surface in top-k (the replaced SQL
+    predicate's NULL semantics dropped it), and its NaN score could make
+    the k-th-threshold cut drop every candidate for that query's batch.
+    The Arrow tier must match the fold tier exactly with such a row
+    present, and never emit a NULL id."""
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bad = spark.createDataFrame(
+        [(None, [float(j) for j in range(8)])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.unionByName(bad)
+    q = emb.where(F.col("vec_id") < 3)
+    got = sorted(
+        (r.query_id, r.vec_id, round(r.score, 9), r.rank)
+        for r in similarity.cosine_topk_pandas(q, corpus, k=5).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, round(r.score, 9), r.rank)
+        for r in similarity.cosine_topk_bruteforce(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            corpus,
+            k=5,
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 15  # 3 queries x k=5 — the NaN row cost nobody a slot
+    assert all(v is not None for _, v, _, _ in got)
