@@ -1125,7 +1125,7 @@ def signature_store_write(
         num_hashes,
         shingle_words,
     )
-    sigs.write.mode(mode if mode != "append" else "append").parquet(f"{path}/sigs")
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
 
 
 def _read_store_meta(spark, meta_path: str) -> list:

@@ -117,9 +117,9 @@ def banded_signature_store_write(
     band_cols = F.posexplode(
         band_hash_array(F.col("_minhash"), bands, num_hashes)
     ).alias("band_idx", "band_hash")
-    with_sig.select("id", band_cols, "shingles").write.mode(
-        mode if mode != "append" else "append"
-    ).parquet(f"{path}/bands")
+    with_sig.select("id", band_cols, "shingles").write.mode(mode).parquet(
+        f"{path}/bands"
+    )
 
 
 def _write_banded_meta(spark, meta_path, num_hashes, bands, shingle_words) -> None:
