@@ -238,12 +238,19 @@ def main() -> None:
     line = json.dumps(compact)
     if len(line) > 1800:  # paranoid: never outgrow the capture again
         # Don't silently drop the per-query map (the r7 failure mode in
-        # miniature): replace it with a loud pointer at the detail file,
-        # which always carries the full map, and print a stderr marker.
-        compact["queries"] = f"TRUNCATED:see {compact.get('detail')}"
+        # miniature).  With a detail file on disk, point at it loudly; if
+        # the detail write itself failed (detail_path None — nothing to
+        # point at), keep the slowest entries inline with an explicit
+        # dropped-count marker instead of referencing "None".
+        if detail_path:
+            compact["queries"] = f"TRUNCATED:see {os.path.basename(detail_path)}"
+        else:
+            keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+            keep["_truncated_n_dropped"] = len(timings) - len(keep)
+            compact["queries"] = keep
         line = json.dumps(compact)
         print("bench: compact line exceeded 1800 chars; per-query map "
-              "redirected to the detail file", file=sys.stderr)
+              "truncated (see stderr/detail)", file=sys.stderr)
     print(line)
 
 

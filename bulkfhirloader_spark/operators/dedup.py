@@ -21,6 +21,7 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bulkfhirloader_spark.fsutil import fs_path_exists
 from bulkfhirloader_spark.functions.binding import let
 from bulkfhirloader_spark.operators.text import normalize_text, tokens
 
@@ -1102,12 +1103,19 @@ def signature_store_write(
     spark = docs.sparkSession
     meta_path = f"{path}/meta.parquet"
     if mode == "append":
-        try:
-            have_meta = len(_read_store_meta(spark, meta_path)) > 0
-        except Exception:
-            have_meta = False
-        if have_meta:
+        # distinguish MISSING meta (fresh store: bootstrap) from UNREADABLE
+        # meta or data-without-meta (corrupt store: refuse) — treating any
+        # read failure as "no meta" would silently re-stamp a new geometry
+        # next to old-geometry rows, whose signatures then never collide
+        # with probes: exactly what the hard validation exists to prevent
+        if fs_path_exists(spark, meta_path):
             _validate_store_geometry(spark, meta_path, num_hashes, shingle_words)
+        elif fs_path_exists(spark, f"{path}/sigs"):
+            raise ValueError(
+                f"signature store at {path} has data but no readable meta at "
+                f"{meta_path} — refusing to append under an unverifiable "
+                f"geometry; rebuild the store or restore its meta"
+            )
         else:
             spark.createDataFrame(
                 [(num_hashes, shingle_words)],

@@ -783,11 +783,20 @@ def append_ivf_index(
     an append remain planning-time partition-pruned because the layout is
     unchanged — new part-files land INSIDE the `_cluster=<c>` directories.
 
-    Parity contract (pytest-pinned): build(n) then append(m) answers
-    probes identically to build(n+m) under the same frozen centroids
-    (`precomputed_centroids=` on build_ivf_index).  Appending shifts list
-    SIZES but never list boundaries; when drift accumulates (centroids no
-    longer near the data's true clusters, recall decays), retrain by
+    Parity contract (pytest-pinned on the shipped data): build(n) then
+    append(m) answers probes identically to build(n+m) under the same
+    frozen centroids (`precomputed_centroids=` on build_ivf_index).
+    Appending shifts list SIZES but never list boundaries.  One honest
+    caveat: a KMeans-trained build assigns via MLlib's transform (BLAS
+    squared distance) while this append and the frozen rebuild use the
+    literal zip_with fold — for a vector whose two nearest centroids are
+    within float rounding of equidistant, the two implementations may
+    round the argmin differently and file it in either list.  That is an
+    IVF recall nuance (the vector sits on a cell boundary; any probe set
+    covering both cells finds it), not a correctness loss — the index is
+    approximate by contract — and it cannot occur between append and
+    query, which share one expression.  When drift accumulates (centroids
+    no longer near the data's true clusters, recall decays), retrain by
     rebuilding — the measured recall/n_probe curve in SCALE.md is the
     monitoring signal.
 
@@ -796,11 +805,7 @@ def append_ivf_index(
     never dedups).
     """
     spark = new_vectors.sparkSession
-    centers_rows = sorted(
-        (r["centroid_id"], r["center"])
-        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
-    )
-    centers = [[float(v) for v in c] for _i, c in centers_rows]
+    centers = _read_stored_centroids(spark, path)
     cand_n = new_vectors.withColumn("_cn", l2_norm(F.col(cand_vec))).withColumn(
         "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
     )
@@ -810,6 +815,18 @@ def append_ivf_index(
     assigned.repartition(F.col("_cluster")).write.mode("append").partitionBy(
         "_cluster"
     ).parquet(f"{path}/lists.parquet")
+
+
+def _read_stored_centroids(spark, path: str) -> list[list[float]]:
+    """The stored quantizer of a build_ivf_index layout, ordered by
+    centroid_id — the ONE reader append_ivf_index and query_ivf_index
+    share, so append-side assignment and query-side probing can never
+    disagree on the centroid order or dtype."""
+    rows = sorted(
+        (r["centroid_id"], r["center"])
+        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+    )
+    return [[float(v) for v in c] for _i, c in rows]
 
 
 def query_ivf_index(
@@ -833,11 +850,7 @@ def query_ivf_index(
     The query set is small by contract (it rides a broadcast); collecting
     its probe union is driver-side work over queries × n_probe ints.
     """
-    centers_rows = sorted(
-        (r["centroid_id"], r["center"])
-        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
-    )
-    centers = [c for _i, c in centers_rows]
+    centers = _read_stored_centroids(spark, path)
     q_n = queries.withColumn("_qn", l2_norm(F.col(query_vec))).withColumn(
         "_nv", l2_normalize(F.col(query_vec), F.col("_qn"))
     )

@@ -5630,8 +5630,6 @@ def _never_checked_rows(latest: dict[str, bool] | None = None) -> list[str]:
 
 
 _names = sorted(REGISTRY)
-_off = (_HARNESS_WINDOW * _completed_rounds()) % len(_names)
-_rotated = _names[_off:] + _names[:_off]
 # Latest-red rows first (plus their *_diag twins so a red and its
 # diagnostic land in the same window), then never-driver-checked rows,
 # then — ROUND-9 AMENDMENT (requested by the round-8 verdict, "Next
@@ -5655,13 +5653,16 @@ _verdicts, _last_round = _artifact_scan()
 _reds = [n for n in _previous_red_rows(_verdicts) if n in REGISTRY]
 _reds += [n + "_diag" for n in list(_reds) if n + "_diag" in REGISTRY]
 _front = list(dict.fromkeys(_reds + _never_checked_rows(_verdicts)))
+_front_set = set(_front)
 if _verdicts:
     _rest = sorted(
-        (n for n in _names if n not in set(_front)),
+        (n for n in _names if n not in _front_set),
         key=lambda n: (_last_round.get(n, -1), n),
     )
 else:
-    _rest = [n for n in _rotated if n not in set(_front)]
+    # blind-fallback path only (no parseable artifacts): offset round-robin
+    _off = (_HARNESS_WINDOW * _completed_rounds()) % len(_names)
+    _rest = [n for n in _names[_off:] + _names[:_off] if n not in _front_set]
 REGISTRY = {name: REGISTRY[name] for name in _front + _rest}
 
 

@@ -132,44 +132,20 @@ class FileDocStoreWriter(DataSourceWriter):
         import shutil
 
         os.makedirs(self._dir(), exist_ok=True)
-        if self.overwrite:
-            for name in os.listdir(self._dir()):
-                if name.endswith(".jsonl") or name == "_manifest.json":
-                    try:
-                        os.remove(os.path.join(self._dir(), name))
-                    except OSError:  # pragma: no cover - concurrent cleanup
-                        pass
         all_sizes = [s for m in messages if m for s in m.batch_sizes]
-        n_files = 0
-        for m in messages:
-            if m:
-                for path in m.files:
-                    os.replace(
-                        path, os.path.join(self._dir(), os.path.basename(path))
-                    )
-                    n_files += 1
-        shutil.rmtree(self._staging(), ignore_errors=True)
         manifest_path = os.path.join(self._dir(), "_manifest.json")
-        manifest = {
-            "database": self.database,
-            "collection": self.collection,
-            "ordered": self.ordered,
-            "maxBatchSize": self.max_batch_size,
-            "n_files": n_files,
-            "batch_sizes": all_sizes,
-            "n_docs": sum(all_sizes),
-            "n_saves": 1,
-        }
-        # Merge under a per-collection lock file, and publish atomically
-        # via temp-file + os.replace: two concurrent saves to the same
-        # collection each do read-modify-write here, and an unlocked
-        # interleave would lose one save's history (the staging-dir
-        # clobber was fixed in r8; this closes the manifest race).  Lock
-        # scope is driver-side commit only — data files were already
-        # os.replace'd in (atomic, unique names), so the lock serializes
-        # nothing but the tiny manifest merge.  flock is advisory and
-        # single-host, which matches the stub's sandbox contract; the
-        # real connector's server owns this merge transactionally.
+        # The WHOLE publish runs under the per-collection lock — including
+        # the overwrite's removal loop and the data-file os.replace's, not
+        # just the manifest merge: an overwrite's deletions interleaving
+        # with a concurrent append's merge would otherwise publish a
+        # manifest describing files the overwrite just deleted (r9 review
+        # finding; the r8 fix locked only the merge).  The lock file itself
+        # survives overwrite (only .jsonl and _manifest.json are removed).
+        # flock is advisory and single-host, which matches the stub's
+        # sandbox contract; the real connector's server owns this
+        # transactionally.  Manifest publish stays atomic (tmp +
+        # os.replace) so even lock-less non-POSIX readers never see a torn
+        # file.
         lock_path = os.path.join(self._dir(), "_manifest.lock")
         with open(lock_path, "a") as lock_fh:
             try:
@@ -178,6 +154,32 @@ class FileDocStoreWriter(DataSourceWriter):
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
             except (ImportError, OSError):  # pragma: no cover - non-POSIX
                 pass
+            if self.overwrite:
+                for name in os.listdir(self._dir()):
+                    if name.endswith(".jsonl") or name == "_manifest.json":
+                        try:
+                            os.remove(os.path.join(self._dir(), name))
+                        except OSError:  # pragma: no cover - concurrent cleanup
+                            pass
+            n_files = 0
+            for m in messages:
+                if m:
+                    for path in m.files:
+                        os.replace(
+                            path, os.path.join(self._dir(), os.path.basename(path))
+                        )
+                        n_files += 1
+            shutil.rmtree(self._staging(), ignore_errors=True)
+            manifest = {
+                "database": self.database,
+                "collection": self.collection,
+                "ordered": self.ordered,
+                "maxBatchSize": self.max_batch_size,
+                "n_files": n_files,
+                "batch_sizes": all_sizes,
+                "n_docs": sum(all_sizes),
+                "n_saves": 1,
+            }
             if os.path.exists(manifest_path):
                 with open(manifest_path) as fh:
                     prior = json.load(fh)

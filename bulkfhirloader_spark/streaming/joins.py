@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bulkfhirloader_spark.fsutil import fs_path_exists
+
 
 def stream_interval_join(
     left: DataFrame,
@@ -97,12 +99,24 @@ def banded_signature_store_write(
     spark = docs.sparkSession
     meta_path = f"{path}/meta.parquet"
     if mode == "append":
-        try:
-            rows = spark.read.parquet(meta_path).collect()
-        except Exception:
-            rows = []
-        if rows:
-            _validate_banded_geometry(rows, meta_path, num_hashes, bands, shingle_words)
+        # missing meta on a FRESH store bootstraps; missing/unreadable meta
+        # NEXT TO existing band rows refuses — appending a second geometry
+        # beside the first would produce a store whose old rows never
+        # collide with probes (same rationale as dedup.signature_store_write)
+        if fs_path_exists(spark, meta_path):
+            _validate_banded_geometry(
+                spark.read.parquet(meta_path).collect(),
+                meta_path,
+                num_hashes,
+                bands,
+                shingle_words,
+            )
+        elif fs_path_exists(spark, f"{path}/bands"):
+            raise ValueError(
+                f"banded store at {path} has data but no readable meta at "
+                f"{meta_path} — refusing to append under an unverifiable "
+                f"geometry; rebuild the store or restore its meta"
+            )
         else:
             _write_banded_meta(spark, meta_path, num_hashes, bands, shingle_words)
     else:
@@ -196,10 +210,13 @@ def stream_near_dup_admission(
     geometry-validated hard) and the static side is a parquet scan of the
     pre-banded table instead of being re-derived from ``existing``'s text
     (``existing`` may then be omitted).  Micro-batch semantics are
-    IDENTICAL either way (pytest-pinned); the stream-static join
-    re-resolves the parquet table per batch, so batches see appends
-    without a restart.  Without the parameter the static side is derived
-    from ``existing`` to stay self-contained.  State: the
+    IDENTICAL either way (pytest-pinned).  The static side is a SNAPSHOT:
+    parquet file listings are captured at gate construction, so store
+    appends made while a gate is live are not screened against until the
+    gate restarts — the deployment loop is batch-append, then (re)start
+    the gate; a restart is also when new geometry would be rejected.
+    Without the parameter the static side is derived from ``existing`` to
+    stay self-contained.  State: the
     stream-static join itself is STATELESS (the static side re-resolves
     per micro-batch); only the final per-doc count keeps O(1) state per
     in-flight doc.  New-new (intra-stream) near-dup admission needs
@@ -246,17 +263,27 @@ def stream_near_dup_admission(
         _live_static_band_caches.pop().unpersist()
     if banded_store is not None:
         # deployment tier: the static side IS the stored banded table — a
-        # columnar scan, no text re-shingling.  Deliberately NOT persisted:
-        # re-resolving the parquet per micro-batch is what lets a live gate
-        # see concurrently-appended admissions without a restart.
-        static_banded = banded_signature_store_read(
-            stream_docs.sparkSession, banded_store, num_hashes, bands, shingle_words
-        ).select(
-            F.col("id").alias("id_e"),
-            "band_idx",
-            "band_hash",
-            F.col("shingles").alias("sh_e"),
+        # columnar scan, no text re-shingling.  SNAPSHOT semantics: the
+        # parquet file listing is captured when this DataFrame is created
+        # (verified empirically — a pre-append DataFrame keeps returning
+        # pre-append rows), so appends during a live run are NOT seen until
+        # the gate is rebuilt; since the snapshot is fixed anyway, persist
+        # serves it from cached blocks after batch 1, same as the derived
+        # path.
+        static_banded = (
+            banded_signature_store_read(
+                stream_docs.sparkSession, banded_store, num_hashes, bands,
+                shingle_words,
+            )
+            .select(
+                F.col("id").alias("id_e"),
+                "band_idx",
+                "band_hash",
+                F.col("shingles").alias("sh_e"),
+            )
+            .persist()
         )
+        _live_static_band_caches.append(static_banded)
     else:
         if existing is None:
             raise ValueError(

@@ -88,6 +88,11 @@ def _guard_out_name_matches_sf(out_path: str, sf_dir: str) -> None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
+    # guard BEFORE the sweep: this reads only argv/env, and failing after
+    # minutes of queries would waste the whole run (and, under the refresh
+    # script's set -e, abort the remaining scales too)
+    out_path = os.environ.get("SELFCHECK_OUT", "/tmp/verify_local.json")
+    _guard_out_name_matches_sf(out_path, sf_dir)
 
     import duckdb
 
@@ -250,8 +255,6 @@ def main() -> int:
         "ansi": spark.conf.get("spark.sql.ansi.enabled", None),
         "case_sensitive": spark.conf.get("spark.sql.caseSensitive", None),
     }
-    out_path = os.environ.get("SELFCHECK_OUT", "/tmp/verify_local.json")
-    _guard_out_name_matches_sf(out_path, sf_dir)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, default=str)
     print(f"\n{len(results) - 1} queries, {n_fail} failing -> {out_path}")

@@ -1185,6 +1185,17 @@ def test_signature_store_append_extends_and_invalidates_memo(spark, tmp_path):
     corpus0 = spark.createDataFrame(
         [(1, base), (2, uniq)], "doc_id long, text string"
     )
+    corpus1 = spark.createDataFrame(
+        [(3, "totally novel text about beam search plus one token")],
+        "doc_id long, text string",
+    )
+    # existing is the SAME DataFrame in both admission calls below — in the
+    # stored tier, proposals come solely from the STORE's signatures, so
+    # doc 3's text being present here is inert until its signatures are
+    # appended.  Holding existing fixed makes the second call's memo key
+    # differ ONLY in the store fingerprint: if store_fp were dropped from
+    # the key, the memo would serve the first decision and this test fails.
+    existing_all = corpus0.unionByName(corpus1)
     store = str(tmp_path / "sigstore")
     dedup.signature_store_write(corpus0, store, num_hashes=16, shingle_words=3)
 
@@ -1195,16 +1206,12 @@ def test_signature_store_append_extends_and_invalidates_memo(spark, tmp_path):
     got1 = sorted(
         r["doc_id"]
         for r in dedup.incremental_near_dup_filter(
-            corpus0, batch, signature_store=store
+            existing_all, batch, signature_store=store
         ).collect()
     )
-    assert got1 == [11]  # 10 is a near-dup of stored doc 1
+    assert got1 == [11]  # 10 is a near-dup of stored doc 1; 3 not yet stored
 
-    # admit a second corpus slice whose signature makes doc 11 a dup
-    corpus1 = spark.createDataFrame(
-        [(3, "totally novel text about beam search plus one token")],
-        "doc_id long, text string",
-    )
+    # admit the second corpus slice whose signature makes doc 11 a dup
     dedup.signature_store_write(corpus1, store, num_hashes=16, shingle_words=3)
     # stored rowset == rebuild over the union (append really appended)
     rebuilt = str(tmp_path / "rebuilt")
@@ -1220,10 +1227,10 @@ def test_signature_store_append_extends_and_invalidates_memo(spark, tmp_path):
         for r in dedup.signature_store_read(spark, rebuilt, 16, 3).collect()
     )
     assert a == b
-    # same (existing, batch) PLANS but a grown store: the memo must not
-    # serve got1 — doc 11 is now a dup of stored doc 3.  existing must
-    # cover the store's ids for exact verification, per the contract.
-    existing_all = corpus0.unionByName(corpus1)
+    # IDENTICAL (existing, batch) plans, grown store: only store_fp in the
+    # memo key changed, and the memo must not serve got1 — doc 11 is now a
+    # dup of stored doc 3 (existing covers the store's ids for exact
+    # verification, per the contract).
     got2 = sorted(
         r["doc_id"]
         for r in dedup.incremental_near_dup_filter(
@@ -1332,3 +1339,23 @@ def test_pandas_topk_null_id_and_nonfinite_parity(spark):
     assert got == want
     assert len(got) == 15  # 3 queries x k=5 — the NaN row cost nobody a slot
     assert all(v is not None for _, v, _, _ in got)
+
+
+def test_signature_store_data_without_meta_refuses_append(spark, tmp_path):
+    """r9 review finding: an unreadable/missing meta next to EXISTING sig
+    rows must refuse the append, not silently bootstrap a new geometry
+    beside old-geometry rows (whose signatures would then never collide
+    with probes)."""
+    import shutil
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sigstore")
+    dedup.signature_store_write(docs, store, num_hashes=16, shingle_words=3)
+    shutil.rmtree(f"{store}/meta.parquet")
+    with pytest.raises(ValueError, match="data but no readable meta"):
+        dedup.signature_store_write(docs, store, num_hashes=16, shingle_words=3)
+    # a FRESH path still bootstraps fine
+    dedup.signature_store_write(docs, str(tmp_path / "fresh"), num_hashes=16)

@@ -579,3 +579,24 @@ def test_stream_near_dup_admission_from_banded_store(spark, tmp_path):
     # neither a corpus nor a store is an error
     with _pytest.raises(ValueError, match="existing"):
         stream_near_dup_admission(stream)
+
+
+def test_banded_store_data_without_meta_refuses_append(spark, tmp_path):
+    """Same corrupt-store refusal as the batch signature store: band rows
+    without a readable meta must not be appended to under a re-stamped
+    geometry."""
+    import shutil
+
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.streaming.joins import banded_signature_store_write
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bandstore")
+    banded_signature_store_write(docs, store)
+    shutil.rmtree(f"{store}/meta.parquet")
+    with _pytest.raises(ValueError, match="data but no readable meta"):
+        banded_signature_store_write(docs, store)
