@@ -9,8 +9,9 @@ each size.  Pair counts are known by construction, so the run doubles as a
 correctness check: minhash pairs must scale exactly 10x with corpus size
 (100 / 1,000 / 10,000) and the hot corpus must surface the full clique.
 
-Usage:  python scripts/scale_evidence.py               (full dedup sweep)
-        python scripts/scale_evidence.py fixed-batch   (admission tiers only)
+Usage:  python scripts/scale_evidence.py                 (full dedup sweep)
+        python scripts/scale_evidence.py fixed-batch     (admission tiers only)
+        python scripts/scale_evidence.py streaming-gate  (gate static-side tiers)
 
 ``fixed-batch`` re-measures the r8 finding that a CONSTANT 2.5k batch
 admitted against growing corpora pays a corpus-linear cost in the
@@ -218,11 +219,93 @@ def measure_fixed_batch() -> None:
     spark.stop()
 
 
+def measure_streaming_gate() -> None:
+    """The streaming admission gate's two static-side tiers against
+    growing corpora, constant 2.5k-doc stream (two micro-batches): the
+    self-contained tier derives the banded static side from the corpus
+    TEXT at gate construction (shingle+minhash the whole corpus), the
+    banded_store tier scans the pre-banded parquet table.  The store
+    build is timed separately (in deployment it is each admitted batch's
+    own append, amortized).  Admitted sets asserted identical — the
+    measurement doubles as a parity check at 200x the pytest fixture."""
+    import shutil
+    import tempfile
+
+    from bulkfhirloader_spark.session import get_spark
+    from bulkfhirloader_spark.streaming.joins import (
+        banded_signature_store_write,
+        stream_near_dup_admission,
+    )
+
+    spark = get_spark(app_name="scale-evidence-streaming-gate")
+    tm = time.monotonic
+    batch = spark.read.parquet(f"{OUTDIR}/batch2500.parquet")
+    schema = batch.schema
+    indir = f"{OUTDIR}/gate_stream_in"
+    shutil.rmtree(indir, ignore_errors=True)
+    # two micro-batch files so the drain crosses a batch boundary
+    batch.where("doc_id % 2 = 0").coalesce(1).write.parquet(f"{indir}/f0")
+    batch.where("doc_id % 2 = 1").coalesce(1).write.parquet(f"{indir}/f1")
+
+    def drain(static_kw: dict, qname: str) -> list:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{indir}/*")
+        )
+        q = (
+            stream_near_dup_admission(stream, **static_kw)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="gate_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.doc_id for r in spark.table(qname).collect())
+
+    # capped at 50k in this single-JVM sandbox: the banded static side
+    # carries SHINGLE SETS on every band row (8 x ~58 strings per doc —
+    # the storage price of exact in-join verification, documented on the
+    # writer), and at 500k docs the decoded arrays exceed the local heap
+    # during the parquet scan (measured: java.lang.OutOfMemoryError in the
+    # reader's read-ahead thread).  On a cluster the table spreads across
+    # executors and per-task footprint is bounded by maxPartitionBytes;
+    # locally the 5k/50k growth rate is the signal.
+    print("streaming-gate measured at 5k/50k (see heap note in script)")
+    for _, name in CORPORA[:2]:
+        corpus = spark.read.parquet(f"{OUTDIR}/{name}.parquet")
+        corpus.count()  # warm the scan
+        store = f"/tmp/bandstore_{name}"
+        shutil.rmtree(store, ignore_errors=True)
+        t0 = tm()
+        banded_signature_store_write(corpus, store)
+        t_store = tm() - t0
+        t0 = tm()
+        a = drain({"existing": corpus}, f"gate_self_{name}")
+        t_self = tm() - t0
+        t0 = tm()
+        b = drain({"banded_store": store}, f"gate_store_{name}")
+        t_stored = tm() - t0
+        assert a == b, f"{name}: tier mismatch ({len(a)} vs {len(b)} admitted)"
+        print(
+            f"{name:6s} store_build={t_store:.1f}s  self_drain={t_self:.1f}s  "
+            f"store_drain={t_stored:.1f}s  admitted={len(a)} (parity OK)",
+            flush=True,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "fixed-batch":
         generate()
         generate_fixed_batch()
         measure_fixed_batch()
+    elif len(sys.argv) > 1 and sys.argv[1] == "streaming-gate":
+        generate()
+        generate_fixed_batch()
+        measure_streaming_gate()
     else:
         generate()
         measure()
