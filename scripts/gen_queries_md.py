@@ -55,10 +55,13 @@ def main() -> None:
                f"{len(REGISTRY) - n_oracle} rows-only.**")
     out.append("")
     for title, *prefixes in GROUPS:
-        names = [
+        # sorted, not REGISTRY order: the registry dict is reordered every
+        # round by the disclosed driver-window rotation, and following it
+        # would churn this catalog cosmetically round-over-round
+        names = sorted(
             n for n in REGISTRY
             if n not in assigned and any(n.startswith(p) for p in prefixes)
-        ]
+        )
         if not names:
             continue
         assigned.update(names)
