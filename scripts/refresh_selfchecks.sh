@@ -6,7 +6,7 @@
 # on a name/sf_dir mismatch, and tests/test_artifacts.py checks the
 # committed files' _env stamps against their filenames.
 #
-# Usage: sh scripts/refresh_selfchecks.sh   (from the repo root; ~15 min)
+# Usage: sh scripts/refresh_selfchecks.sh   (from the repo root; ~25 min, 5 sweeps)
 set -e
 cd "$(dirname "$0")/.."
 SELFCHECK_OUT=SELFCHECK_sf001.json python scripts/selfcheck.py /root/testdata/sf0.001
