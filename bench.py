@@ -238,19 +238,20 @@ def main() -> None:
     line = json.dumps(compact)
     if len(line) > 1800:  # paranoid: never outgrow the capture again
         # Don't silently drop the per-query map (the r7 failure mode in
-        # miniature).  With a detail file on disk, point at it loudly; if
-        # the detail write itself failed (detail_path None — nothing to
-        # point at), keep the slowest entries inline with an explicit
-        # dropped-count marker instead of referencing "None".
-        if detail_path:
-            compact["queries"] = f"TRUNCATED:see {os.path.basename(detail_path)}"
-        else:
-            keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-            keep["_truncated_n_dropped"] = len(timings) - len(keep)
-            compact["queries"] = keep
+        # miniature) — and keep "queries" the SAME TYPE (name -> seconds
+        # object) in every branch so a parser that worked on the happy
+        # path never meets a string or a non-timing entry: truncate to the
+        # slowest entries, record the cut in separate top-level keys, and
+        # point at the detail file (which always carries the full map)
+        # when it exists.
+        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+        compact["queries"] = keep
+        compact["queries_truncated"] = True
+        compact["queries_dropped_n"] = len(timings) - len(keep)
         line = json.dumps(compact)
         print("bench: compact line exceeded 1800 chars; per-query map "
-              "truncated (see stderr/detail)", file=sys.stderr)
+              "truncated to the 10 slowest (full map in the detail file "
+              "when present)", file=sys.stderr)
     print(line)
 
 
@@ -269,9 +270,12 @@ def _detail_path() -> str:
 def _latest_artifact_round() -> int:
     """Highest round number among committed BENCH_r*/CORRECTNESS_r*
     artifacts at run time — recorded inside the detail JSON so a reader
-    can tie a detail run to the driver round without filename games (the
-    driver's own BENCH_r{N} for the CURRENT round is committed after the
-    run, so this equals N-1 during an official end-of-round run)."""
+    can tie a detail run to the driver round without filename games.
+    During an official end-of-round run this equals the CURRENT round N:
+    the driver commits CORRECTNESS_r{N} before running bench (the r8
+    off-by-one incident is the evidence), and only BENCH_r{N} itself
+    lands after.  Mid-round builder runs see the previous round's
+    artifacts, i.e. N-1, until the round's CORRECTNESS lands."""
     import glob
     import re
 

@@ -21,7 +21,7 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bulkfhirloader_spark.fsutil import fs_path_exists
+from bulkfhirloader_spark.fsutil import fs_dir_fingerprint, store_meta_lifecycle
 from bulkfhirloader_spark.functions.binding import let
 from bulkfhirloader_spark.operators.text import normalize_text, tokens
 
@@ -1096,36 +1096,33 @@ def signature_store_write(
     ``mode="append"`` extends an existing store after validating that its
     geometry matches (admitting under one geometry and probing under
     another would silently miss every collision); "overwrite" replaces
-    store + meta.  Id uniqueness across appended batches is the CALLER's
+    store + meta, writing the DATA first and the meta last (commit-marker
+    ordering: a mid-overwrite failure leaves the old meta, which the
+    retry trips over loudly, instead of new-geometry meta validating over
+    old-geometry rows).  Overwrite is not crash-atomic for concurrent
+    readers — replace a live store by building at a fresh path and
+    swapping the pointer.  Id uniqueness across appended batches is the CALLER's
     contract (ids name pair-graph nodes downstream), which the admission
     flow provides by construction: each appended batch is the admitted
     (hence id-distinct, never-readmitted) subset."""
     spark = docs.sparkSession
     meta_path = f"{path}/meta.parquet"
-    if mode == "append":
-        # distinguish MISSING meta (fresh store: bootstrap) from UNREADABLE
-        # meta or data-without-meta (corrupt store: refuse) — treating any
-        # read failure as "no meta" would silently re-stamp a new geometry
-        # next to old-geometry rows, whose signatures then never collide
-        # with probes: exactly what the hard validation exists to prevent
-        if fs_path_exists(spark, meta_path):
-            _validate_store_geometry(spark, meta_path, num_hashes, shingle_words)
-        elif fs_path_exists(spark, f"{path}/sigs"):
-            raise ValueError(
-                f"signature store at {path} has data but no readable meta at "
-                f"{meta_path} — refusing to append under an unverifiable "
-                f"geometry; rebuild the store or restore its meta"
-            )
-        else:
-            spark.createDataFrame(
-                [(num_hashes, shingle_words)],
-                "num_hashes int, shingle_words int",
-            ).coalesce(1).write.mode("overwrite").parquet(meta_path)
-    else:
-        spark.createDataFrame(
-            [(num_hashes, shingle_words)],
-            "num_hashes int, shingle_words int",
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    # shared lifecycle (fsutil.store_meta_lifecycle): append validates /
+    # refuses-on-data-without-meta / bootstraps NOW; overwrite defers the
+    # meta write until AFTER the data lands (meta = commit marker, so a
+    # mid-overwrite failure trips the writer's retry on the OLD meta
+    # instead of silently validating new meta over old rows)
+    finalize_meta = store_meta_lifecycle(
+        spark,
+        meta_path,
+        f"{path}/sigs",
+        "num_hashes int, shingle_words int",
+        (num_hashes, shingle_words),
+        lambda rows: _validate_store_geometry(
+            rows, meta_path, num_hashes, shingle_words
+        ),
+        mode,
+    )
     sigs = minhash_signatures(
         docs.select(F.col(id_col), F.col(text_col)),
         id_col,
@@ -1134,16 +1131,12 @@ def signature_store_write(
         shingle_words,
     )
     sigs.write.mode(mode).parquet(f"{path}/sigs")
-
-
-def _read_store_meta(spark, meta_path: str) -> list:
-    return spark.read.parquet(meta_path).collect()
+    finalize_meta()
 
 
 def _validate_store_geometry(
-    spark, meta_path: str, num_hashes: int, shingle_words: int
+    rows: list, meta_path: str, num_hashes: int, shingle_words: int
 ) -> None:
-    rows = _read_store_meta(spark, meta_path)
     if len(rows) != 1:
         raise ValueError(f"corrupt signature store meta at {meta_path}: {rows}")
     m = rows[0]
@@ -1163,7 +1156,10 @@ def signature_store_read(
     """(id, minhash) rows of the store at ``path``, geometry-validated
     against the caller's parameters (hard error on mismatch — see
     signature_store_write)."""
-    _validate_store_geometry(spark, f"{path}/meta.parquet", num_hashes, shingle_words)
+    meta_path = f"{path}/meta.parquet"
+    _validate_store_geometry(
+        spark.read.parquet(meta_path).collect(), meta_path, num_hashes, shingle_words
+    )
     df = spark.read.parquet(f"{path}/sigs")
     if id_col != "doc_id" and id_col not in df.columns and "doc_id" in df.columns:
         df = df.withColumnRenamed("doc_id", id_col)
@@ -1253,13 +1249,12 @@ def incremental_near_dup_filter(
     store_fp = None
     if signature_store is not None:
         # memo fingerprint for the store side: parquet appends add part
-        # files and never rewrite existing ones, so the sorted file
-        # listing (a cheap FS listing, no job) changes iff the store's
-        # contents changed — a grown store must not be served a stale
-        # admitted-set memo
-        store_fp = hash(
-            tuple(sorted(spark.read.parquet(f"{signature_store}/sigs").inputFiles()))
-        )
+        # files and never rewrite existing ones, so the sorted (name, size)
+        # listing — a genuine FileSystem#listStatus, no parquet footer
+        # reads or job — changes iff the store's contents changed: a grown
+        # store must not be served a stale admitted-set memo.  Also the
+        # earliest curated error for a mistyped store path.
+        store_fp = fs_dir_fingerprint(spark, f"{signature_store}/sigs")
     memo_key = (
         app_id,
         existing.semanticHash(),

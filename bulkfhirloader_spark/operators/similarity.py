@@ -655,7 +655,18 @@ def cosine_topk_pandas(
                 {id_col: picked[0], query_id_col: picked[1], "score": picked[2]}
             )
 
-    scored = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    # NULL ids are dropped PLAN-side, not in numpy: a single NULL in an
+    # Arrow batch turns the whole pandas id column float64, where ids
+    # above 2^53 lose precision — corrupting emitted ids and letting
+    # distinct large ids alias through the self-pair mask.  Filtering
+    # before the Python boundary keeps the column int64 end-to-end (the
+    # fold tier's != predicate drops NULL ids anyway); the numpy
+    # finiteness mask in _batch_topk_rows stays as defense in depth.
+    scored = (
+        emb.select(id_col, vec_col)
+        .where(F.col(id_col).isNotNull())
+        .mapInPandas(score, schema=out_schema)
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(id_col).asc()
     )

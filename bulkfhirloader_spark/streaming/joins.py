@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bulkfhirloader_spark.fsutil import fs_path_exists
+from bulkfhirloader_spark.fsutil import store_meta_lifecycle
 
 
 def stream_interval_join(
@@ -88,7 +88,11 @@ def banded_signature_store_write(
     ``<path>/bands`` (the banded rows, plain parquet appends — at scale,
     partition the writes by arrival date outside this helper if retention
     windows matter).  Id uniqueness across appended batches is the
-    caller's contract, as in the batch store."""
+    caller's contract, as in the batch store.  Overwrite writes data
+    first, meta last (commit-marker ordering, see
+    dedup.signature_store_write) and is not crash-atomic for concurrent
+    readers — replace a live store at a fresh path and swap the
+    pointer."""
     from bulkfhirloader_spark.operators.dedup import (
         band_hash_array,
         minhash_sig_expr,
@@ -98,29 +102,21 @@ def banded_signature_store_write(
     assert num_hashes % bands == 0
     spark = docs.sparkSession
     meta_path = f"{path}/meta.parquet"
-    if mode == "append":
-        # missing meta on a FRESH store bootstraps; missing/unreadable meta
-        # NEXT TO existing band rows refuses — appending a second geometry
-        # beside the first would produce a store whose old rows never
-        # collide with probes (same rationale as dedup.signature_store_write)
-        if fs_path_exists(spark, meta_path):
-            _validate_banded_geometry(
-                spark.read.parquet(meta_path).collect(),
-                meta_path,
-                num_hashes,
-                bands,
-                shingle_words,
-            )
-        elif fs_path_exists(spark, f"{path}/bands"):
-            raise ValueError(
-                f"banded store at {path} has data but no readable meta at "
-                f"{meta_path} — refusing to append under an unverifiable "
-                f"geometry; rebuild the store or restore its meta"
-            )
-        else:
-            _write_banded_meta(spark, meta_path, num_hashes, bands, shingle_words)
-    else:
-        _write_banded_meta(spark, meta_path, num_hashes, bands, shingle_words)
+    # shared lifecycle (fsutil.store_meta_lifecycle, same semantics as
+    # dedup.signature_store_write): append validates / refuses on
+    # data-without-meta / bootstraps now; overwrite stamps the meta only
+    # AFTER the data write (commit-marker ordering)
+    finalize_meta = store_meta_lifecycle(
+        spark,
+        meta_path,
+        f"{path}/bands",
+        "num_hashes int, bands int, shingle_words int",
+        (num_hashes, bands, shingle_words),
+        lambda rows: _validate_banded_geometry(
+            rows, meta_path, num_hashes, bands, shingle_words
+        ),
+        mode,
+    )
     with_sh = docs.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
@@ -134,13 +130,7 @@ def banded_signature_store_write(
     with_sig.select("id", band_cols, "shingles").write.mode(mode).parquet(
         f"{path}/bands"
     )
-
-
-def _write_banded_meta(spark, meta_path, num_hashes, bands, shingle_words) -> None:
-    spark.createDataFrame(
-        [(num_hashes, bands, shingle_words)],
-        "num_hashes int, bands int, shingle_words int",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    finalize_meta()
 
 
 def _validate_banded_geometry(
@@ -259,8 +249,6 @@ def stream_near_dup_admission(
     # scale the drain is join-build-dominated, so the measured win is
     # small; the cache matters when the corpus side is large.)  The
     # previous invocation's cache is released on the next call.
-    while _live_static_band_caches:
-        _live_static_band_caches.pop().unpersist()
     if banded_store is not None:
         # deployment tier: the static side IS the stored banded table — a
         # columnar scan, no text re-shingling.  SNAPSHOT semantics: the
@@ -270,28 +258,31 @@ def stream_near_dup_admission(
         # the gate is rebuilt; since the snapshot is fixed anyway, persist
         # serves it from cached blocks after batch 1, same as the derived
         # path.
-        static_banded = (
-            banded_signature_store_read(
-                stream_docs.sparkSession, banded_store, num_hashes, bands,
-                shingle_words,
-            )
-            .select(
-                F.col("id").alias("id_e"),
-                "band_idx",
-                "band_hash",
-                F.col("shingles").alias("sh_e"),
-            )
-            .persist()
+        static_banded = banded_signature_store_read(
+            stream_docs.sparkSession, banded_store, num_hashes, bands,
+            shingle_words,
+        ).select(
+            F.col("id").alias("id_e"),
+            "band_idx",
+            "band_hash",
+            F.col("shingles").alias("sh_e"),
         )
-        _live_static_band_caches.append(static_banded)
+    elif existing is None:
+        raise ValueError(
+            "stream_near_dup_admission needs either an `existing` corpus "
+            "or a `banded_store=` path"
+        )
     else:
-        if existing is None:
-            raise ValueError(
-                "stream_near_dup_admission needs either an `existing` corpus "
-                "or a `banded_store=` path"
-            )
-        static_banded = banded(existing, "_e").persist()
-        _live_static_band_caches.append(static_banded)
+        static_banded = banded(existing, "_e")
+    # evict the previous gate's cache only AFTER this gate's arguments
+    # validated (geometry / existing checks above raise first): a FAILED
+    # construction must not cost a still-running gate its cached static
+    # side — that gate would silently re-derive the corpus every
+    # micro-batch afterwards
+    while _live_static_band_caches:
+        _live_static_band_caches.pop().unpersist()
+    static_banded = static_banded.persist()
+    _live_static_band_caches.append(static_banded)
 
     inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_e")))
     union = F.size("sh_s") + F.size("sh_e") - inter

@@ -1319,7 +1319,16 @@ def test_pandas_topk_null_id_and_nonfinite_parity(spark):
         [(None, [float(j) for j in range(8)])],
         "vec_id long, embedding array<double>",
     )
-    corpus = emb.unionByName(bad)
+    # ids above 2^53 cannot round-trip through float64: if the NULL row
+    # were allowed to reach pandas (forcing the id column to float64),
+    # these two distinct ids would alias to the same float and come back
+    # corrupted — they score 1.0 against queries 0/1, so they MUST appear
+    # in top-k with their exact values
+    big = spark.createDataFrame(
+        [(2**53 + 1, rows[0][1]), (2**53 + 2, rows[1][1])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.unionByName(bad).unionByName(big)
     q = emb.where(F.col("vec_id") < 3)
     got = sorted(
         (r.query_id, r.vec_id, round(r.score, 9), r.rank)
@@ -1339,6 +1348,8 @@ def test_pandas_topk_null_id_and_nonfinite_parity(spark):
     assert got == want
     assert len(got) == 15  # 3 queries x k=5 — the NaN row cost nobody a slot
     assert all(v is not None for _, v, _, _ in got)
+    surfaced = {v for _, v, _, _ in got}
+    assert 2**53 + 1 in surfaced and 2**53 + 2 in surfaced  # exact, unaliased
 
 
 def test_signature_store_data_without_meta_refuses_append(spark, tmp_path):
