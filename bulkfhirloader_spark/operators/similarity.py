@@ -747,10 +747,7 @@ def build_ivf_index(
     )
     if precomputed_centroids is not None:
         centers_list = [[float(v) for v in c] for c in precomputed_centroids]
-        assigned = cand_n.withColumn(
-            "_cluster",
-            _probe_clusters(F.col("_nv"), centers_list, 1)[0],
-        ).drop("_nv")
+        assigned = _assign_nearest_centroid(cand_n, centers_list).drop("_nv")
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -787,8 +784,8 @@ def append_ivf_index(
 
     Each new vector is assigned to the euclidean-nearest of the STORED
     centroids (the same metric KMeans assignment minimizes, evaluated by
-    the same `_probe_clusters` literal-array expression queries use — a
-    zero-shuffle projection), then appended into its list's Hive
+    `_assign_nearest_centroid` — Arrow-batched BLAS, one broadcast of the
+    centroid matrix, zero shuffle), then appended into its list's Hive
     partition directory.  The centroids file is untouched, so every
     existing and future probe sees one consistent quantizer; probes after
     an append remain planning-time partition-pruned because the layout is
@@ -798,11 +795,11 @@ def append_ivf_index(
     append(m) answers probes identically to build(n+m) under the same
     frozen centroids (`precomputed_centroids=` on build_ivf_index).
     Appending shifts list SIZES but never list boundaries.  One honest
-    caveat: a KMeans-trained build assigns via MLlib's transform (BLAS
-    squared distance) while this append and the frozen rebuild use the
-    literal zip_with fold — for a vector whose two nearest centroids are
-    within float rounding of equidistant, the two implementations may
-    round the argmin differently and file it in either list.  That is an
+    caveat: a KMeans-trained build assigns via MLlib's transform while
+    this append and the frozen rebuild share `_assign_nearest_centroid`
+    (Arrow/BLAS) — for a vector whose two nearest centroids are within
+    float rounding of equidistant, the two implementations may round the
+    argmin differently and file it in either list.  That is an
     IVF recall nuance (the vector sits on a cell boundary; any probe set
     covering both cells finds it), not a correctness loss — the index is
     approximate by contract — and it cannot occur between append and
@@ -820,12 +817,57 @@ def append_ivf_index(
     cand_n = new_vectors.withColumn("_cn", l2_norm(F.col(cand_vec))).withColumn(
         "_nv", l2_normalize(F.col(cand_vec), F.col("_cn"))
     )
-    assigned = cand_n.withColumn(
-        "_cluster", _probe_clusters(F.col("_nv"), centers, 1)[0]
-    ).drop("_nv")
+    assigned = _assign_nearest_centroid(cand_n, centers).drop("_nv")
     assigned.repartition(F.col("_cluster")).write.mode("append").partitionBy(
         "_cluster"
     ).parquet(f"{path}/lists.parquet")
+
+
+def _assign_nearest_centroid(df: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """``_cluster`` = euclidean-nearest centroid id for every row's
+    NORMALIZED vector (column ``_nv``), Arrow-batched numpy: one
+    ``X @ C.T`` per batch with the |c|²/2 correction (argmin over
+    ``half|c|² − x·c`` ≡ argmin squared distance for fixed |x|), ties to
+    the lowest centroid id (np.argmin first-occurrence — the same
+    tiebreak as the `_probe_clusters` struct sort).
+
+    This is corpus-side assignment's scale path: a literal zip_with fold
+    over nlist centroids compiles nlist×d expression nodes per row
+    (measured: ~1 MB task binaries and straggler tasks at nlist=256,
+    d=64, 500k rows), while BLAS scores a whole Arrow batch against all
+    centroids at once — the same boundary-crossing rule as
+    cosine_topk_pandas.  Queries keep the literal expression
+    (`_probe_clusters`): a query batch is small by contract and stays
+    JVM-side.  The centroid matrix ships ONCE as a broadcast variable.
+
+    append_ivf_index and the frozen rebuild SHARE this one implementation,
+    so their assignments agree bit-for-bit (the build-time KMeans
+    transform remains a separate implementation — see append_ivf_index's
+    float-boundary caveat)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centers, dtype=np.float64)
+    half_c2 = 0.5 * np.einsum("kd,kd->k", C, C)
+    bc = df.sparkSession.sparkContext.broadcast((C, half_c2))
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("_cluster", IntegerType(), False)]
+    )
+
+    def assign(batches):
+        Cb, hb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["_nv"].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["_cluster"] = np.argmin(hb[None, :] - X @ Cb.T, axis=1).astype(
+                np.int32
+            )
+            yield pdf
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def _read_stored_centroids(spark, path: str) -> list[list[float]]:

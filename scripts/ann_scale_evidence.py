@@ -184,12 +184,78 @@ def measure_lsh_amplification(n: int = 100_000) -> None:
     spark.stop()
 
 
+def measure_append(n: int = 500_000) -> None:
+    """IVF index maintenance at scale: build over 90% of the corpus, append
+    the remaining 10% WITHOUT retraining (assign to stored centroids), and
+    compare against a frozen-quantizer rebuild over the full corpus — the
+    two must answer probes identically (the pytest parity contract, here
+    at 100x the fixture size), and the append should cost a fraction of
+    the build because it skips KMeans and touches only the new rows."""
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-ivf-append")
+    tm = time.monotonic
+    queries = spark.read.parquet(f"{OUTDIR}/queries.parquet")
+    queries.count()
+    cands = spark.read.parquet(f"{OUTDIR}/emb_{n}.parquet")
+    cands.count()
+    nlist = min(256, max(16, int(n**0.5)))
+    first = cands.where("vec_id % 10 != 0")
+    extra = cands.where("vec_id % 10 = 0")
+
+    a = f"{OUTDIR}/ivf_app_{n}"
+    b = f"{OUTDIR}/ivf_frozen_{n}"
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(b, ignore_errors=True)
+    t0 = tm()
+    # sampled quantizer — the index-build norm (r8: recall parity at ~1/4
+    # the build cost); the append/frozen comparison is unaffected because
+    # both sides run under whatever centroids this build produced
+    sim.build_ivf_index(first, a, n_clusters=nlist, train_fraction=0.05)
+    t_build = tm() - t0
+    t0 = tm()
+    sim.append_ivf_index(extra, a)
+    t_append = tm() - t0
+    centers = [
+        r["center"]
+        for r in sorted(
+            spark.read.parquet(f"{a}/centroids.parquet").collect(),
+            key=lambda r: r["centroid_id"],
+        )
+    ]
+    t0 = tm()
+    sim.build_ivf_index(cands, b, precomputed_centroids=centers)
+    t_frozen = tm() - t0
+    t0 = tm()
+    pa_rows = sim.query_ivf_index(spark, a, queries, k=K, n_probe=8).collect()
+    t_probe = tm() - t0
+    pb_rows = sim.query_ivf_index(spark, b, queries, k=K, n_probe=8).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, pa_rows)) == sorted(map(key, pb_rows)), (
+        "append/frozen-rebuild probe mismatch"
+    )
+    print(
+        f"n={n} nlist={nlist} | build(90%)={t_build:.1f}s "
+        f"append(10%)={t_append:.1f}s frozen_rebuild(100%)={t_frozen:.1f}s "
+        f"probe={t_probe:.1f}s — probe parity OK "
+        f"({len(pa_rows)} rows)",
+        flush=True,
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["--lsh-amplification"]:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
         if not os.path.exists(f"{OUTDIR}/emb_{n}.parquet"):
             generate([n])
         measure_lsh_amplification(n)
+    elif sys.argv[1:2] == ["--append"]:
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+        if not os.path.exists(f"{OUTDIR}/emb_{n}.parquet"):
+            generate([n])
+        measure_append(n)
     else:
         sizes = [int(s) for s in sys.argv[1:]] or [10_000, 100_000, 500_000]
         generate(sizes)
