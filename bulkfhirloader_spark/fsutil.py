@@ -62,7 +62,6 @@ def store_meta_lifecycle(
     still not crash-atomic for concurrent READERS (a reader racing the
     data overwrite can see torn state); store replacement under live
     readers should build at a fresh path and swap the pointer."""
-    from pyspark.sql import SparkSession  # noqa: F401  (doc anchor only)
 
     def write_meta() -> None:
         spark.createDataFrame([meta_values], meta_schema).coalesce(
