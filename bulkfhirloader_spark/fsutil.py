@@ -61,7 +61,16 @@ def store_meta_lifecycle(
     validating new-geometry meta against old-geometry rows.  Overwrite is
     still not crash-atomic for concurrent READERS (a reader racing the
     data overwrite can see torn state); store replacement under live
-    readers should build at a fresh path and swap the pointer."""
+    readers should build at a fresh path and swap the pointer.
+
+    SINGLE-WRITER CONTRACT: there is no cross-writer exclusion anywhere in
+    this lifecycle.  In particular, two FIRST-TIME appenders racing under
+    different geometries can each pass the no-meta check and bootstrap,
+    with the last meta write silently stamping one geometry over the
+    other's rows.  Store writes must be serialized by the caller (the
+    admission flow does: one batch is admitted, then appended, then the
+    next batch runs) — the same contract as the append-unique-ids rule
+    documented on both store writers."""
 
     def write_meta() -> None:
         spark.createDataFrame([meta_values], meta_schema).coalesce(

@@ -275,6 +275,20 @@ def cached_minhash_signatures(
     return built
 
 
+def require_band_geometry(num_hashes: int, bands: int) -> None:
+    """Validate that ``num_hashes`` splits evenly into ``bands`` — as a real
+    exception, not an ``assert``: asserts are stripped under ``python -O``,
+    and a store written (or a gate built) with a ragged band split would
+    persist rows whose band hashes never collide with any prober's, i.e.
+    silent 100% duplicate admission instead of a loud config error."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} does not divide into bands={bands}: "
+            f"writer and prober would band-split signatures differently, "
+            f"and mismatched bands never collide"
+        )
+
+
 def band_hash_array(minhash_col, bands: int, num_hashes: int):
     """array<long> of per-band bucket hashes over a MinHash signature.
 
@@ -285,7 +299,7 @@ def band_hash_array(minhash_col, bands: int, num_hashes: int):
     Collision semantics are unchanged (equal slices ⇒ equal hash; unequal
     slices collide with ~2^-64 probability either way, and any false
     collision is removed downstream by the estimate/exact filter)."""
-    assert num_hashes % bands == 0
+    require_band_geometry(num_hashes, bands)
     rows_per_band = num_hashes // bands
     return F.array(
         *[
@@ -363,7 +377,7 @@ def minhash_near_dup_pairs(
     paid the full shingle+fold projection on every warm invocation);
     eviction is LRU-bounded at _SIG_MEMO_MAX entries.
     """
-    assert num_hashes % bands == 0
+    require_band_geometry(num_hashes, bands)
     # sigs feeds the banding AND both sides of the estimate re-join; persist
     # so the shingle hashing + K array-mins run once.  Signatures are
     # K longs per doc (~256 B at K=32) — memory-and-disk safe at any scale,
@@ -1161,8 +1175,19 @@ def signature_store_read(
         spark.read.parquet(meta_path).collect(), meta_path, num_hashes, shingle_words
     )
     df = spark.read.parquet(f"{path}/sigs")
-    if id_col != "doc_id" and id_col not in df.columns and "doc_id" in df.columns:
-        df = df.withColumnRenamed("doc_id", id_col)
+    # The store's id column is POSITIONAL semantics (whatever id_col the
+    # writer used); detect it generically as the single non-'minhash'
+    # column so a store written under one id name reads back under any
+    # other — a raw AnalysisException on the final select would otherwise
+    # be the only signal, unlike the curated geometry-mismatch error.
+    id_candidates = [c for c in df.columns if c != "minhash"]
+    if "minhash" not in df.columns or len(id_candidates) != 1:
+        raise ValueError(
+            f"corrupt signature store at {path}/sigs: expected exactly "
+            f"(<id>, minhash) columns, found {df.columns}"
+        )
+    if id_candidates[0] != id_col:
+        df = df.withColumnRenamed(id_candidates[0], id_col)
     return df.select(F.col(id_col), F.col("minhash"))
 
 
@@ -1178,6 +1203,7 @@ def incremental_near_dup_filter(
     local_threshold: int = 100_000,
     max_bucket_size: int | None = None,
     signature_store: str | None = None,
+    validate_store_ids: bool = False,
 ) -> DataFrame:
     """Incremental corpus admission — the production dedup flow: a new
     crawl batch arrives against an already-deduped corpus, and only new
@@ -1212,7 +1238,11 @@ def incremental_near_dup_filter(
     of ``existing``'s ids under the SAME geometry (geometry is validated
     hard; a store id missing from ``existing`` cannot be exact-verified,
     so its proposed pairs would silently fail verification and the
-    duplicate would be admitted).  Without the parameter the operator
+    duplicate would be admitted).  Pass ``validate_store_ids=True`` to
+    enforce that subset contract at runtime — one anti-join count over the
+    two id projections, raising with the orphan count on violation; off by
+    default because the scan is corpus-id-sized and the admission flow
+    satisfies the contract by construction.  Without the parameter the operator
     stays self-contained and recomputes, byte-identical admitted set
     (pytest-pinned at two scales).  Ids must be unique ACROSS both
     inputs (they name graph nodes), and NULL-id rows are never admitted
@@ -1243,7 +1273,7 @@ def incremental_near_dup_filter(
 
     Returns the admitted subset of ``new_batch`` (same columns).
     """
-    assert num_hashes % bands == 0
+    require_band_geometry(num_hashes, bands)
     spark = new_batch.sparkSession
     app_id = spark.sparkContext.applicationId
     store_fp = None
@@ -1255,6 +1285,29 @@ def incremental_near_dup_filter(
         # store must not be served a stale admitted-set memo.  Also the
         # earliest curated error for a mistyped store path.
         store_fp = fs_dir_fingerprint(spark, f"{signature_store}/sigs")
+        if validate_store_ids:
+            # Opt-in contract guard (round-9 advice): a store id absent
+            # from ``existing`` proposes pairs that silently FAIL exact
+            # verification (the verify tier reads existing's text by id),
+            # so near-dups of that doc would be admitted with no signal.
+            # One anti-join count over two id projections; deliberately
+            # BEFORE the memo lookup so a warm hit cannot skip the guard.
+            n_orphans = (
+                signature_store_read(
+                    spark, signature_store, num_hashes, shingle_words, id_col
+                )
+                .select(id_col)
+                .join(existing.select(id_col), id_col, "left_anti")
+                .count()
+            )
+            if n_orphans:
+                raise ValueError(
+                    f"signature store at {signature_store} holds "
+                    f"{n_orphans} id(s) absent from `existing`: their "
+                    f"proposed pairs cannot be exact-verified, so near-dups "
+                    f"of those docs would be silently admitted — rebuild "
+                    f"the store or supply the matching corpus"
+                )
     memo_key = (
         app_id,
         existing.semanticHash(),

@@ -155,8 +155,15 @@ class FileDocStoreWriter(DataSourceWriter):
             except (ImportError, OSError):  # pragma: no cover - non-POSIX
                 pass
             if self.overwrite:
+                # also reap orphan manifest temp files: a crash between
+                # writing `_manifest.json.tmp-<hex>` and os.replace leaves
+                # them behind, and nothing else ever deletes them
                 for name in os.listdir(self._dir()):
-                    if name.endswith(".jsonl") or name == "_manifest.json":
+                    if (
+                        name.endswith(".jsonl")
+                        or name == "_manifest.json"
+                        or name.startswith("_manifest.json.tmp-")
+                    ):
                         try:
                             os.remove(os.path.join(self._dir(), name))
                         except OSError:  # pragma: no cover - concurrent cleanup

@@ -96,10 +96,11 @@ def banded_signature_store_write(
     from bulkfhirloader_spark.operators.dedup import (
         band_hash_array,
         minhash_sig_expr,
+        require_band_geometry,
         word_shingles,
     )
 
-    assert num_hashes % bands == 0
+    require_band_geometry(num_hashes, bands)
     spark = docs.sparkSession
     meta_path = f"{path}/meta.parquet"
     # shared lifecycle (fsutil.store_meta_lifecycle, same semantics as
@@ -220,10 +221,11 @@ def stream_near_dup_admission(
     from bulkfhirloader_spark.operators.dedup import (
         band_hash_array,
         minhash_sig_expr,
+        require_band_geometry,
         word_shingles,
     )
 
-    assert num_hashes % bands == 0
+    require_band_geometry(num_hashes, bands)
 
     def banded(docs: DataFrame, suffix: str) -> DataFrame:
         # ONE projection yields shingles AND signature (minhash_sig_expr) —

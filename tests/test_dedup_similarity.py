@@ -1370,3 +1370,97 @@ def test_signature_store_data_without_meta_refuses_append(spark, tmp_path):
         dedup.signature_store_write(docs, store, num_hashes=16, shingle_words=3)
     # a FRESH path still bootstraps fine
     dedup.signature_store_write(docs, str(tmp_path / "fresh"), num_hashes=16)
+
+
+def test_band_geometry_rejected_as_valueerror(spark, tmp_path):
+    """r9 advice: geometry preconditions must survive `python -O` — a bare
+    assert would be stripped and a mis-banded store/gate would silently
+    admit every duplicate.  All band-geometry entry points raise
+    ValueError, never AssertionError."""
+    from bulkfhirloader_spark.streaming.joins import (
+        banded_signature_store_write,
+        stream_near_dup_admission,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="does not divide"):
+        dedup.require_band_geometry(16, 3)
+    with pytest.raises(ValueError, match="does not divide"):
+        dedup.incremental_near_dup_filter(docs, docs, num_hashes=16, bands=3)
+    with pytest.raises(ValueError, match="does not divide"):
+        dedup.minhash_near_dup_pairs(docs, num_hashes=16, bands=3)
+    with pytest.raises(ValueError, match="does not divide"):
+        banded_signature_store_write(
+            docs, str(tmp_path / "bst"), num_hashes=16, bands=3
+        )
+    with pytest.raises(ValueError, match="does not divide"):
+        stream_near_dup_admission(docs, docs, num_hashes=16, bands=3)
+
+
+def test_validate_store_ids_surfaces_orphan_store_rows(spark, tmp_path):
+    """r9 advice: a store id absent from `existing` degrades recall with no
+    signal (its proposed pairs silently fail exact verification).  The
+    opt-in guard must raise with the orphan count; a store that IS a
+    subset of `existing` must pass the guard unchanged."""
+    docs = spark.createDataFrame(
+        [
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (4, "one two three four five six seven eight nine ten"),
+            (5, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    full = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "sigstore")
+    dedup.signature_store_write(full, store, num_hashes=16, shingle_words=3)
+    # matching corpus: guard passes, admitted set equals the unguarded run
+    ok = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            full, batch, signature_store=store, validate_store_ids=True
+        ).collect()
+    )
+    assert ok == sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            full, batch, signature_store=store
+        ).collect()
+    )
+    # drifted corpus: doc 4 lives in the store but not in `existing`
+    drifted = full.where(F.col("doc_id") != 4)
+    with pytest.raises(ValueError, match="1 id\\(s\\) absent"):
+        dedup.incremental_near_dup_filter(
+            drifted, batch, signature_store=store, validate_store_ids=True
+        )
+
+
+def test_signature_store_custom_id_col_roundtrip(spark, tmp_path):
+    """r9 advice: the stored id column is positional semantics — a store
+    written under one id name must read back under ANY requested name
+    (curated rename, not a raw AnalysisException), and a store whose
+    column set isn't (<id>, minhash) must raise a descriptive error."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "key long, body string",
+    )
+    store = str(tmp_path / "sigstore")
+    dedup.signature_store_write(
+        docs, store, id_col="key", text_col="body", num_hashes=16
+    )
+    back = dedup.signature_store_read(
+        spark, store, num_hashes=16, shingle_words=3, id_col="other_name"
+    )
+    assert back.columns == ["other_name", "minhash"]
+    assert back.count() == 1
+    # corrupt column set -> curated error naming the columns found
+    bad = str(tmp_path / "badstore")
+    dedup.signature_store_write(docs, bad, id_col="key", text_col="body")
+    spark.createDataFrame([(1, 2)], "a long, b long").write.mode(
+        "overwrite"
+    ).parquet(f"{bad}/sigs")
+    with pytest.raises(ValueError, match="corrupt signature store"):
+        dedup.signature_store_read(spark, bad, num_hashes=16, shingle_words=3)
