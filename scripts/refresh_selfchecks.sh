@@ -6,7 +6,10 @@
 # on a name/sf_dir mismatch, and tests/test_artifacts.py checks the
 # committed files' _env stamps against their filenames.
 #
-# Usage: sh scripts/refresh_selfchecks.sh   (from the repo root; ~25 min, 5 sweeps)
+# Run this as the LAST code-affecting step of a round, so the artifacts'
+# _env.git_sha (recorded per sweep) certifies the code that ships.
+#
+# Usage: sh scripts/refresh_selfchecks.sh   (from the repo root; ~35 min, 6 sweeps)
 set -e
 cd "$(dirname "$0")/.."
 SELFCHECK_OUT=SELFCHECK_sf001.json python scripts/selfcheck.py /root/testdata/sf0.001
@@ -17,3 +20,8 @@ SPARK_GRAFT_HOSTILE=1 SELFCHECK_OUT=SELFCHECK_hostile.json \
 SPARK_GRAFT_HOSTILE=1 SPARK_GRAFT_ROWREADER=1 \
     SELFCHECK_OUT=SELFCHECK_hostile_rowreader.json \
     python scripts/selfcheck.py /root/testdata/sf0.01
+# hostile at sf0.1 (r9 verdict, Next round #7): timezone/partition-count
+# interactions are the one axis combination the sf0.01-only hostile sweep
+# never exercised
+SPARK_GRAFT_HOSTILE=1 SELFCHECK_OUT=SELFCHECK_hostile_sf1.json \
+    python scripts/selfcheck.py /root/testdata/sf0.1

@@ -61,7 +61,9 @@ def expected_sf_basename(out_path: str) -> str | None:
     (hostile, /tmp outputs)."""
     import re
 
-    m = re.fullmatch(r"SELFCHECK_sf(\d+)\.json", os.path.basename(out_path))
+    m = re.fullmatch(
+        r"SELFCHECK_(?:[a-z_]+_)?sf(\d+)\.json", os.path.basename(out_path)
+    )
     if not m:
         return None
     return f"sf0.{m.group(1)}"
@@ -83,6 +85,54 @@ def _guard_out_name_matches_sf(out_path: str, sf_dir: str) -> None:
             f"'{want}' but sf_dir argv is '{got}' — pass the matching "
             f"sf_dir (scripts/refresh_selfchecks.sh does this per scale)"
         )
+    # axis-named artifacts must actually run under that axis (same class of
+    # mislabeling as the scale guard: a 'hostile'-named file produced by a
+    # default-conf run is false evidence)
+    base = os.path.basename(out_path)
+    if "hostile" in base and not os.environ.get("SPARK_GRAFT_HOSTILE"):
+        raise SystemExit(
+            f"SELFCHECK_OUT={base} is hostile-named but SPARK_GRAFT_HOSTILE "
+            f"is unset — set it or rename the output"
+        )
+    if "rowreader" in base and not os.environ.get("SPARK_GRAFT_ROWREADER"):
+        raise SystemExit(
+            f"SELFCHECK_OUT={base} is rowreader-named but "
+            f"SPARK_GRAFT_ROWREADER is unset — set it or rename the output"
+        )
+
+
+def git_provenance() -> dict:
+    """(sha, dirty) of the repo the sweep actually certified — the r9
+    provenance gap: the committed artifacts could not prove WHICH code
+    they ran against.  `git_dirty` ignores the SELFCHECK_*.json artifacts
+    themselves (the refresh loop's earlier sweeps dirty them for later
+    sweeps by design); any OTHER dirty tracked file is listed so the
+    artifact is self-describing.  Defensive: any git failure records
+    None rather than breaking the sweep."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.strip()
+        status = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo, capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.splitlines()
+        dirty = [
+            line[3:]
+            for line in status
+            if line and not os.path.basename(line[3:]).startswith("SELFCHECK_")
+        ]
+        return {
+            "git_sha": sha,
+            "git_dirty": bool(dirty),
+            "git_dirty_files": dirty[:10],
+        }
+    except Exception:  # pragma: no cover - git unavailable
+        return {"git_sha": None, "git_dirty": None, "git_dirty_files": None}
 
 
 def main() -> int:
@@ -242,6 +292,7 @@ def main() -> int:
         spark.conf.set(k, v)
     results["_env"] = {
         "sf_dir": sf_dir,
+        **git_provenance(),
         "session_tz": spark.conf.get("spark.sql.session.timeZone", None),
         "os_tz": os.environ.get("TZ"),
         "spark_version": spark.version,
