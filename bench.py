@@ -130,6 +130,23 @@ def main() -> None:
         prebuild_ivf_index(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         errors["warmup:ivf_index"] = f"{type(exc).__name__}: {exc}"[:300]
+    # Pre-spawn the Python/Arrow worker pool (r9 verdict, Next round #4):
+    # the session's FIRST Arrow exchange pays worker-pool fork + pyarrow/
+    # pandas imports inside the workers — measured 4.3 s median of
+    # sim_topk_pandas's 7.4 s first-in-session cold, and the reason that
+    # row oscillated 1.7-2.4 s across rounds 7-9 (it is the headline's
+    # first Arrow query, so it absorbed a box-state-dependent session tax;
+    # scripts/pandas_cold_breakdown.py holds the decomposition).  A 1-row
+    # identity mapInPandas shares no plan, scan, or broadcast with any
+    # timed query — it only spawns the pool, exactly like the per-table
+    # scan warmup above — so cold rows now measure their QUERY (codegen +
+    # broadcast + compute), comparable across rounds.
+    try:
+        spark.createDataFrame([(1,)], "x long").mapInPandas(
+            lambda it: it, "x long"
+        ).collect()
+    except Exception as exc:  # noqa: BLE001
+        errors["warmup:arrow_pool"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Measured empty-job floor: plan + schedule + collect round-trip with no
     # data.  At toy scale every query pays roughly this constant regardless

@@ -245,6 +245,113 @@ def measure_append(n: int = 500_000) -> None:
     spark.stop()
 
 
+def measure_append_drift(n: int = 500_000, m: int = 100_000) -> None:
+    """The retrain-threshold curve append_ivf_index's docstring promises
+    (r9 verdict, Next round #5): append WITHOUT retraining is exact w.r.t.
+    its frozen centroids, but if the appended data DRIFTS away from the
+    build-time distribution, those centroids partition the new region
+    badly and probe recall on new-data queries decays — this measures how
+    fast, so operators get a number ("retrain when recall@10 drops below
+    X") instead of prose.
+
+    Protocol per drift magnitude δ: shift every true cluster center by a
+    seeded unit direction scaled by δ (cluster noise is 0.25, centers live
+    on the unit sphere — δ=0.5 moves a cluster ~2 noise-sigmas, δ=2 into
+    effectively new territory); draw m vectors and 100 queries from the
+    DRIFTED clusters; append the vectors to a copy of the n-vector base
+    index; compare recall@10 (vs exact BLAS over the full n+m corpus, same
+    queries) of (a) the appended index under its frozen base-time
+    centroids and (b) a fresh KMeans rebuild over all n+m rows, both at
+    the same n_probe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-ivf-append-drift")
+    tm = time.monotonic
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(N_CLUSTERS_TRUE, DIM)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    drift_dirs = np.random.default_rng(11).normal(size=centers.shape)
+    drift_dirs /= np.linalg.norm(drift_dirs, axis=1, keepdims=True)
+
+    cands = spark.read.parquet(f"{OUTDIR}/emb_{n}.parquet")
+    cands.count()
+    nlist = min(256, max(16, int(n**0.5)))
+    base = f"{OUTDIR}/ivf_driftbase_{n}"
+    shutil.rmtree(base, ignore_errors=True)
+    t0 = tm()
+    sim.build_ivf_index(cands, base, n_clusters=nlist, train_fraction=0.05)
+    print(f"base build n={n} nlist={nlist}: {tm()-t0:.1f}s", flush=True)
+
+    for delta in (0.0, 0.5, 1.0, 2.0):
+        dcenters = (centers + delta * drift_dirs).astype(np.float32)
+        r = np.random.default_rng(int(delta * 100) + 3)
+        assign = r.integers(0, N_CLUSTERS_TRUE, size=m)
+        pts = (dcenters[assign] + 0.25 * r.normal(size=(m, DIM))).astype(np.float32)
+        qassign = r.integers(0, N_CLUSTERS_TRUE, size=N_QUERIES)
+        qpts = (dcenters[qassign] + 0.25 * r.normal(size=(N_QUERIES, DIM))).astype(
+            np.float32
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.arange(10_000_000, 10_000_000 + m, dtype=np.int64)
+                    ),
+                    "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+                }
+            ),
+            f"{OUTDIR}/emb_drift.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "query_id": pa.array(
+                        np.arange(10**9, 10**9 + N_QUERIES, dtype=np.int64)
+                    ),
+                    "query_vec": pa.array(list(qpts), type=pa.list_(pa.float32())),
+                }
+            ),
+            f"{OUTDIR}/queries_drift.parquet",
+        )
+        extra = spark.read.parquet(f"{OUTDIR}/emb_drift.parquet")
+        queries = spark.read.parquet(f"{OUTDIR}/queries_drift.parquet")
+        full = cands.unionByName(extra)
+
+        appended = f"{OUTDIR}/ivf_drift_app"
+        shutil.rmtree(appended, ignore_errors=True)
+        shutil.copytree(base, appended)
+        t0 = tm()
+        sim.append_ivf_index(extra, appended)
+        t_append = tm() - t0
+
+        fresh = f"{OUTDIR}/ivf_drift_fresh"
+        shutil.rmtree(fresh, ignore_errors=True)
+        t0 = tm()
+        sim.build_ivf_index(full, fresh, n_clusters=nlist, train_fraction=0.05)
+        t_fresh = tm() - t0
+
+        q_as_corpus = queries.select(
+            F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")
+        )
+        exact = sim.cosine_topk_pandas(q_as_corpus, full, k=K).collect()
+        app_rows = sim.query_ivf_index(spark, appended, queries, k=K, n_probe=8).collect()
+        fresh_rows = sim.query_ivf_index(spark, fresh, queries, k=K, n_probe=8).collect()
+        print(
+            f"delta={delta:.2f} | append={t_append:5.1f}s "
+            f"recall(appended,frozen-centroids)={recall_at_k(app_rows, exact):.3f} "
+            f"vs rebuild={t_fresh:5.1f}s "
+            f"recall(fresh-kmeans)={recall_at_k(fresh_rows, exact):.3f} "
+            f"(n={n} +m={m}, n_probe=8)",
+            flush=True,
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["--lsh-amplification"]:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
@@ -256,6 +363,11 @@ if __name__ == "__main__":
         if not os.path.exists(f"{OUTDIR}/emb_{n}.parquet"):
             generate([n])
         measure_append(n)
+    elif sys.argv[1:2] == ["--append-drift"]:
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+        if not os.path.exists(f"{OUTDIR}/emb_{n}.parquet"):
+            generate([n])
+        measure_append_drift(n)
     else:
         sizes = [int(s) for s in sys.argv[1:]] or [10_000, 100_000, 500_000]
         generate(sizes)
