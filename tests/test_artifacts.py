@@ -92,6 +92,7 @@ def test_committed_selfchecks_are_all_green():
         + [
             os.path.join(REPO, "SELFCHECK_hostile.json"),
             os.path.join(REPO, "SELFCHECK_hostile_rowreader.json"),
+            os.path.join(REPO, "SELFCHECK_hostile_sf1.json"),
         ]
     )
     for path in paths:
@@ -108,3 +109,53 @@ def test_committed_selfchecks_are_all_green():
                 assert rec.get("rows_match") and rec.get("schema_match") and rec.get(
                     "hash_match"
                 ), f"{path}: {name} not green"
+
+
+ALL_SELFCHECK_NAMES = [
+    "SELFCHECK_sf001.json",
+    "SELFCHECK_sf01.json",
+    "SELFCHECK_sf1.json",
+    "SELFCHECK_hostile.json",
+    "SELFCHECK_hostile_rowreader.json",
+    "SELFCHECK_hostile_sf1.json",
+]
+
+
+def test_hostile_sf1_selfcheck_ran_hostile_at_sf01():
+    """r9 verdict Next round #7: hostile coverage was sf0.01-only; the
+    sf0.1 hostile artifact must prove BOTH axes — the hostile confs and
+    the larger scale directory."""
+    path = os.path.join(REPO, "SELFCHECK_hostile_sf1.json")
+    assert os.path.exists(path), "no committed SELFCHECK_hostile_sf1.json"
+    env = _load(path).get("_env", {})
+    assert env.get("hostile") is True
+    assert env.get("session_tz") == "Pacific/Kiritimati"
+    assert os.path.basename(str(env.get("sf_dir", "")).rstrip("/")) == "sf0.1"
+    assert expected_sf_basename(path) == "sf0.1"
+
+
+def test_committed_selfchecks_share_one_clean_git_sha():
+    """r9 provenance gap: the artifacts could not prove WHICH code they
+    certified.  Every committed selfcheck must record the SAME git sha,
+    a clean (non-selfcheck) tree, and that sha must be an ancestor of the
+    current HEAD — i.e. the artifacts certify code that is actually in
+    this history, all from one refresh."""
+    import subprocess
+
+    shas = {}
+    for name in ALL_SELFCHECK_NAMES:
+        path = os.path.join(REPO, name)
+        assert os.path.exists(path), f"missing committed artifact {name}"
+        env = _load(path).get("_env", {})
+        assert env.get("git_sha"), f"{name}: no _env.git_sha recorded"
+        assert env.get("git_dirty") is False, (
+            f"{name}: refresh ran on a dirty tree: {env.get('git_dirty_files')}"
+        )
+        shas[name] = env["git_sha"]
+    assert len(set(shas.values())) == 1, f"artifacts from different refreshes: {shas}"
+    sha = next(iter(set(shas.values())))
+    res = subprocess.run(
+        ["git", "merge-base", "--is-ancestor", sha, "HEAD"],
+        cwd=REPO, capture_output=True, text=True, timeout=30,
+    )
+    assert res.returncode == 0, f"_env.git_sha {sha} is not an ancestor of HEAD"
