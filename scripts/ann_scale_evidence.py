@@ -341,9 +341,16 @@ def measure_append_drift(n: int = 500_000, m: int = 100_000) -> None:
         exact = sim.cosine_topk_pandas(q_as_corpus, full, k=K).collect()
         app_rows = sim.query_ivf_index(spark, appended, queries, k=K, n_probe=8).collect()
         fresh_rows = sim.query_ivf_index(spark, fresh, queries, k=K, n_probe=8).collect()
+        # can the operator BUY BACK the frozen-centroid recall loss by
+        # probing more lists, instead of retraining?  (2x/4x probe cost vs
+        # a full KMeans rebuild — the cheaper knob if it closes the gap)
+        app16 = sim.query_ivf_index(spark, appended, queries, k=K, n_probe=16).collect()
+        app32 = sim.query_ivf_index(spark, appended, queries, k=K, n_probe=32).collect()
         print(
             f"delta={delta:.2f} | append={t_append:5.1f}s "
             f"recall(appended,frozen-centroids)={recall_at_k(app_rows, exact):.3f} "
+            f"[n_probe 16: {recall_at_k(app16, exact):.3f}, "
+            f"32: {recall_at_k(app32, exact):.3f}] "
             f"vs rebuild={t_fresh:5.1f}s "
             f"recall(fresh-kmeans)={recall_at_k(fresh_rows, exact):.3f} "
             f"(n={n} +m={m}, n_probe=8)",

@@ -93,6 +93,7 @@ def test_committed_selfchecks_are_all_green():
             os.path.join(REPO, "SELFCHECK_hostile.json"),
             os.path.join(REPO, "SELFCHECK_hostile_rowreader.json"),
             os.path.join(REPO, "SELFCHECK_hostile_sf1.json"),
+            os.path.join(REPO, "SELFCHECK_hostile_rowreader_sf1.json"),
         ]
     )
     for path in paths:
@@ -118,7 +119,22 @@ ALL_SELFCHECK_NAMES = [
     "SELFCHECK_hostile.json",
     "SELFCHECK_hostile_rowreader.json",
     "SELFCHECK_hostile_sf1.json",
+    "SELFCHECK_hostile_rowreader_sf1.json",
 ]
+
+
+def test_hostile_rowreader_sf1_selfcheck_ran_all_three_axes():
+    """Completes the axis matrix: the sf0.1 hostile+rowreader artifact
+    must prove the hostile confs, the vectorized-reader-off conf, AND the
+    larger scale directory all held."""
+    path = os.path.join(REPO, "SELFCHECK_hostile_rowreader_sf1.json")
+    assert os.path.exists(path), "no committed SELFCHECK_hostile_rowreader_sf1.json"
+    env = _load(path).get("_env", {})
+    assert env.get("hostile") is True
+    assert env.get("rowreader") is True
+    assert str(env.get("vectorized_parquet_reader")).lower() == "false"
+    assert env.get("session_tz") == "Pacific/Kiritimati"
+    assert os.path.basename(str(env.get("sf_dir", "")).rstrip("/")) == "sf0.1"
 
 
 def test_hostile_sf1_selfcheck_ran_hostile_at_sf01():
