@@ -251,3 +251,58 @@ def test_admission_rejects_local_restates_distributed_rule(rows):
     labels = _union_find_min_labels(nn)
     dropped = {n for n, c in labels.items() if c != n}
     assert got == old_dup | dropped
+
+
+# ---------------------------------------------------------------------------
+# Stored-signature admission tier (round 10): the parquet-store probe must
+# reproduce the self-contained admitted set on ADVERSARIAL corpora, not
+# just the fixture — hypothesis hunts duplicate-heavy, tie-heavy shapes
+# (tiny vocab => near-dups everywhere, including across the split).
+# ---------------------------------------------------------------------------
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+_DOCS = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=len(_VOCAB) - 1),
+        min_size=3,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(_DOCS)
+@example([[0, 1, 2, 3], [0, 1, 2, 3], [0, 1, 2, 4], [5, 5, 5]])  # dup + near-dup + loner
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_signature_store_tier_matches_self_contained_on_random_corpora(spark, raw):
+    import tempfile
+
+    from bulkfhirloader_spark.operators import dedup
+
+    rows = [
+        (i + 1, " ".join(_VOCAB[w] for w in words)) for i, words in enumerate(raw)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    existing = docs.where("doc_id % 2 = 0")
+    new_batch = docs.where("doc_id % 2 = 1")
+    plain = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
+    )
+    store = tempfile.mkdtemp(prefix="bfls_prop_store_") + "/s"
+    dedup.signature_store_write(existing, store)
+    stored = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            existing, new_batch, signature_store=store, validate_store_ids=True
+        ).collect()
+    )
+    assert stored == plain
+    # every admitted id is odd (came from the batch) and unique
+    assert all(i % 2 == 1 for i in stored) and len(set(stored)) == len(stored)
