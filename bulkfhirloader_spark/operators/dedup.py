@@ -1234,15 +1234,19 @@ def incremental_near_dup_filter(
     are computed; the exact-verify tier still reads the TEXT of the few
     candidate-pair docs from ``existing`` (a candidate-bounded lookup,
     not a corpus projection — verification stays exact, never
-    estimate-from-signature).  Contract: the store's ids must be a subset
-    of ``existing``'s ids under the SAME geometry (geometry is validated
-    hard; a store id missing from ``existing`` cannot be exact-verified,
-    so its proposed pairs would silently fail verification and the
-    duplicate would be admitted).  Pass ``validate_store_ids=True`` to
-    enforce that subset contract at runtime — one anti-join count over the
-    two id projections, raising with the orphan count on violation; off by
-    default because the scan is corpus-id-sized and the admission flow
-    satisfies the contract by construction.  Without the parameter the operator
+    estimate-from-signature).  Contract: the store's ids must EQUAL
+    ``existing``'s ids under the SAME geometry (geometry is validated
+    hard).  The stored tier reads the existing side's signatures FROM the
+    store, so each direction of mismatch silently admits duplicates: a
+    store id missing from ``existing`` cannot be exact-verified (its
+    proposed pairs fail verification), and an ``existing`` id missing
+    from the store — the likelier drift, a forgotten or crashed append
+    after an admitted batch — has no signature at all and is never
+    proposed.  Pass ``validate_store_ids=True`` to enforce the equality
+    at runtime — two anti-join counts over the two id projections,
+    raising with both counts on violation; off by default because the
+    scan is corpus-id-sized and the admission flow satisfies the
+    contract by construction.  Without the parameter the operator
     stays self-contained and recomputes, byte-identical admitted set
     (pytest-pinned at two scales).  Ids must be unique ACROSS both
     inputs (they name graph nodes), and NULL-id rows are never admitted
@@ -1286,27 +1290,33 @@ def incremental_near_dup_filter(
         # earliest curated error for a mistyped store path.
         store_fp = fs_dir_fingerprint(spark, f"{signature_store}/sigs")
         if validate_store_ids:
-            # Opt-in contract guard (round-9 advice): a store id absent
-            # from ``existing`` proposes pairs that silently FAIL exact
-            # verification (the verify tier reads existing's text by id),
-            # so near-dups of that doc would be admitted with no signal.
-            # One anti-join count over two id projections; deliberately
-            # BEFORE the memo lookup so a warm hit cannot skip the guard.
-            n_orphans = (
-                signature_store_read(
-                    spark, signature_store, num_hashes, shingle_words, id_col
-                )
-                .select(id_col)
-                .join(existing.select(id_col), id_col, "left_anti")
-                .count()
-            )
-            if n_orphans:
+            # Opt-in contract guard (round-9 advice + round-10 review):
+            # the store must hold EXACTLY existing's ids, and each
+            # direction fails differently.  A store id absent from
+            # ``existing`` proposes pairs that silently FAIL exact
+            # verification (the verify tier reads existing's text by id);
+            # an ``existing`` id absent from the store — the likelier real
+            # drift: the corpus grew but an append was forgotten or
+            # crashed — has NO signature row at all on this tier, so it is
+            # never even proposed.  Both end in silent duplicate
+            # admission.  Two anti-join counts over two id projections;
+            # deliberately BEFORE the memo lookup so a warm hit cannot
+            # skip the guard.
+            store_ids = signature_store_read(
+                spark, signature_store, num_hashes, shingle_words, id_col
+            ).select(id_col)
+            ex_ids = existing.select(id_col)
+            n_orphans = store_ids.join(ex_ids, id_col, "left_anti").count()
+            n_missing = ex_ids.join(store_ids, id_col, "left_anti").count()
+            if n_orphans or n_missing:
                 raise ValueError(
-                    f"signature store at {signature_store} holds "
-                    f"{n_orphans} id(s) absent from `existing`: their "
-                    f"proposed pairs cannot be exact-verified, so near-dups "
-                    f"of those docs would be silently admitted — rebuild "
-                    f"the store or supply the matching corpus"
+                    f"signature store at {signature_store} does not match "
+                    f"`existing`: {n_orphans} store id(s) absent from "
+                    f"existing (their proposed pairs cannot be "
+                    f"exact-verified), {n_missing} existing id(s) absent "
+                    f"from the store (never proposed at all) — either way "
+                    f"near-dups would be silently admitted; rebuild or "
+                    f"append the store, or supply the matching corpus"
                 )
     memo_key = (
         app_id,

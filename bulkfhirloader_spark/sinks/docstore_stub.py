@@ -154,16 +154,21 @@ class FileDocStoreWriter(DataSourceWriter):
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
             except (ImportError, OSError):  # pragma: no cover - non-POSIX
                 pass
+            # Reap orphan manifest temp files in BOTH modes (r10 review:
+            # append is the common mode, and a crash between writing
+            # `_manifest.json.tmp-<hex>` and os.replace leaves the tmp
+            # behind forever otherwise).  We hold the exclusive flock, so
+            # any tmp-* visible now belongs to a dead writer, never a
+            # concurrent live one.
+            for name in os.listdir(self._dir()):
+                if name.startswith("_manifest.json.tmp-"):
+                    try:
+                        os.remove(os.path.join(self._dir(), name))
+                    except OSError:  # pragma: no cover - concurrent cleanup
+                        pass
             if self.overwrite:
-                # also reap orphan manifest temp files: a crash between
-                # writing `_manifest.json.tmp-<hex>` and os.replace leaves
-                # them behind, and nothing else ever deletes them
                 for name in os.listdir(self._dir()):
-                    if (
-                        name.endswith(".jsonl")
-                        or name == "_manifest.json"
-                        or name.startswith("_manifest.json.tmp-")
-                    ):
+                    if name.endswith(".jsonl") or name == "_manifest.json":
                         try:
                             os.remove(os.path.join(self._dir(), name))
                         except OSError:  # pragma: no cover - concurrent cleanup

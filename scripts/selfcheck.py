@@ -99,6 +99,26 @@ def _guard_out_name_matches_sf(out_path: str, sf_dir: str) -> None:
             f"SELFCHECK_OUT={base} is rowreader-named but "
             f"SPARK_GRAFT_ROWREADER is unset — set it or rename the output"
         )
+    # ... and the REVERSE direction (r10 review): a leftover exported
+    # SPARK_GRAFT_HOSTILE/ROWREADER must not contaminate a default-named
+    # committed artifact — the three plain scale sweeps would then all run
+    # hostile while their names (and the artifact guard tests, which only
+    # check hostile-named files for hostile=True) claim default-conf
+    # coverage.  Scoped to SELFCHECK_* names: ad-hoc hostile runs writing
+    # /tmp outputs stay legitimate.
+    if base.startswith("SELFCHECK_"):
+        if "hostile" not in base and os.environ.get("SPARK_GRAFT_HOSTILE"):
+            raise SystemExit(
+                f"SPARK_GRAFT_HOSTILE is set but SELFCHECK_OUT={base} is not "
+                f"hostile-named — unset the env var or name the output for "
+                f"the axis it actually ran"
+            )
+        if "rowreader" not in base and os.environ.get("SPARK_GRAFT_ROWREADER"):
+            raise SystemExit(
+                f"SPARK_GRAFT_ROWREADER is set but SELFCHECK_OUT={base} is "
+                f"not rowreader-named — unset the env var or name the output "
+                f"for the axis it actually ran"
+            )
 
 
 def git_provenance() -> dict:

@@ -170,8 +170,37 @@ def test_committed_selfchecks_share_one_clean_git_sha():
         shas[name] = env["git_sha"]
     assert len(set(shas.values())) == 1, f"artifacts from different refreshes: {shas}"
     sha = next(iter(set(shas.values())))
+    # distinguish "sha unresolvable here" (shallow clone / exported tree —
+    # not the artifacts' fault; r10 review) from "sha known and NOT an
+    # ancestor" (genuine provenance failure)
+    probe = subprocess.run(
+        ["git", "cat-file", "-e", f"{sha}^{{commit}}"],
+        cwd=REPO, capture_output=True, text=True, timeout=30,
+    )
+    if probe.returncode != 0:
+        import pytest
+
+        pytest.skip(
+            f"recorded _env.git_sha {sha[:12]} not resolvable in this "
+            f"checkout (shallow or exported); ancestor check needs history"
+        )
     res = subprocess.run(
         ["git", "merge-base", "--is-ancestor", sha, "HEAD"],
         cwd=REPO, capture_output=True, text=True, timeout=30,
     )
     assert res.returncode == 0, f"_env.git_sha {sha} is not an ancestor of HEAD"
+
+
+def test_plain_named_selfchecks_ran_default_conf():
+    """Reverse of the axis-name guards (r10 review): a leftover exported
+    SPARK_GRAFT_HOSTILE/ROWREADER contaminating the refresh would run the
+    three plain scale sweeps hostile while their names claim default-conf
+    coverage.  selfcheck.py now refuses that combination at run time; this
+    asserts it against the COMMITTED evidence too."""
+    for name in ("SELFCHECK_sf001.json", "SELFCHECK_sf01.json", "SELFCHECK_sf1.json"):
+        path = os.path.join(REPO, name)
+        assert os.path.exists(path), f"missing committed artifact {name}"
+        env = _load(path).get("_env", {})
+        assert env.get("hostile") is False, f"{name} ran hostile under a plain name"
+        assert env.get("rowreader") is False, f"{name} ran rowreader under a plain name"
+        assert env.get("session_tz") == "UTC", f"{name}: unexpected tz {env.get('session_tz')}"

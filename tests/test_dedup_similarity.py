@@ -1432,9 +1432,23 @@ def test_validate_store_ids_surfaces_orphan_store_rows(spark, tmp_path):
     )
     # drifted corpus: doc 4 lives in the store but not in `existing`
     drifted = full.where(F.col("doc_id") != 4)
-    with pytest.raises(ValueError, match="1 id\\(s\\) absent"):
+    with pytest.raises(ValueError, match="1 store id\\(s\\) absent"):
         dedup.incremental_near_dup_filter(
             drifted, batch, signature_store=store, validate_store_ids=True
+        )
+    # grown corpus (r10 review: the likelier real drift): doc 6 was
+    # admitted to `existing` but its store append never happened — on the
+    # stored tier it has NO signature, so its near-dups would be silently
+    # admitted; the guard must catch this direction too
+    grown = full.unionByName(
+        full.sparkSession.createDataFrame(
+            [(6, "six seven eight nine ten eleven twelve")],
+            "doc_id long, text string",
+        )
+    )
+    with pytest.raises(ValueError, match="1 existing id\\(s\\) absent"):
+        dedup.incremental_near_dup_filter(
+            grown, batch, signature_store=store, validate_store_ids=True
         )
 
 
