@@ -306,3 +306,98 @@ def test_signature_store_tier_matches_self_contained_on_random_corpora(spark, ra
     assert stored == plain
     # every admitted id is odd (came from the batch) and unique
     assert all(i % 2 == 1 for i in stored) and len(set(stored)) == len(stored)
+
+
+# ---------------------------------------------------------------------------
+# Streaming banded-store gate (round 10): on random corpora, (a) the
+# stored-static gate must admit EXACTLY what the derived-static gate
+# admits (both band with the same hash functions, so proposal sets are
+# identical — parity is deterministic even where LSH misses a true pair),
+# and (b) the gate can only err toward ADMITTING (a rejection requires an
+# exact-verified Jaccard>=0.5 partner inside the join condition), so the
+# simulation's admitted set is always a subset of the gate's.
+# ---------------------------------------------------------------------------
+
+_GATE_SEQ = [0]
+
+
+def _gate_admitted(spark, docs_rows, use_store: bool) -> set:
+    import os
+    import tempfile
+
+    from bulkfhirloader_spark.streaming.joins import (
+        banded_signature_store_write,
+        stream_near_dup_admission,
+    )
+
+    src = tempfile.mkdtemp(prefix="bfls_prop_gate_")
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    odd = docs.where("doc_id % 2 = 1")
+    even = docs.where("doc_id % 2 = 0")
+    odd.repartition(2).write.mode("overwrite").parquet(os.path.join(src, "in"))
+    schema = spark.read.parquet(os.path.join(src, "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "in"))
+    )
+    if use_store:
+        store = os.path.join(src, "bands")
+        banded_signature_store_write(even, store)
+        gated = stream_near_dup_admission(stream, banded_store=store)
+    else:
+        gated = stream_near_dup_admission(stream, even)
+    _GATE_SEQ[0] += 1
+    qname = f"bfls_prop_gate_{_GATE_SEQ[0]}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(src, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {r["doc_id"] for r in spark.table(qname).collect()}
+
+
+def _shingle_set(words):
+    if len(words) >= 3:
+        return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+    return {" ".join(words)}
+
+
+@given(_DOCS)
+@example([[0, 1, 2, 3], [0, 1, 2, 3], [0, 1, 2, 4], [5, 5, 5]])
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_banded_store_gate_matches_derived_gate_on_random_corpora(spark, raw):
+    rows = [
+        (i + 1, " ".join(_VOCAB[w] for w in words)) for i, words in enumerate(raw)
+    ]
+    derived = _gate_admitted(spark, rows, use_store=False)
+    stored = _gate_admitted(spark, rows, use_store=True)
+    assert stored == derived
+    # simulation: odd docs with NO even partner at exact Jaccard >= 0.5
+    sh = {i: _shingle_set(t.split()) for i, t in rows}
+    sim_admitted = set()
+    for i, _ in rows:
+        if i % 2 == 0:
+            continue
+        rejected = False
+        for j, _ in rows:
+            if j % 2 == 1 or j == i:
+                continue
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j])
+            if union and inter / union >= 0.5:
+                rejected = True
+                break
+        if not rejected:
+            sim_admitted.add(i)
+    # LSH banding can only MISS a true pair (=> admit extra); it can never
+    # reject a doc the exact rule admits
+    assert sim_admitted <= stored
