@@ -1302,10 +1302,20 @@ def incremental_near_dup_filter(
             # admission.  Two anti-join counts over two id projections;
             # deliberately BEFORE the memo lookup so a warm hit cannot
             # skip the guard.
-            store_ids = signature_store_read(
-                spark, signature_store, num_hashes, shingle_words, id_col
-            ).select(id_col)
-            ex_ids = existing.select(id_col)
+            # NULL ids are excluded from BOTH projections first: the
+            # admission flow never admits NULL-id rows and the store never
+            # holds them, but an anti-join treats NULL as never-matching,
+            # so an un-filtered NULL row in ``existing`` would always count
+            # as "absent from the store" and raise spuriously (r10 advisor
+            # finding).
+            store_ids = (
+                signature_store_read(
+                    spark, signature_store, num_hashes, shingle_words, id_col
+                )
+                .select(id_col)
+                .where(F.col(id_col).isNotNull())
+            )
+            ex_ids = existing.select(id_col).where(F.col(id_col).isNotNull())
             n_orphans = store_ids.join(ex_ids, id_col, "left_anti").count()
             n_missing = ex_ids.join(store_ids, id_col, "left_anti").count()
             if n_orphans or n_missing:

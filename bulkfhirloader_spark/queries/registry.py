@@ -2105,7 +2105,8 @@ def dedup_incremental_admission_stored(spark: SparkSession, sf_dir: str) -> Data
     (session, sf_dir) from the even-id corpus under the operator's default
     geometry, so the driver's hash row certifies the stored path
     end-to-end: store write, geometry meta, columnar read-back, the
-    store-probing band join, and the validate_store_ids subset guard.
+    store-probing band join, and the validate_store_ids id-set equality
+    guard (both drift directions, r10 hardening).
     Output is DEFINED identical to the self-contained twin, so the oracle
     SQL is shared (_DEDUP_INCR_SQL)."""
     import os as _os
@@ -2113,7 +2114,7 @@ def dedup_incremental_admission_stored(spark: SparkSession, sf_dir: str) -> Data
     docs = load_table(spark, sf_dir, "documents")
     existing = docs.where(F.col("doc_id") % 2 == 0)
     new_batch = docs.where(F.col("doc_id") % 2 == 1)
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     store = _SIG_STORE_DIRS.get(key)
     if store is None:
         store = _os.path.join(tempfile.mkdtemp(prefix="bfls_sigstore_"), "store")
@@ -2868,7 +2869,7 @@ SELECT vec_id, label, c_label AS predicted_label, score FROM r WHERE rnk = 1
 # The streaming source dir + query-name counter for stream_user_totals:
 # one materialization per (session, sf_dir), fresh memory-sink name per call
 # (a memory sink's temp view persists after termination).
-_STREAM_EV_DIRS: dict[tuple[int, str], str] = {}
+_STREAM_EV_DIRS: dict[tuple, str] = {}
 _STREAM_Q_SEQ = 0
 
 
@@ -2883,7 +2884,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bulkfhirloader_spark.streaming.stateful import running_user_totals
 
     global _STREAM_Q_SEQ
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     src = _STREAM_EV_DIRS.get(key)
     if src is None:
         src = tempfile.mkdtemp(prefix="bfls_stream_ev_")
@@ -3136,7 +3137,7 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
-_STREAM_DOC_DIRS: dict[tuple[int, str], str] = {}
+_STREAM_DOC_DIRS: dict[tuple, str] = {}
 
 
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3150,7 +3151,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bulkfhirloader_spark.streaming.stateful import streaming_exact_dedup
 
     global _STREAM_Q_SEQ
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     src = _STREAM_DOC_DIRS.get(key)
     if src is None:
         src = tempfile.mkdtemp(prefix="bfls_stream_doc_")
@@ -3202,7 +3203,7 @@ def stream_near_dup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _STREAM_Q_SEQ
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir, "admit")
+    key = (spark.sparkContext.applicationId, sf_dir, "admit")
     src = _STREAM_DOC_DIRS.get(key)
     if src is None:
         src = tempfile.mkdtemp(prefix="bfls_stream_admit_")
@@ -3279,7 +3280,7 @@ def stream_near_dup_admit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _STREAM_Q_SEQ
     _utc(spark)
     docs = load_table(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir, "admit_stored")
+    key = (spark.sparkContext.applicationId, sf_dir, "admit_stored")
     src = _STREAM_DOC_DIRS.get(key)
     if src is None:
         src = tempfile.mkdtemp(prefix="bfls_stream_admit_store_")

@@ -148,24 +148,30 @@ class FileDocStoreWriter(DataSourceWriter):
         # file.
         lock_path = os.path.join(self._dir(), "_manifest.lock")
         with open(lock_path, "a") as lock_fh:
+            locked = False
             try:
                 import fcntl
 
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
+                locked = True
             except (ImportError, OSError):  # pragma: no cover - non-POSIX
                 pass
             # Reap orphan manifest temp files in BOTH modes (r10 review:
             # append is the common mode, and a crash between writing
             # `_manifest.json.tmp-<hex>` and os.replace leaves the tmp
-            # behind forever otherwise).  We hold the exclusive flock, so
-            # any tmp-* visible now belongs to a dead writer, never a
-            # concurrent live one.
-            for name in os.listdir(self._dir()):
-                if name.startswith("_manifest.json.tmp-"):
-                    try:
-                        os.remove(os.path.join(self._dir(), name))
-                    except OSError:  # pragma: no cover - concurrent cleanup
-                        pass
+            # behind forever otherwise).  The reap is ONLY safe while we
+            # hold the exclusive flock — then any tmp-* visible now belongs
+            # to a dead writer, never a concurrent live one.  When flock
+            # itself failed (non-POSIX / network FS) a live committer's
+            # in-flight tmp could be visible, so we skip the reap entirely
+            # rather than break its os.replace (r10 advisor finding).
+            if locked:
+                for name in os.listdir(self._dir()):
+                    if name.startswith("_manifest.json.tmp-"):
+                        try:
+                            os.remove(os.path.join(self._dir(), name))
+                        except OSError:  # pragma: no cover - concurrent cleanup
+                            pass
             if self.overwrite:
                 for name in os.listdir(self._dir()):
                     if name.endswith(".jsonl") or name == "_manifest.json":

@@ -1450,6 +1450,22 @@ def test_validate_store_ids_surfaces_orphan_store_rows(spark, tmp_path):
         dedup.incremental_near_dup_filter(
             grown, batch, signature_store=store, validate_store_ids=True
         )
+    # NULL-id rows (r10 advice): the flow never admits them and the store
+    # never holds them, but an anti-join treats NULL as never-matching —
+    # the guard must NOT raise for a NULL-id row in `existing`
+    with_null = full.unionByName(
+        full.sparkSession.createDataFrame(
+            [(None, "null id row that must not trip the equality guard")],
+            "doc_id long, text string",
+        )
+    )
+    nulled = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(
+            with_null, batch, signature_store=store, validate_store_ids=True
+        ).collect()
+    )
+    assert nulled == ok
 
 
 def test_signature_store_custom_id_col_roundtrip(spark, tmp_path):
