@@ -401,3 +401,129 @@ def test_banded_store_gate_matches_derived_gate_on_random_corpora(spark, raw):
     # LSH banding can only MISS a true pair (=> admit extra); it can never
     # reject a doc the exact rule admits
     assert sim_admitted <= stored
+
+
+# ---------------------------------------------------------------------------
+# Size-gated driver tiers vs their distributed twins (round 11, verdict
+# Next round #1): the local tiers (_connected_components_local,
+# _admission_rejects_local via the small-set admission branch) are the one
+# correctness-bearing physical-plan choice in the engine — these force the
+# gate BOTH ways on seeded random corpora and assert bit-identical
+# outputs, including NULL-id and empty-edge shapes.  Seeded random.Random
+# loops rather than hypothesis: each corpus pays 2 full Spark runs, and
+# the failure message carries the corpus index + payload for replay.
+# ---------------------------------------------------------------------------
+
+
+def _random_edge_graphs(seed: int, n_corpora: int):
+    """Seeded random undirected pair lists over a small id space (dense =>
+    multi-node components, chains, cliques), plus pinned edge shapes."""
+    import random
+
+    rng = random.Random(seed)
+    corpora = [
+        [],  # empty edge set
+        [(1, 1)],  # pure self-loop
+        [(None, 3), (3, 4)],  # NULL endpoint next to a live component
+        [(None, None)],  # both endpoints NULL
+        [(i, i + 1) for i in range(1, 12)],  # long chain (pointer jumping)
+    ]
+    while len(corpora) < n_corpora:
+        n_edges = rng.randint(1, 30)
+        ids = list(range(1, rng.randint(4, 20)))
+        edges = []
+        for _ in range(n_edges):
+            a = rng.choice(ids)
+            b = rng.choice(ids)
+            if rng.random() < 0.05:
+                a = None
+            edges.append((a, b))
+        corpora.append(edges)
+    return corpora
+
+
+def test_connected_components_local_tier_matches_distributed(spark):
+    """Force the small-graph gate both ways (local_threshold=-1 => always
+    the distributed min-propagation loop; 10**9 => always driver-side
+    union-find) over >=20 seeded random graphs; the (node, component)
+    relations must be identical — same rows, same NULL handling."""
+    from bulkfhirloader_spark.operators import dedup
+
+    for idx, edges in enumerate(_random_edge_graphs(0xBF11, 22)):
+        pairs = spark.createDataFrame(
+            edges or [(None, None)], "id_a long, id_b long"
+        )
+        if not edges:
+            # genuinely empty DataFrame (createDataFrame needs a row to
+            # infer nothing — schema string carries the types)
+            pairs = pairs.limit(0)
+        dist = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components(
+                pairs, local_threshold=-1
+            ).collect()
+        }
+        local = {
+            (r["node"], r["component"])
+            for r in dedup.connected_components(
+                pairs, local_threshold=10**9
+            ).collect()
+        }
+        assert dist == local, (idx, edges, sorted(dist, key=str), sorted(local, key=str))
+
+
+def _random_doc_corpora(seed: int, n_corpora: int):
+    """Seeded random tiny-vocab corpora (near-dups everywhere), plus
+    pinned NULL-id / empty-split shapes.  Rows are (doc_id, text)."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rng = random.Random(seed)
+    corpora = [
+        [(1, "alpha beta gamma delta")],  # batch only, no existing side
+        [(2, "alpha beta gamma delta")],  # existing only, empty batch
+        [
+            (None, "alpha beta gamma delta"),  # NULL id in the batch split
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+        ],
+    ]
+    while len(corpora) < n_corpora:
+        n_docs = rng.randint(2, 14)
+        rows = []
+        for i in range(n_docs):
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(3, 8))]
+            doc_id = None if rng.random() < 0.08 else i + 1
+            rows.append((doc_id, " ".join(words)))
+        corpora.append(rows)
+    return corpora
+
+
+def test_admission_local_tier_matches_distributed_on_random_corpora(spark):
+    """Force the small-set admission gate both ways (local_threshold=-1 =>
+    the distributed old-dup/cluster/survivor flow; 10**9 => collected set
+    algebra) over >=20 seeded random corpora; admitted id sets must match.
+    The admitted-set memo is keyed WITHOUT local_threshold (the output is
+    defined tier-independent), so it is cleared between the two runs —
+    otherwise the second run would replay the first's decision and the
+    test would compare a result to itself."""
+    from bulkfhirloader_spark.operators import dedup
+
+    def run(docs, lt):
+        with dedup._MEMO_LOCK:
+            dedup._ADMIT_MEMO.clear()
+        existing = docs.where("doc_id % 2 = 0")
+        new_batch = docs.where("doc_id % 2 = 1 or doc_id is null")
+        return sorted(
+            r["doc_id"]
+            for r in dedup.incremental_near_dup_filter(
+                existing, new_batch, local_threshold=lt
+            ).collect()
+        )
+
+    for idx, rows in enumerate(_random_doc_corpora(0xBF12, 21)):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        dist = run(docs, -1)
+        local = run(docs, 10**9)
+        assert dist == local, (idx, rows, dist, local)
+        assert all(i is not None and i % 2 == 1 for i in dist), (idx, rows, dist)
