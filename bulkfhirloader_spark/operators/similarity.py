@@ -805,8 +805,11 @@ def append_ivf_index(
     approximate by contract — and it cannot occur between append and
     query, which share one expression.  When drift accumulates (centroids
     no longer near the data's true clusters, recall decays), retrain by
-    rebuilding — the measured recall/n_probe curve in SCALE.md is the
-    monitoring signal.
+    rebuilding — ``recall_gap`` is the schedulable monitoring signal
+    (measure on held-out new-data queries against a build-time baseline;
+    retrain when the gap exceeds ~0.05 per SCALE.md's measured drift
+    curve; moderate drift can be bridged by raising ``n_probe`` 2-4x
+    until the next scheduled retrain).
 
     Ids are the caller's uniqueness contract, as in build: a re-appended
     id would surface twice in probe results (the store is append-only and
@@ -933,6 +936,96 @@ def query_ivf_index(
         .filter(F.col("rank") <= k)
         .select(query_id, cand_id, "score", "rank")
     )
+
+
+def recall_gap(
+    spark: SparkSession,
+    path: str,
+    holdout_queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    cand_id: str = "vec_id",
+    cand_vec: str = "embedding",
+    baseline_recall: float | None = None,
+) -> dict:
+    """Measure a stored IVF index's recall@k against EXACT brute-force
+    over its own stored corpus, for a held-out query batch — the
+    schedulable form of the drift monitor `scripts/ann_scale_evidence.py
+    --append-drift` runs by hand (r10 verdict, Next round #5), sharing
+    that protocol exactly: approx = query_ivf_index at (k, n_probe);
+    exact = cosine_topk_pandas (BLAS) over every stored list row; per
+    query, recall = |approx ∩ exact| / |exact|; reported recall is the
+    mean over queries with a non-empty exact set.
+
+    Returns ``{"recall", "gap", "n_queries", "k", "n_probe"}``.  With
+    ``baseline_recall`` given, ``gap = baseline_recall - recall`` — the
+    measured retrain signal.  Operator schedule (SCALE.md Round-10 drift
+    table): right after build/retrain, record
+    ``recall_gap(...)["recall"]`` on a held-out sample of BUILD-TIME
+    queries as the baseline; after each append batch, re-measure on
+    held-out NEW-DATA queries with ``baseline_recall=`` that number, and
+    retrain when gap exceeds ~0.05 (measured to sit between 2 and 4
+    noise-σ of center drift; at moderate drift, doubling ``n_probe``
+    bridges until the next scheduled retrain, but new-territory drift
+    structurally needs new centroids).  Without a baseline, ``gap`` is
+    ``1 - recall`` — the deficit against exact, which includes the
+    index's inherent probe miss rate, NOT drift alone; threshold the
+    baselined form.
+
+    Cost shape: the holdout batch is small by contract (it rides the
+    same broadcast as every query path); exact ground truth is one
+    BLAS-batched full scan of the stored lists — a bounded, scheduled
+    monitoring job, not a per-query path.  Both sides exclude self-pairs
+    (``query_id != vec_id``) identically, so id-space overlap between
+    holdout and corpus cannot skew the comparison.
+    """
+    approx = query_ivf_index(
+        spark,
+        path,
+        holdout_queries,
+        k=k,
+        n_probe=n_probe,
+        query_id=query_id,
+        cand_id=cand_id,
+        query_vec=query_vec,
+        cand_vec=cand_vec,
+    ).collect()
+    corpus = spark.read.parquet(f"{path}/lists.parquet").select(
+        F.col(cand_id), F.col(cand_vec)
+    )
+    q_as_corpus = holdout_queries.select(
+        F.col(query_id).alias(cand_id), F.col(query_vec).alias(cand_vec)
+    )
+    exact = cosine_topk_pandas(
+        q_as_corpus,
+        corpus,
+        k=k,
+        id_col=cand_id,
+        vec_col=cand_vec,
+        query_id_col=query_id,
+    ).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r[query_id], set()).add(r[cand_id])
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r[query_id], set()).add(r[cand_id])
+    recalls = [
+        len(approx_sets.get(q, set()) & cands) / len(cands)
+        for q, cands in exact_sets.items()
+    ]
+    recall = sum(recalls) / len(recalls) if recalls else 0.0
+    gap = (baseline_recall - recall) if baseline_recall is not None else 1.0 - recall
+    return {
+        "recall": recall,
+        "gap": gap,
+        "n_queries": len(recalls),
+        "k": k,
+        "n_probe": n_probe,
+    }
+
 
 def pq_train_codebooks(
     candidates: DataFrame,

@@ -1305,6 +1305,54 @@ def test_ivf_append_without_retrain_matches_frozen_rebuild(spark, tmp_path):
     assert "PartitionFilters" in plan and "_cluster" in plan
 
 
+def test_recall_gap_pins_script_protocol(spark, tmp_path):
+    """r10 verdict Next #5: similarity.recall_gap must restate the
+    ann_scale_evidence --append-drift protocol exactly — approx =
+    query_ivf_index at (k, n_probe), exact = cosine_topk_pandas over the
+    STORED corpus, per-query recall |approx ∩ exact| / |exact|, mean over
+    queries.  Pinned three ways: (a) equals an in-test recall_at_k
+    computed from the same two collect()s; (b) probing EVERY list makes
+    the index exhaustive, so recall=1.0 and baseline-less gap=0.0;
+    (c) baseline_recall plumbs gap = baseline - recall."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_clusters=8)
+    q = emb.where(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = similarity.recall_gap(spark, idx, q, k=5, n_probe=2)
+    # (a) independent restatement from the same operator outputs
+    approx = similarity.query_ivf_index(spark, idx, q, k=5, n_probe=2).collect()
+    exact = similarity.cosine_topk_pandas(
+        q.select(F.col("query_id").alias("vec_id"), F.col("query_vec").alias("embedding")),
+        spark.read.parquet(f"{idx}/lists.parquet").select("vec_id", "embedding"),
+        k=5,
+    ).collect()
+    ex_sets: dict = {}
+    for r in exact:
+        ex_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap_sets: dict = {}
+    for r in approx:
+        ap_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    want = sum(
+        len(ap_sets.get(qid, set()) & c) / len(c) for qid, c in ex_sets.items()
+    ) / len(ex_sets)
+    assert got["recall"] == pytest.approx(want)
+    assert got["gap"] == pytest.approx(1.0 - want)
+    assert got["n_queries"] == 6 and got["k"] == 5 and got["n_probe"] == 2
+    # (b) full probe => exhaustive => exact parity
+    full = similarity.recall_gap(spark, idx, q, k=5, n_probe=8)
+    assert full["recall"] == pytest.approx(1.0)
+    assert full["gap"] == pytest.approx(0.0)
+    # (c) baselined gap is the retrain signal
+    based = similarity.recall_gap(
+        spark, idx, q, k=5, n_probe=2, baseline_recall=full["recall"]
+    )
+    assert based["recall"] == pytest.approx(got["recall"])
+    assert based["gap"] == pytest.approx(1.0 - got["recall"])
+
+
 def test_pandas_topk_null_id_and_nonfinite_parity(spark):
     """r8 advisor finding, pinned: a NULL-id corpus row arrives in pandas
     as NaN (nullable int -> float64), and NaN != qid is True — so without
