@@ -283,7 +283,32 @@ def stream_near_dup_admission(
     # micro-batch afterwards
     while _live_static_band_caches:
         _live_static_band_caches.pop().unpersist()
-    static_banded = static_banded.persist()
+    # Cache the static side ALREADY PARTITIONED AND SORTED on the join
+    # keys (r11 measurement, SCALE.md "Decomposition of the 301 s"): the
+    # anti join re-plans per micro-batch, and a plain persist only saved
+    # the SCAN — every batch still re-ran the Exchange of the whole
+    # static side, hash-partitioning millions of shingle-array-carrying
+    # rows (measured ~150 s/batch at a 2M-doc store vs ≤13 s for the scan
+    # itself).  InMemoryRelation preserves its child's partitioning and
+    # ordering, so with the repartition+sort INSIDE the cache the join's
+    # distribution/ordering requirements on the static side are satisfied
+    # from cached blocks: per micro-batch only the ~banded-batch-sized
+    # stream side shuffles.  Same rows, same admissions — a physical
+    # property only (plan-asserted in tests/test_plans.py).  Measured at
+    # a 2M-doc store (SCALE.md round-11): marginal micro-batch 150 s →
+    # 1.5-7 s; the one-time fill (scan + shuffle + sort + deserialized
+    # cache write of the array-carrying table) costs ~4 pre-change
+    # batches, so gates that restart every ≤3 micro-batches lose —
+    # always-on ingest gates run hundreds.  This is the in-session analog
+    # of storing the banded table BUCKETED by the band keys, which is the
+    # cluster-restart answer (a cache dies with the session; a bucketed
+    # table satisfies the same requirement from layout and skips the fill
+    # entirely).
+    static_banded = (
+        static_banded.repartition(F.col("band_idx"), F.col("band_hash"))
+        .sortWithinPartitions("band_idx", "band_hash")
+        .persist()
+    )
     _live_static_band_caches.append(static_banded)
 
     inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_e")))

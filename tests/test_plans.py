@@ -382,3 +382,59 @@ def test_incremental_admission_small_tier_returns_scan_filter(spark):
     plan = _plan(fn(spark, SF_DIR))
     assert "Exchange" not in plan and "Join" not in plan
     assert "PushedFilters" in plan and "Not(In(doc_id" in plan
+
+
+def test_streaming_gate_static_side_joins_from_cached_partitioning(spark, tmp_path):
+    """r11: the gate caches its static banded side repartitioned+sorted on
+    the join keys, so per micro-batch only the STREAM side shuffles — a
+    plain persist left the whole shingle-array-carrying static Exchange
+    re-running every batch (measured ~150 s/batch at a 2M-doc store vs
+    ≤13 s of scan; SCALE.md round-11).  Pin the plan property: in the
+    micro-batch plan (broadcast disabled so the join is the at-scale
+    SortMergeJoin), exactly ONE ENSURE_REQUIREMENTS Exchange partitions
+    on the band keys, and the static side is an InMemoryTableScan whose
+    fresh work above the cache is at most a Sort."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_near_dup_admission
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta w{i} w{i + 1} w{i + 2}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path)
+    docs.where("doc_id % 2 = 1").repartition(2).write.parquet(f"{src}/in")
+    schema = spark.read.parquet(f"{src}/in").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/in")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = stream_near_dup_admission(stream, docs.where("doc_id % 2 = 0"))
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("plan_gate_cache")
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(src, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "SortMergeJoin" in plan and "InMemoryTableScan" in plan
+    fresh_band_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(band_idx" in ln and "ENSURE_REQUIREMENTS" in ln
+    ]
+    # the stream side's shuffle is the only per-batch band-key Exchange;
+    # the static side's band-key Exchange exists only inside the cached
+    # plan's one-time fill lineage (REPARTITION_BY_COL under the
+    # InMemoryRelation)
+    assert len(fresh_band_exchanges) == 1, plan
