@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bulkfhirloader_spark.fsutil import store_meta_lifecycle
+from bulkfhirloader_spark.fsutil import (
+    fs_path_exists,
+    store_meta_lifecycle,
+)
+from bulkfhirloader_spark.sources.bucketing import (
+    bucketed_table_name,
+    register_external_bucketed_table,
+)
 
 
 def stream_interval_join(
@@ -72,6 +79,7 @@ def banded_signature_store_write(
     bands: int = 8,
     shingle_words: int = 3,
     mode: str = "append",
+    num_buckets: int | None = None,
 ) -> None:
     """Persist the BANDED signature table the streaming admission gate's
     static side reads at 100 TB: (id, band_idx, band_hash, shingles) rows,
@@ -92,7 +100,33 @@ def banded_signature_store_write(
     first, meta last (commit-marker ordering, see
     dedup.signature_store_write) and is not crash-atomic for concurrent
     readers — replace a live store at a fresh path and swap the
-    pointer."""
+    pointer.
+
+    BUCKETED LAYOUT (r11 verdict, Next round #1 — the cluster-restart
+    form of the gate's co-partitioned cache): pass ``num_buckets=<n>``
+    and the banded rows are written as an EXTERNAL BUCKETED TABLE
+    (``bucketBy(n, "band_hash").sortBy("band_hash")`` at the same
+    ``<path>/bands`` location, catalog name recorded in the meta) instead
+    of plain parquet.  Bucketed files satisfy the admission join's
+    distribution requirement from LAYOUT: a gate built over a bucketed
+    store plans ZERO static-side Exchange from a FRESH session — no
+    per-session cache-fill shuffle of the array-carrying table at all
+    (the in-session cache needed ~4 micro-batches of fill at a 2M-doc
+    store, SCALE.md round-11) — and probes that filter
+    ``band_hash IN (...)`` get planning-time bucket pruning
+    (``SelectedBucketsCount``) plus per-bucket-sorted row groups for
+    min/max page skipping.  The meta self-describes the access method
+    (nullable ``num_buckets``/``bucket_table`` columns; metas written
+    before r12 lack the columns and read as plain stores).  A PLAIN
+    append to a bucketed store is REFUSED, as is a bucketed append to a
+    plain store or a bucket-count mismatch: non-bucket-hashed part files
+    beside bucketed ones would silently corrupt every bucketed scan
+    (rows land in files whose bucket id disagrees with their hash, and
+    the pruned join never sees them — silent duplicate admission).  A
+    fresh session re-attaches the table with register_banded_table (no
+    data rewrite); this writer does it automatically on append.
+    ``num_buckets`` is a per-store constant chosen at creation (match it
+    to the deployment's executor count; re-bucketing means rewriting)."""
     from bulkfhirloader_spark.operators.dedup import (
         band_hash_array,
         minhash_sig_expr,
@@ -103,21 +137,42 @@ def banded_signature_store_write(
     require_band_geometry(num_hashes, bands)
     spark = docs.sparkSession
     meta_path = f"{path}/meta.parquet"
+    bucket_table = _banded_table_name(path) if num_buckets is not None else None
     # shared lifecycle (fsutil.store_meta_lifecycle, same semantics as
     # dedup.signature_store_write): append validates / refuses on
     # data-without-meta / bootstraps now; overwrite stamps the meta only
-    # AFTER the data write (commit-marker ordering)
+    # AFTER the data write (commit-marker ordering).  The validator also
+    # enforces bucket-layout agreement and hands back the EXISTING store's
+    # recorded table name, so appends from a fresh session target the
+    # name the store was created under, not a re-derived one.
+    resolved: dict = {}
+
+    def _validate(rows) -> None:
+        _validate_banded_geometry(rows, meta_path, num_hashes, bands, shingle_words)
+        got_buckets, got_table = _meta_bucket_spec(rows[0])
+        if got_buckets != num_buckets:
+            raise ValueError(
+                f"banded store bucket-layout mismatch at {meta_path}: store "
+                f"was written with num_buckets={got_buckets}, caller asked "
+                f"num_buckets={num_buckets} — mixing plain and bucketed part "
+                f"files (or two bucket counts) under one table silently "
+                f"corrupts bucketed scans: rows land in files whose bucket "
+                f"id disagrees with their hash and the pruned join never "
+                f"sees them.  Rebuild the store to change its layout"
+            )
+        resolved["bucket_table"] = got_table
+
     finalize_meta = store_meta_lifecycle(
         spark,
         meta_path,
         f"{path}/bands",
-        "num_hashes int, bands int, shingle_words int",
-        (num_hashes, bands, shingle_words),
-        lambda rows: _validate_banded_geometry(
-            rows, meta_path, num_hashes, bands, shingle_words
-        ),
+        "num_hashes int, bands int, shingle_words int, "
+        "num_buckets int, bucket_table string",
+        (num_hashes, bands, shingle_words, num_buckets, bucket_table),
+        _validate,
         mode,
     )
+    bucket_table = resolved.get("bucket_table", bucket_table)
     with_sh = docs.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_words).alias("shingles"),
@@ -128,10 +183,48 @@ def banded_signature_store_write(
     band_cols = F.posexplode(
         band_hash_array(F.col("_minhash"), bands, num_hashes)
     ).alias("band_idx", "band_hash")
-    with_sig.select("id", band_cols, "shingles").write.mode(mode).parquet(
-        f"{path}/bands"
-    )
+    banded = with_sig.select("id", band_cols, "shingles")
+    if num_buckets is None:
+        banded.write.mode(mode).parquet(f"{path}/bands")
+    else:
+        if mode == "overwrite" and spark.catalog.tableExists(bucket_table):
+            # saveAsTable(overwrite) on an existing external table keeps
+            # the catalog entry; dropping first makes overwrite = fresh
+            # create, so a changed schema can never half-apply
+            spark.sql(f"DROP TABLE `{bucket_table}`")
+        elif (
+            mode == "append"
+            and not spark.catalog.tableExists(bucket_table)
+            and fs_path_exists(spark, f"{path}/bands")
+        ):
+            # fresh session appending to an existing bucketed store: the
+            # in-memory catalog lost the table on restart — re-attach to
+            # the existing files so Spark validates the bucket spec and
+            # writes bucket-hashed file names, instead of letting
+            # saveAsTable re-create blind
+            register_banded_table(spark, path)
+        w = (
+            banded.write.format("parquet")
+            .mode(mode)
+            .bucketBy(num_buckets, "band_hash")
+            .sortBy("band_hash")
+            .option("path", f"{path}/bands")
+        )
+        w.saveAsTable(bucket_table)
     finalize_meta()
+
+
+def _banded_table_name(path: str) -> str:
+    """Catalog-name seed for the bucketed banded table at ``path`` (see
+    sources.bucketing.bucketed_table_name — the meta records it)."""
+    return bucketed_table_name("bfls_banded", path)
+
+
+def _meta_bucket_spec(meta_row) -> tuple:
+    """(num_buckets, bucket_table) of a store meta row — tolerant of
+    pre-r12 three-column metas, which read as plain (None, None)."""
+    d = meta_row.asDict()
+    return d.get("num_buckets"), d.get("bucket_table")
 
 
 def _validate_banded_geometry(
@@ -151,20 +244,55 @@ def _validate_banded_geometry(
         )
 
 
+def register_banded_table(spark, path: str) -> str:
+    """Re-attach the bucketed banded table at ``path`` to THIS session's
+    catalog without rewriting any data — the restart case the bucketed
+    layout exists for: a fresh session (new cluster, new driver) points
+    at the store and gets the zero-Exchange join plan immediately, no
+    cache-fill micro-batches (SCALE.md round-11/12).
+
+    Reads the store meta (must describe a bucketed store), then issues
+    ``CREATE TABLE ... USING PARQUET CLUSTERED BY (band_hash) SORTED BY
+    (band_hash) INTO n BUCKETS LOCATION '<path>/bands'`` under the
+    meta-recorded table name.  Idempotent: if the catalog already holds
+    the name it is verified to point at this store's location (a
+    different location under the same name raises — silently reading a
+    different corpus's bands is the worst failure mode).  Returns the
+    table name."""
+    meta_path = f"{path}/meta.parquet"
+    rows = spark.read.parquet(meta_path).collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt banded store meta at {meta_path}: {rows}")
+    num_buckets, table = _meta_bucket_spec(rows[0])
+    if num_buckets is None or table is None:
+        raise ValueError(
+            f"banded store at {path} is a plain (non-bucketed) store — "
+            f"there is no table to register; read it with "
+            f"banded_signature_store_read or rebuild it with "
+            f"num_buckets=<n> for the bucketed layout"
+        )
+    return register_external_bucketed_table(
+        spark, table, f"{path}/bands", "band_hash", num_buckets, ["band_hash"]
+    )
+
+
 def banded_signature_store_read(
     spark, path: str, num_hashes: int, bands: int, shingle_words: int
-) -> DataFrame:
-    """(id, band_idx, band_hash, shingles) rows of the banded store at
-    ``path``, geometry-validated hard (see banded_signature_store_write)."""
+) -> tuple[DataFrame, bool]:
+    """(rows, is_bucketed) for the banded store at ``path`` — rows are the
+    (id, band_idx, band_hash, shingles) DataFrame, geometry-validated hard
+    (see banded_signature_store_write).  A bucketed store is read through
+    its catalog table (auto-re-attached via register_banded_table if this
+    session hasn't seen it), which is what carries the bucket layout into
+    the plan — ``spark.read.parquet`` over the same files would read the
+    rows but lose the Exchange-free join."""
     meta_path = f"{path}/meta.parquet"
-    _validate_banded_geometry(
-        spark.read.parquet(meta_path).collect(),
-        meta_path,
-        num_hashes,
-        bands,
-        shingle_words,
-    )
-    return spark.read.parquet(f"{path}/bands")
+    rows = spark.read.parquet(meta_path).collect()
+    _validate_banded_geometry(rows, meta_path, num_hashes, bands, shingle_words)
+    num_buckets, _table = _meta_bucket_spec(rows[0])
+    if num_buckets is not None:
+        return spark.table(register_banded_table(spark, path)), True
+    return spark.read.parquet(f"{path}/bands"), False
 
 
 def stream_near_dup_admission(
@@ -186,10 +314,12 @@ def stream_near_dup_admission(
     Plan shape: the stream side computes MinHash band hashes as a pure
     projection (streaming-safe — no shuffle, no state), explodes to one
     row per band, and LEFT ANTI joins the static corpus's banded signature
-    table on (band_idx, band_hash) with the exact-Jaccard verification as
-    an additional join predicate: shingle sets ride the band rows, and
-    ``size(array_intersect)`` scores the pair inside the join — LSH
-    proposes, the join condition verifies, nothing Python touches a row.
+    table on ``band_hash`` (the band index is inside the hash preimage,
+    so one key is band equality — see the inline note) with the
+    exact-Jaccard verification as an additional join predicate: shingle
+    sets ride the band rows, and ``size(array_intersect)`` scores the
+    pair inside the join — LSH proposes, the join condition verifies,
+    nothing Python touches a row.
     A band row survives the anti join iff it produced no verified match;
     a doc is admitted iff ALL ``bands`` of its rows survive (count==bands
     groupBy — each arriving doc's band rows live in one micro-batch, so
@@ -217,6 +347,18 @@ def stream_near_dup_admission(
     Recall contract: admission errs only where banding misses a true pair
     (same geometry argument as dedup_minhash_pairs — measured exact at
     sf0.001/0.01/0.1).
+
+    ONE LIVE GATE PER SESSION (cache contract): constructing a gate
+    unpersists the previous gate's cached static side — the ledger is a
+    deliberate memory bound, not an oversight.  A still-running gate
+    whose cache was evicted keeps producing correct admissions but
+    re-derives (derived tier) or re-scans (store tiers) its static side
+    every micro-batch — for the derived/plain-store tiers that includes
+    re-running the full repartition+sort of the array-carrying table,
+    the exact ~150 s/batch pathology the cache removes.  Run concurrent
+    gates from separate sessions, or build them over BUCKETED stores
+    (whose join needs no cached partitioning — eviction there costs only
+    the re-scan).
     """
     from bulkfhirloader_spark.operators.dedup import (
         band_hash_array,
@@ -243,7 +385,7 @@ def stream_near_dup_admission(
         ).alias("band_idx", "band_hash")
         return with_sig.select(f"id{suffix}", band_cols, f"sh{suffix}")
 
-    stream_banded = banded(stream_docs, "_s")
+    stream_banded = banded(stream_docs, "_s").select("id_s", "band_hash", "sh_s")
     # The static side re-resolves EVERY micro-batch; persist serves the
     # banded corpus from cached blocks after batch 1 instead of re-running
     # the shingling + signature fold per batch — the in-session analog of
@@ -251,6 +393,7 @@ def stream_near_dup_admission(
     # scale the drain is join-build-dominated, so the measured win is
     # small; the cache matters when the corpus side is large.)  The
     # previous invocation's cache is released on the next call.
+    bucketed_static = False
     if banded_store is not None:
         # deployment tier: the static side IS the stored banded table — a
         # columnar scan, no text re-shingling.  SNAPSHOT semantics: the
@@ -260,12 +403,12 @@ def stream_near_dup_admission(
         # the gate is rebuilt; since the snapshot is fixed anyway, persist
         # serves it from cached blocks after batch 1, same as the derived
         # path.
-        static_banded = banded_signature_store_read(
+        store_rows, bucketed_static = banded_signature_store_read(
             stream_docs.sparkSession, banded_store, num_hashes, bands,
             shingle_words,
-        ).select(
+        )
+        static_banded = store_rows.select(
             F.col("id").alias("id_e"),
-            "band_idx",
             "band_hash",
             F.col("shingles").alias("sh_e"),
         )
@@ -275,7 +418,9 @@ def stream_near_dup_admission(
             "or a `banded_store=` path"
         )
     else:
-        static_banded = banded(existing, "_e")
+        static_banded = banded(existing, "_e").select(
+            F.col("id_e"), "band_hash", F.col("sh_e")
+        )
     # evict the previous gate's cache only AFTER this gate's arguments
     # validated (geometry / existing checks above raise first): a FAILED
     # construction must not cost a still-running gate its cached static
@@ -283,40 +428,63 @@ def stream_near_dup_admission(
     # micro-batch afterwards
     while _live_static_band_caches:
         _live_static_band_caches.pop().unpersist()
-    # Cache the static side ALREADY PARTITIONED AND SORTED on the join
-    # keys (r11 measurement, SCALE.md "Decomposition of the 301 s"): the
-    # anti join re-plans per micro-batch, and a plain persist only saved
-    # the SCAN — every batch still re-ran the Exchange of the whole
-    # static side, hash-partitioning millions of shingle-array-carrying
-    # rows (measured ~150 s/batch at a 2M-doc store vs ≤13 s for the scan
-    # itself).  InMemoryRelation preserves its child's partitioning and
-    # ordering, so with the repartition+sort INSIDE the cache the join's
-    # distribution/ordering requirements on the static side are satisfied
-    # from cached blocks: per micro-batch only the ~banded-batch-sized
-    # stream side shuffles.  Same rows, same admissions — a physical
-    # property only (plan-asserted in tests/test_plans.py).  Measured at
-    # a 2M-doc store (SCALE.md round-11): marginal micro-batch 150 s →
-    # 1.5-7 s; the one-time fill (scan + shuffle + sort + deserialized
-    # cache write of the array-carrying table) costs ~4 pre-change
-    # batches, so gates that restart every ≤3 micro-batches lose —
-    # always-on ingest gates run hundreds.  This is the in-session analog
-    # of storing the banded table BUCKETED by the band keys, which is the
-    # cluster-restart answer (a cache dies with the session; a bucketed
-    # table satisfies the same requirement from layout and skips the fill
-    # entirely).
-    static_banded = (
-        static_banded.repartition(F.col("band_idx"), F.col("band_hash"))
-        .sortWithinPartitions("band_idx", "band_hash")
-        .persist()
-    )
+    if bucketed_static:
+        # BUCKETED STORE (r12, the r11 prototype shipped): the table's
+        # bucket layout (bucketBy(n, band_hash), per-bucket sorted) already
+        # satisfies the join's distribution requirement on the static side
+        # — HashPartitioning(band_hash, n) from LAYOUT, so the plan has
+        # ZERO static-side Exchange even on a fresh session (plan-asserted
+        # in tests/test_plans.py) and there is no cache-fill shuffle to
+        # amortize.  persist() still serves repeat micro-batches from
+        # cached blocks instead of re-scanning (InMemoryRelation preserves
+        # the bucketed child's partitioning), but batch 0's fill is now a
+        # plain scan, not the scan+shuffle+sort the derived tier pays.
+        static_banded = static_banded.persist()
+    else:
+        # Cache the static side ALREADY PARTITIONED AND SORTED on the join
+        # key (r11 measurement, SCALE.md "Decomposition of the 301 s"):
+        # the anti join re-plans per micro-batch, and a plain persist only
+        # saved the SCAN — every batch still re-ran the Exchange of the
+        # whole static side, hash-partitioning millions of
+        # shingle-array-carrying rows (measured ~150 s/batch at a 2M-doc
+        # store vs ≤13 s for the scan itself).  InMemoryRelation preserves
+        # its child's partitioning and ordering, so with the
+        # repartition+sort INSIDE the cache the join's distribution/
+        # ordering requirements on the static side are satisfied from
+        # cached blocks: per micro-batch only the ~banded-batch-sized
+        # stream side shuffles.  Same rows, same admissions — a physical
+        # property only (plan-asserted in tests/test_plans.py).  Measured
+        # at a 2M-doc store (SCALE.md round-11): marginal micro-batch
+        # 150 s → 1.5-7 s; the one-time fill (scan + shuffle + sort +
+        # deserialized cache write of the array-carrying table) costs ~4
+        # pre-change batches, so gates that restart every ≤3 micro-batches
+        # lose — always-on ingest gates run hundreds.  The bucketed store
+        # above is the cluster-restart answer: a cache dies with the
+        # session; the bucketed table satisfies the same requirement from
+        # layout and skips the fill entirely.
+        static_banded = (
+            static_banded.repartition(F.col("band_hash"))
+            .sortWithinPartitions("band_hash")
+            .persist()
+        )
     _live_static_band_caches.append(static_banded)
 
     inter = F.size(F.array_intersect(F.col("sh_s"), F.col("sh_e")))
     union = F.size("sh_s") + F.size("sh_e") - inter
     verified = (inter.cast("double") / union.cast("double")) >= F.lit(threshold)
+    # The join keys on band_hash ALONE (r12): each band's hash is
+    # xxhash64(band_idx, sig slice...) — the band index is part of the
+    # hash preimage (operators/dedup.band_hash_array), so band_hash
+    # equality IS band equality up to a 2^-64 cross-band collision, and
+    # any such collision can only PROPOSE an extra pair that the exact
+    # Jaccard predicate then verifies — identical admissions, one join
+    # key.  Single-key matters physically: the bucketed store is
+    # bucketBy(band_hash), and Spark only plans an Exchange-free bucketed
+    # join when the equi-keys equal the bucket columns (a bucket-subset
+    # key set gets 'Bucketed: false (disabled by query planner)' —
+    # measured on 4.1.2).
     cond = (
-        (stream_banded["band_idx"] == static_banded["band_idx"])
-        & (stream_banded["band_hash"] == static_banded["band_hash"])
+        (stream_banded["band_hash"] == static_banded["band_hash"])
         & (stream_banded["id_s"] != static_banded["id_e"])
         & verified
     )

@@ -49,9 +49,26 @@ def _sizes_from_env() -> list[tuple[int, str]]:
         return [(5_000, "d5k"), (50_000, "d50k"), (500_000, "d500k")]
 
     def nm(n: int) -> str:
+        # sizes under 1000 would produce degenerate/colliding names
+        # ('d0k'), silently reusing another size's parquet fixture
+        # (r11 advisor finding) — refuse instead
+        if n < 1000:
+            raise SystemExit(
+                f"SCALE_SIZES entry {n} is under 1000 — fixture names are "
+                f"k/m-granular and would collide; use sizes >= 1000"
+            )
         return f"d{n // 1_000_000}m" if n % 1_000_000 == 0 else f"d{n // 1000}k"
 
-    return [(int(s), nm(int(s))) for s in raw.split(",")]
+    try:
+        sizes = [(int(s), nm(int(s))) for s in raw.split(",")]
+    except ValueError as exc:
+        raise SystemExit(f"unparseable SCALE_SIZES={raw!r}: {exc}") from None
+    names = [nm_ for _, nm_ in sizes]
+    if len(set(names)) != len(names):
+        raise SystemExit(
+            f"SCALE_SIZES={raw!r} maps to colliding fixture names {names}"
+        )
+    return sizes
 
 
 CORPORA = _sizes_from_env()
@@ -64,6 +81,10 @@ def generate() -> None:
     for n, name in CORPORA:
         if os.path.exists(f"{OUTDIR}/{name}.parquet"):
             continue  # deterministic by construction — safe to reuse
+        # write to a tmp name and os.replace into place: a prior run
+        # killed mid-COPY must not leave a torn parquet that every later
+        # sweep silently reuses (r11 advisor finding — the reuse check
+        # above sees only the file's existence, not its integrity)
         con.execute(
             f"""
             COPY (
@@ -81,9 +102,10 @@ def generate() -> None:
                                        CASE WHEN is_dup AND j = 3 THEN 7 ELSE 0 END) % 10000)),
                        ' ') AS text
               FROM base
-            ) TO '{OUTDIR}/{name}.parquet' (FORMAT PARQUET)
+            ) TO '{OUTDIR}/{name}.parquet.tmp' (FORMAT PARQUET)
             """
         )
+        os.replace(f"{OUTDIR}/{name}.parquet.tmp", f"{OUTDIR}/{name}.parquet")
     con.execute(
         f"""
         COPY (
@@ -212,6 +234,16 @@ def measure_fixed_batch() -> None:
         t0 = tm()
         dedup.signature_store_write(corpus, store, num_hashes=16, shingle_words=3)
         t_build = tm() - t0
+        # bucketed banded layout (r12): band rows pre-projected into a
+        # bucketBy(band_hash) table; the probe pushes the batch's band
+        # hashes as an IN filter (bucket pruning + sorted-page skipping)
+        bstore = f"/tmp/sigstore_bkt_{name}"
+        shutil.rmtree(bstore, ignore_errors=True)
+        t0 = tm()
+        dedup.signature_store_write(
+            corpus, bstore, num_hashes=16, shingle_words=3, bands=8, num_buckets=32
+        )
+        t_bbuild = tm() - t0
         t0 = tm()
         n_plain, h_plain = forced(
             dedup.incremental_near_dup_filter(corpus, batch, local_threshold=0)
@@ -224,13 +256,21 @@ def measure_fixed_batch() -> None:
             )
         )
         t_stored = tm() - t0
-        assert (n_plain, h_plain) == (n_stored, h_stored), (
+        t0 = tm()
+        n_bkt, h_bkt = forced(
+            dedup.incremental_near_dup_filter(
+                corpus, batch, local_threshold=0, signature_store=bstore
+            )
+        )
+        t_bkt = tm() - t0
+        assert (n_plain, h_plain) == (n_stored, h_stored) == (n_bkt, h_bkt), (
             f"{name}: tier mismatch plain=({n_plain},{h_plain}) "
-            f"stored=({n_stored},{h_stored})"
+            f"stored=({n_stored},{h_stored}) bucketed=({n_bkt},{h_bkt})"
         )
         print(
-            f"{name:6s} store_build={t_build:.1f}s  "
+            f"{name:6s} store_build={t_build:.1f}s/bkt={t_bbuild:.1f}s  "
             f"self_contained={t_plain:.1f}s  stored_probe={t_stored:.1f}s  "
+            f"bucketed_probe={t_bkt:.1f}s  "
             f"admitted={n_plain} (parity OK)",
             flush=True,
         )
@@ -311,16 +351,30 @@ def measure_streaming_gate() -> None:
         t0 = tm()
         banded_signature_store_write(corpus, store)
         t_store = tm() - t0
+        # bucketed layout (r12): the static side satisfies the join's
+        # distribution from LAYOUT — zero static-side Exchange, no
+        # cache-fill shuffle; batch 0 pays a plain scan only
+        bstore = f"/tmp/bandstore_bkt_{name}"
+        shutil.rmtree(bstore, ignore_errors=True)
+        t0 = tm()
+        banded_signature_store_write(corpus, bstore, num_buckets=32)
+        t_bstore = tm() - t0
         t0 = tm()
         a = drain({"existing": corpus}, f"gate_self_{name}")
         t_self = tm() - t0
         t0 = tm()
         b = drain({"banded_store": store}, f"gate_store_{name}")
         t_stored = tm() - t0
-        assert a == b, f"{name}: tier mismatch ({len(a)} vs {len(b)} admitted)"
+        t0 = tm()
+        c = drain({"banded_store": bstore}, f"gate_bkt_{name}")
+        t_bkt = tm() - t0
+        assert a == b == c, (
+            f"{name}: tier mismatch ({len(a)} vs {len(b)} vs {len(c)} admitted)"
+        )
         print(
-            f"{name:6s} store_build={t_store:.1f}s  self_drain={t_self:.1f}s  "
-            f"store_drain={t_stored:.1f}s  admitted={len(a)} (parity OK)",
+            f"{name:6s} store_build={t_store:.1f}s/bkt={t_bstore:.1f}s  "
+            f"self_drain={t_self:.1f}s  store_drain={t_stored:.1f}s  "
+            f"bucketed_drain={t_bkt:.1f}s  admitted={len(a)} (parity OK)",
             flush=True,
         )
     spark.stop()

@@ -108,7 +108,7 @@ def test_banded_store_overwrite_kill_keeps_old_meta_and_trips_retry(
             docs, store, num_hashes=8, bands=4, mode="append"
         )
     with pytest.raises(Exception):
-        banded_signature_store_read(spark, store, 16, 8, 3).collect()
+        banded_signature_store_read(spark, store, 16, 8, 3)[0].collect()
 
 
 def test_ivf_build_kill_after_centroids_is_loud_everywhere(spark, tmp_path):

@@ -1153,6 +1153,94 @@ def test_signature_store_admission_parity(spark, sf_dir, tmp_path):
     assert stored == plain and len(plain) > 0
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_bucketed_signature_store_admission_parity(spark, sf_dir, tmp_path):
+    """r12: the BUCKETED banded store tier (band rows pre-projected into a
+    bucketBy(band_hash) table, probe pushes the batch's band hashes as an
+    IN filter) must admit EXACTLY what the plain store and the
+    self-contained operator admit, at two scales — including after a
+    catalog restart (table dropped; the probe auto-re-attaches) and after
+    a layout-matching append.  Layout/banding mismatches refuse loudly."""
+    from bulkfhirloader_spark.sources.bucketing import bucketed_table_name
+    from bulkfhirloader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "bktstore")
+    dedup.signature_store_write(
+        existing, store, num_hashes=16, shingle_words=3, bands=8, num_buckets=8
+    )
+
+    plain = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_near_dup_filter(existing, new_batch).collect()
+    )
+
+    def stored_admitted():
+        dedup._ADMIT_MEMO.clear()
+        return sorted(
+            r["doc_id"]
+            for r in dedup.incremental_near_dup_filter(
+                existing, new_batch, signature_store=store, validate_store_ids=True
+            ).collect()
+        )
+
+    assert stored_admitted() == plain and len(plain) > 0
+
+    # catalog restart: the probe must re-attach the band table by itself
+    spark.sql(f"DROP TABLE `{bucketed_table_name('bfls_sigbands', store)}`")
+    assert stored_admitted() == plain
+
+    # banding is pinned at write time
+    with pytest.raises(ValueError, match="banded at write"):
+        dedup.incremental_near_dup_filter(
+            existing, new_batch, bands=4, signature_store=store
+        )
+    # layout mismatches refuse in both directions
+    with pytest.raises(ValueError, match="banded-layout mismatch"):
+        dedup.signature_store_write(new_batch, store)  # plain → bucketed
+    with pytest.raises(ValueError, match="banded-layout mismatch"):
+        dedup.signature_store_write(
+            new_batch, store, bands=8, num_buckets=16
+        )
+    plain_store = str(tmp_path / "plainstore")
+    dedup.signature_store_write(existing, plain_store)
+    with pytest.raises(ValueError, match="banded-layout mismatch"):
+        dedup.signature_store_write(
+            existing, plain_store, bands=8, num_buckets=8
+        )
+    # bands without buckets (and vice versa) is a config error
+    with pytest.raises(ValueError, match="come together"):
+        dedup.signature_store_write(existing, str(tmp_path / "x"), bands=8)
+
+    # layout-matching append from a restarted catalog extends the store:
+    # fold the admitted batch in (the deployment loop), then probe a
+    # SECOND batch (same texts under fresh ids — ids must stay unique
+    # across the corpus) and pin parity against the self-contained
+    # operator over the grown corpus.  Every doc of batch2 has an exact
+    # twin in the grown corpus, so nothing is admitted — which only holds
+    # if the APPENDED band rows are visible to the pruned probe.
+    spark.sql(f"DROP TABLE `{bucketed_table_name('bfls_sigbands', store)}`")
+    admitted_df = new_batch.join(
+        spark.createDataFrame([(i,) for i in plain], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    dedup.signature_store_write(
+        admitted_df, store, num_hashes=16, shingle_words=3, bands=8, num_buckets=8
+    )
+    grown = existing.unionByName(admitted_df)
+    batch2 = grown.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    dedup._ADMIT_MEMO.clear()
+    regrown = dedup.incremental_near_dup_filter(
+        grown, batch2, signature_store=store, validate_store_ids=True
+    )
+    assert regrown.count() == 0
+
+
 def test_signature_store_geometry_mismatch_raises(spark, tmp_path):
     """Probing a store built under a different (num_hashes, shingle_words)
     must hard-error — mismatched geometries never collide, so a silent

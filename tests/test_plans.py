@@ -384,6 +384,52 @@ def test_incremental_admission_small_tier_returns_scan_filter(spark):
     assert "PushedFilters" in plan and "Not(In(doc_id" in plan
 
 
+def test_bucketed_signature_store_probe_prunes_buckets(spark, tmp_path):
+    """r12: the bucketed band table's probe shape — an IN filter on
+    band_hash feeding a band_hash-keyed join — must keep the bucketed
+    scan (Bucketed: true), push the IN to parquet, select only the
+    buckets the probed hashes land in (SelectedBucketsCount < total),
+    and need no Exchange above the bucketed side."""
+    import io
+    from contextlib import redirect_stdout
+
+    from bulkfhirloader_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 131 + j) % 997}" for j in range(30)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bkt")
+    dedup.signature_store_write(
+        docs, store, num_hashes=16, shingle_words=3, bands=8, num_buckets=8
+    )
+    table = dedup.register_signature_bands_table(spark, store)
+    some_hashes = [
+        r.band_hash
+        for r in spark.table(table).select("band_hash").limit(3).collect()
+    ]
+    probe = spark.table(table).where(F.col("band_hash").isin(some_hashes))
+    new_side = spark.range(10).select(
+        F.xxhash64("id").alias("band_hash"), F.col("id").alias("nid")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            new_side.join(probe, "band_hash").explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "Bucketed: true" in plan, plan
+    assert "In(band_hash" in plan, plan
+    sel = [ln for ln in plan.splitlines() if "SelectedBucketsCount" in ln]
+    assert sel, plan
+    picked, total = sel[0].split(":")[1].split(" out of ")
+    assert int(picked) < int(total) == 8, sel[0]
+
+
 def test_streaming_gate_static_side_joins_from_cached_partitioning(spark, tmp_path):
     """r11: the gate caches its static banded side repartitioned+sorted on
     the join keys, so per micro-batch only the STREAM side shuffles — a
@@ -431,10 +477,80 @@ def test_streaming_gate_static_side_joins_from_cached_partitioning(spark, tmp_pa
     fresh_band_exchanges = [
         ln
         for ln in plan.splitlines()
-        if "Exchange hashpartitioning(band_idx" in ln and "ENSURE_REQUIREMENTS" in ln
+        if "Exchange hashpartitioning(band_hash" in ln and "ENSURE_REQUIREMENTS" in ln
     ]
     # the stream side's shuffle is the only per-batch band-key Exchange;
     # the static side's band-key Exchange exists only inside the cached
     # plan's one-time fill lineage (REPARTITION_BY_COL under the
     # InMemoryRelation)
     assert len(fresh_band_exchanges) == 1, plan
+
+
+def test_streaming_gate_bucketed_store_static_side_has_zero_exchange(
+    spark, tmp_path
+):
+    """r12 (the r11 prototype shipped): a gate built over a BUCKETED
+    banded store satisfies the join's static-side distribution from
+    LAYOUT — the micro-batch plan from a fresh catalog (table dropped and
+    re-attached via register_banded_table, the restart case) has ZERO
+    static-side Exchange anywhere, including the cache-fill lineage: the
+    only band-key Exchange in the whole plan is the stream side's
+    ENSURE_REQUIREMENTS shuffle, and the static scan is Bucketed: true.
+    The non-bucketed cached tier, by contrast, carries its one-time
+    REPARTITION_BY_COL fill Exchange under the InMemoryRelation."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import (
+        _banded_table_name,
+        banded_signature_store_write,
+        register_banded_table,
+        stream_near_dup_admission,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta w{i} w{i + 1} w{i + 2}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path)
+    store = f"{src}/store"
+    banded_signature_store_write(
+        docs.where("doc_id % 2 = 0"), store, num_buckets=8
+    )
+    # simulate the cluster restart the layout exists for: the in-memory
+    # catalog forgets the table; register_banded_table re-attaches it
+    # from the store meta without touching data
+    spark.sql(f"DROP TABLE `{_banded_table_name(store)}`")
+    register_banded_table(spark, store)
+    docs.where("doc_id % 2 = 1").repartition(2).write.parquet(f"{src}/in")
+    schema = spark.read.parquet(f"{src}/in").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/in")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = stream_near_dup_admission(stream, banded_store=store)
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("plan_gate_bucketed")
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(src, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan, plan
+    band_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning(band_hash" in ln
+    ]
+    # ONE band-key Exchange in the WHOLE plan (stream side) — no
+    # REPARTITION_BY_COL fill lineage, no static-side shuffle at all
+    assert len(band_exchanges) == 1, plan
+    assert "ENSURE_REQUIREMENTS" in band_exchanges[0], plan
+    assert "REPARTITION_BY_COL" not in plan, plan

@@ -600,3 +600,86 @@ def test_banded_store_data_without_meta_refuses_append(spark, tmp_path):
     shutil.rmtree(f"{store}/meta.parquet")
     with _pytest.raises(ValueError, match="data but no readable meta"):
         banded_signature_store_write(docs, store)
+
+
+def test_stream_near_dup_admission_from_bucketed_store(spark, tmp_path):
+    """r12: the BUCKETED banded store admits exactly what the plain store
+    (and the self-contained form) admits — same verdicts as
+    test_stream_near_dup_admission_from_banded_store — including after a
+    catalog restart (table dropped, auto-re-attached by the gate) and
+    after a bucket-spec-matching append from that restarted catalog.
+    Layout mismatches refuse loudly in BOTH directions: a plain append to
+    a bucketed store and a bucketed append to a plain store would each
+    leave part files whose bucket hashing disagrees with the table spec —
+    silently invisible to the pruned join."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.streaming.joins import (
+        _banded_table_name,
+        banded_signature_store_read,
+        banded_signature_store_write,
+        stream_near_dup_admission,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog while rain falls on rooftops"
+    uniq1 = "structured streaming bounds its state with watermarks and timeouts"
+    uniq2 = "catalyst rewrites logical plans before tungsten generates bytecode"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus filler text about parquet footers")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bucketstore")
+    banded_signature_store_write(existing, store, num_buckets=4)
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(10, base + " slightly changed"), (11, uniq1)], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "in" / "f0"))
+    spark.createDataFrame(
+        [(12, uniq2), (13, base + " another tiny change")], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "in" / "f1"))
+
+    # catalog restart: the gate must re-attach the table by itself
+    spark.sql(f"DROP TABLE `{_banded_table_name(store)}`")
+
+    def run(qname):
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(str(tmp_path / "in" / "*")).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in" / "*"))
+        )
+        q = (
+            stream_near_dup_admission(stream, banded_store=store)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.doc_id for r in spark.table(qname).collect())
+
+    assert run("stream_admission_bucketed_t") == [11, 12]
+
+    # layout refusals, both directions + bucket-count mismatch
+    with _pytest.raises(ValueError, match="bucket-layout mismatch"):
+        banded_signature_store_write(existing, store)  # plain → bucketed
+    with _pytest.raises(ValueError, match="bucket-layout mismatch"):
+        banded_signature_store_write(existing, store, num_buckets=8)
+    plain = str(tmp_path / "plainstore")
+    banded_signature_store_write(existing, plain)
+    with _pytest.raises(ValueError, match="bucket-layout mismatch"):
+        banded_signature_store_write(existing, plain, num_buckets=4)
+
+    # append under the matching spec from a restarted catalog, then the
+    # rebuilt gate screens against the appended doc too
+    spark.sql(f"DROP TABLE `{_banded_table_name(store)}`")
+    banded_signature_store_write(
+        spark.createDataFrame([(3, uniq1)], schema), store, num_buckets=4
+    )
+    rows, is_bucketed = banded_signature_store_read(spark, store, 16, 8, 3)
+    assert is_bucketed and rows.select("id").distinct().count() == 3
+    assert run("stream_admission_bucketed_t2") == [12]  # uniq1 now stored
