@@ -2127,6 +2127,40 @@ def dedup_incremental_admission_stored(spark: SparkSession, sf_dir: str) -> Data
     ).select("doc_id")
 
 
+_BKT_SIG_STORE_DIRS: dict = {}
+
+
+def dedup_incremental_admission_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-banded-store tier of dedup_incremental_admission (r12, the
+    r11 verdict's "Next round #2"): the store also persists its band rows
+    as an external bucketBy(band_hash) table, and the probe reads THE
+    TABLE with the new batch's band hashes pushed down as an IN filter —
+    planning-time bucket pruning + per-bucket-sorted page skipping — so
+    the store-side read follows the probed key set instead of the corpus
+    (the plain stored tier's one corpus-linear term, SCALE.md).  The
+    store is built once per (session, sf_dir); the driver's hash row
+    certifies end-to-end: bucketed write, self-describing meta, catalog
+    (re-)attach, the pruned band-table probe, and the id-set equality
+    guard.  Output is DEFINED identical to the self-contained twin, so
+    the oracle SQL is shared (_DEDUP_INCR_SQL)."""
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _BKT_SIG_STORE_DIRS.get(key)
+    if store is None:
+        store = _os.path.join(tempfile.mkdtemp(prefix="bfls_bktsigstore_"), "store")
+        dedup.signature_store_write(
+            existing.select("doc_id", "text"), store, bands=8, num_buckets=8
+        )
+        _BKT_SIG_STORE_DIRS[key] = store
+    return dedup.incremental_near_dup_filter(
+        existing, new_batch, signature_store=store, validate_store_ids=True
+    ).select("doc_id")
+
+
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (dedup.ngram_containment_pairs):
     |A∩B|/|A| over word 3-shingles — the quote/snippet case Jaccard
@@ -3296,6 +3330,65 @@ def stream_near_dup_admit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(in_dir).schema
     _STREAM_Q_SEQ += 1
     qname = f"bfls_stream_admit_stored_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_near_dup_admission(
+            stream, banded_store=_os.path.join(src, "bandstore")
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("doc_id").distinct()
+
+
+def stream_near_dup_admit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-store tier of stream_near_dup_admit (r12, the r11
+    verdict's "Next round #1" shipped): the gate's static side is the
+    BUCKETED banded table — bucketBy(band_hash), per-bucket sorted — whose
+    layout satisfies the anti join's distribution requirement, so the
+    micro-batch plan has ZERO static-side Exchange from a fresh session
+    (no cache-fill batches; plan-asserted in tests/test_plans.py).  The
+    store is built once per (session, sf_dir), and the gate re-attaches
+    its catalog table itself (register_banded_table) — the restart path a
+    deployment actually takes.  Micro-batch semantics are defined
+    identical to both twins, so the oracle SQL is shared
+    (_STREAM_ADMIT_SQL)."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import (
+        banded_signature_store_write,
+        stream_near_dup_admission,
+    )
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, "admit_bucketed")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_admit_bkt_")
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text").repartition(
+            3
+        ).write.mode("overwrite").parquet(_os.path.join(src, "in"))
+        banded_signature_store_write(
+            docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text"),
+            _os.path.join(src, "bandstore"),
+            num_buckets=8,
+        )
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_admit_bucketed_{_STREAM_Q_SEQ}"
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -5460,6 +5553,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # the self-contained twin, so the oracle is shared (AUDIT.md discloses
     # the mid-round addition)
     "stream_near_dup_admit_stored": (stream_near_dup_admit_stored, _STREAM_ADMIT_SQL),
+    # r12: the bucketed banded-table gate tier (zero static-side Exchange
+    # from layout); semantics defined identical, oracle shared
+    "stream_near_dup_admit_bucketed": (
+        stream_near_dup_admit_bucketed,
+        _STREAM_ADMIT_SQL,
+    ),
     "ref_pop_facts_binned": (ref_pop_facts_binned, _REF_POP_BINNED_SQL),
     # engine surface beyond the reference
     "ext_rollup_order_counts": (ext_rollup_order_counts, _EXT_ROLLUP_SQL),
@@ -5512,6 +5611,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # to the self-contained twin, so the oracle is shared (AUDIT.md)
     "dedup_incremental_admission_stored": (
         dedup_incremental_admission_stored,
+        _DEDUP_INCR_SQL,
+    ),
+    # r12: the bucketed banded-table probe tier; output defined identical
+    # to the self-contained twin, so the oracle is shared (AUDIT.md)
+    "dedup_incremental_admission_bucketed": (
+        dedup_incremental_admission_bucketed,
         _DEDUP_INCR_SQL,
     ),
     "dedup_containment_pairs": (dedup_containment_pairs, _DEDUP_CONTAIN_SQL),
