@@ -2,6 +2,7 @@
 A4/A5, F3/F4/F6/F8/F10, K1/K2) as one lazy DataFrame program."""
 
 from bulkfhirloader_spark.ingest.pipeline import (
+    REFERENCE_ARRAY_PATHS,
     REFERENCE_PATHS,
     assign_ids,
     derive_rawstat,
@@ -14,6 +15,7 @@ from bulkfhirloader_spark.ingest.pipeline import (
 )
 
 __all__ = [
+    "REFERENCE_ARRAY_PATHS",
     "REFERENCE_PATHS",
     "assign_ids",
     "derive_rawstat",

@@ -25,6 +25,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from bulkfhirloader_spark.functions.scalars import (
@@ -46,18 +47,22 @@ from bulkfhirloader_spark.schemas import (
 )
 
 # The Reference-typed paths the rewrite pass must touch.  The reference
-# discovers these via recursive reflection over the FHIR Go structs
-# (bundle.go:192-221); our resource schema is explicit (schemas.RESOURCE_TYPE),
-# so the paths are an explicit list — schema-driven, no runtime reflection.
-REFERENCE_PATHS = [
-    "subject",
-    "patient",
-    "encounter",
-    "context",
-    "performer",
-    "serviceProvider",
-    "organization",
-    "medicationReference",
+# discovers these via recursive reflection over the FHIR Go structs —
+# INCLUDING references inside slices (bundle.go:192-221 recurses
+# reflect.Slice).  Our resource schema is explicit (schemas.RESOURCE_TYPE),
+# so the paths are DERIVED from it at import time (r12 — previously a hand
+# list, which an array-valued field like Observation.performer would have
+# silently bypassed): a field typed Reference rewrites as a scalar, a field
+# typed array<Reference> rewrites element-wise via transform.  Adding a
+# Reference field to the schema is the whole change.
+from bulkfhirloader_spark.schemas import REFERENCE_TYPE as _REF_T
+from bulkfhirloader_spark.schemas import RESOURCE_TYPE as _RES_T
+
+REFERENCE_PATHS = [f.name for f in _RES_T.fields if f.dataType == _REF_T]
+REFERENCE_ARRAY_PATHS = [
+    f.name
+    for f in _RES_T.fields
+    if isinstance(f.dataType, T.ArrayType) and f.dataType.elementType == _REF_T
 ]
 
 # Pinned "now" so age math (F3, bundle.go:54-60) is deterministic in tests;
@@ -195,7 +200,13 @@ def rewrite_references(entries: DataFrame) -> DataFrame:
     main.go:278) matches ref.Reference against fullUrl exactly — the legacy
     'cid:' strip (bundle.go:137-147) is dead code on that path, so F9 stays
     exposed as a scalar (functions.scalars.strip_cid_prefix) but is NOT
-    applied here.  Unmatched references stay verbatim."""
+    applied here.  Unmatched references stay verbatim.
+
+    Paths come FROM the schema (REFERENCE_PATHS / REFERENCE_ARRAY_PATHS —
+    the Spark analog of the reference's reflection walk, which also
+    recurses into slices, bundle.go:192-221): scalar Reference fields get
+    withField surgery; array<Reference> fields rewrite element-wise with
+    ``transform`` — still a pure projection, still zero-shuffle."""
     res = F.col("resource")
     for p in REFERENCE_PATHS:
         old = F.col(f"resource.{p}.reference")
@@ -205,6 +216,23 @@ def rewrite_references(entries: DataFrame) -> DataFrame:
             F.when(old.isNotNull(), F.struct(rewritten.alias("reference"))).otherwise(
                 F.col(f"resource.{p}")
             ),
+        )
+    refmap = F.col("_refmap")
+    for p in REFERENCE_ARRAY_PATHS:
+        arr = F.col(f"resource.{p}")
+        res = res.withField(
+            p,
+            F.when(
+                arr.isNotNull(),
+                F.transform(
+                    arr,
+                    lambda r: F.struct(
+                        F.coalesce(
+                            F.try_element_at(refmap, r["reference"]), r["reference"]
+                        ).alias("reference")
+                    ),
+                ),
+            ).otherwise(arr),
         )
     return entries.withColumn("resource", res).drop("_refmap")
 

@@ -895,6 +895,7 @@ def query_ivf_index(
     cand_id: str = "vec_id",
     query_vec: str = "query_vec",
     cand_vec: str = "embedding",
+    dedupe_ids: bool = False,
 ) -> DataFrame:
     """Probe a stored IVF index (build_ivf_index layout): rank the stored
     centroids per query (literal-array expression — the centroids file is
@@ -905,7 +906,19 @@ def query_ivf_index(
 
     The query set is small by contract (it rides a broadcast); collecting
     its probe union is driver-side work over queries × n_probe ints.
-    """
+
+    ``dedupe_ids=True`` (r12, closing the append-crash caveat in
+    append_ivf_index's docstring / SCALE.md crash table row 3): a kill
+    inside an append's commit window followed by a blind re-append leaves
+    duplicate id rows in the lists, which an exact probe then surfaces as
+    duplicate results.  The opt-in keeps ONE row per (query, candidate
+    id) — the max score — via a groupBy over the candidate set before the
+    top-k window: candidates are bounded by queries × probed-list sizes
+    (they already fit a broadcast join), so the extra Exchange is tiny,
+    map-side-combined, and only paid when opted in.  Top-k then counts k
+    DISTINCT ids.  Off by default: the recovery discipline (re-append
+    only after verifying the commit never landed) makes duplicates
+    impossible, and the default plan stays byte-identical."""
     centers = _read_stored_centroids(spark, path)
     q_n = queries.withColumn("_qn", l2_norm(F.col(query_vec))).withColumn(
         "_nv", l2_normalize(F.col(query_vec), F.col("_qn"))
@@ -930,6 +943,8 @@ def query_ivf_index(
             F.col(query_vec), F.col(cand_vec), F.col("_qn"), F.col("_cn")
         ).alias("score"),
     )
+    if dedupe_ids:
+        scored = scored.groupBy(query_id, cand_id).agg(F.max("score").alias("score"))
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(cand_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1016,7 +1031,21 @@ def recall_gap(
         len(approx_sets.get(q, set()) & cands) / len(cands)
         for q, cands in exact_sets.items()
     ]
-    recall = sum(recalls) / len(recalls) if recalls else 0.0
+    if not recalls:
+        # No query had a non-empty exact set (empty holdout, or every
+        # holdout id only self-matched).  Returning recall=0/gap=1 here
+        # would read to a scheduled monitor as catastrophic drift and
+        # trigger a spurious retrain (r11 advisor finding) — report the
+        # no-measurement case as None so a threshold comparison fails
+        # loudly instead of firing.
+        return {
+            "recall": None,
+            "gap": None,
+            "n_queries": 0,
+            "k": k,
+            "n_probe": n_probe,
+        }
+    recall = sum(recalls) / len(recalls)
     gap = (baseline_recall - recall) if baseline_recall is not None else 1.0 - recall
     return {
         "recall": recall,

@@ -19,8 +19,10 @@ restate the same semantics independently:
 Fixture inventory (as_of pinned to 2020-01-01):
   b1: male patient in 'Acton' ('Acton Town' dim row -> F1 strip), four
       conditions — tracked (101/11), null-disease twice (102/-999, A4 dedup),
-      untracked (0/0) — with subject references to the patient (J3) and one
-      dangling reference left verbatim.
+      untracked (0/0) — with subject references to the patient (J3), one
+      dangling reference left verbatim, and c1 carrying an ARRAY of
+      performer references (one intra-bundle -> rewritten, one external ->
+      verbatim; the slice-recursion case of bundle.go:192-221, r12).
   b2: female patient, deceasedBoolean=true  -> excluded from all facts.
   b3: male patient, deceasedDateTime only   -> deceased via F4 tri-state.
   b4: NO patient -> rawstat row with empty id (gotcha #6), conditions kept;
@@ -61,13 +63,19 @@ def _patient(full_url, gender, birth, city, zipc="01720",
     return {"fullUrl": full_url, "resource": r}
 
 
-def _condition(full_url, code, subject=None):
+def _condition(full_url, code, subject=None, performer=None):
     r = {
         "resourceType": "Condition",
         "code": {"coding": [{"system": SNOMED, "code": code, "display": code}]},
     }
     if subject:
         r["subject"] = {"reference": subject}
+    if performer:
+        # array-of-Reference path (r12): the reference's reflection walk
+        # rewrites references inside slices too (bundle.go:192-221
+        # recurses reflect.Slice) — this exercises the schema-derived
+        # REFERENCE_ARRAY_PATHS rewrite end-to-end
+        r["performer"] = [{"reference": ref} for ref in performer]
     return {"fullUrl": full_url, "resource": r}
 
 
@@ -77,7 +85,14 @@ def _bundles() -> dict[str, dict]:
             "resourceType": "Bundle", "type": "transaction",
             "entry": [
                 _patient("urn:uuid:pat1", "male", "1980-06-01", "Acton"),
-                _condition("urn:uuid:c1", "44054006", subject="urn:uuid:pat1"),
+                _condition(
+                    "urn:uuid:c1",
+                    "44054006",
+                    subject="urn:uuid:pat1",
+                    # intra-bundle array refs: first element rewrites (pat1
+                    # is in this bundle), second dangles and stays verbatim
+                    performer=["urn:uuid:pat1", "urn:uuid:ext-practitioner"],
+                ),
                 _condition("urn:uuid:c2", "38341003", subject="urn:uuid:pat1"),
                 _condition("urn:uuid:c3", "38341003", subject="urn:uuid:pat1"),
                 _condition("urn:uuid:c4", "99999999", subject="urn:uuid:dangling"),

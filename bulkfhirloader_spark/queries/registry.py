@@ -425,25 +425,32 @@ _REF_INGEST_RAWSTAT_SQL = (
 
 def ref_ingest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/F8/F10 over the written resources: every condition's subject
-    reference after the rewrite pass.  Matched references point at
-    Patient/sha256(bundle|fullUrl); the dangling one stays verbatim; the
-    subject-less one stays NULL (bundle.go:184-189)."""
+    reference after the rewrite pass, plus the ARRAY-valued performer
+    references (r12 — the slice-recursion case of bundle.go:192-221).
+    Matched references point at Patient/sha256(bundle|fullUrl); the
+    dangling/external ones stay verbatim; absent fields stay NULL
+    (bundle.go:184-189)."""
     res = ingest_fixture.fixture_resources(spark)
+    performer_csv = F.array_join(
+        F.transform(F.col("resource.performer"), lambda r: r["reference"]), ";"
+    )
     return res.filter(F.col("collection") == "conditions").select(
         F.col("fullUrl").alias("full_url"),
         F.col("resource.subject.reference").alias("subject_ref"),
+        performer_csv.alias("performer_refs"),
     )
 
 
 _REF_INGEST_REWRITE_SQL = """
 SELECT * FROM (VALUES
-  ('urn:uuid:c1', 'Patient/' || sha256('b1|urn:uuid:pat1')),
-  ('urn:uuid:c2', 'Patient/' || sha256('b1|urn:uuid:pat1')),
-  ('urn:uuid:c3', 'Patient/' || sha256('b1|urn:uuid:pat1')),
-  ('urn:uuid:c4', 'urn:uuid:dangling'),
-  ('urn:uuid:c5', 'Patient/' || sha256('b2|urn:uuid:pat2')),
-  ('urn:uuid:c6', NULL)
-) AS t(full_url, subject_ref)
+  ('urn:uuid:c1', 'Patient/' || sha256('b1|urn:uuid:pat1'),
+   'Patient/' || sha256('b1|urn:uuid:pat1') || ';urn:uuid:ext-practitioner'),
+  ('urn:uuid:c2', 'Patient/' || sha256('b1|urn:uuid:pat1'), NULL),
+  ('urn:uuid:c3', 'Patient/' || sha256('b1|urn:uuid:pat1'), NULL),
+  ('urn:uuid:c4', 'urn:uuid:dangling', NULL),
+  ('urn:uuid:c5', 'Patient/' || sha256('b2|urn:uuid:pat2'), NULL),
+  ('urn:uuid:c6', NULL, NULL)
+) AS t(full_url, subject_ref, performer_refs)
 """
 
 

@@ -60,13 +60,18 @@ RESOURCE_TYPE = T.StructType(
             T.StructType([T.StructField("coding", T.ArrayType(CODING_TYPE))]),
         ),
         # Reference-typed fields the rewrite pass (J3) must touch.  The
-        # reference finds these via recursive reflection (bundle.go:192-221);
-        # we enumerate the paths in ingest.pipeline.REFERENCE_PATHS.
+        # reference finds these via recursive reflection over scalars AND
+        # slices (bundle.go:192-221 recurses reflect.Slice); our rewrite
+        # DERIVES its path list from this schema (ingest.pipeline's
+        # REFERENCE_PATHS / REFERENCE_ARRAY_PATHS), so adding a
+        # Reference-typed field here — scalar or array — is the whole
+        # change: the rewrite picks it up automatically.
         T.StructField("subject", REFERENCE_TYPE),
         T.StructField("patient", REFERENCE_TYPE),
         T.StructField("encounter", REFERENCE_TYPE),
         T.StructField("context", REFERENCE_TYPE),
-        T.StructField("performer", REFERENCE_TYPE),
+        # array-of-Reference (real FHIR shape: Observation.performer et al)
+        T.StructField("performer", T.ArrayType(REFERENCE_TYPE)),
         T.StructField("serviceProvider", REFERENCE_TYPE),
         T.StructField("organization", REFERENCE_TYPE),
         T.StructField("medicationReference", REFERENCE_TYPE),

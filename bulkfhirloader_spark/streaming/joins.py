@@ -203,8 +203,14 @@ def banded_signature_store_write(
             # writes bucket-hashed file names, instead of letting
             # saveAsTable re-create blind
             register_banded_table(spark, path)
+        # repartition on the bucket expression first: a bucketed write
+        # otherwise emits one file per (task, bucket) pair — num_tasks ×
+        # num_buckets small files per append; hash-partitioned on the same
+        # Murmur3 the bucketing uses, each bucket's rows land in one task
+        # → ≤ num_buckets files per append
         w = (
-            banded.write.format("parquet")
+            banded.repartition(num_buckets, F.col("band_hash"))
+            .write.format("parquet")
             .mode(mode)
             .bucketBy(num_buckets, "band_hash")
             .sortBy("band_hash")

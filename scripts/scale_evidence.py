@@ -235,13 +235,21 @@ def measure_fixed_batch() -> None:
         dedup.signature_store_write(corpus, store, num_hashes=16, shingle_words=3)
         t_build = tm() - t0
         # bucketed banded layout (r12): band rows pre-projected into a
-        # bucketBy(band_hash) table; the probe pushes the batch's band
-        # hashes as an IN filter (bucket pruning + sorted-page skipping)
+        # bucketBy(band_hash) table.  Two probe regimes, by design:
+        # the BULK batch (2.5k docs → ~20k band hashes) reads the table
+        # unfiltered (pruning can't win when probes ≥ pages — see
+        # dedup._BAND_PROBE_PUSHDOWN_MAX) and banks only the
+        # no-decode/no-reband constant; the TRICKLE batch (50 docs → ~400
+        # hashes vs 1024 buckets) takes the literal-IN tier where bucket
+        # pruning + sorted-page skipping make the probe near-constant in
+        # corpus size — the sub-linear regime, and the realistic
+        # continuous-admission shape.
         bstore = f"/tmp/sigstore_bkt_{name}"
         shutil.rmtree(bstore, ignore_errors=True)
         t0 = tm()
         dedup.signature_store_write(
-            corpus, bstore, num_hashes=16, shingle_words=3, bands=8, num_buckets=32
+            corpus, bstore, num_hashes=16, shingle_words=3, bands=8,
+            num_buckets=1024,
         )
         t_bbuild = tm() - t0
         t0 = tm()
@@ -267,11 +275,33 @@ def measure_fixed_batch() -> None:
             f"{name}: tier mismatch plain=({n_plain},{h_plain}) "
             f"stored=({n_stored},{h_stored}) bucketed=({n_bkt},{h_bkt})"
         )
+        # trickle probes: same store, 50-doc batch, stored vs bucketed
+        trickle = batch.where(F.col("doc_id") % 50 == 0)
+        t0 = tm()
+        n_ts, h_ts = forced(
+            dedup.incremental_near_dup_filter(
+                corpus, trickle, local_threshold=0, signature_store=store
+            )
+        )
+        t_trickle_stored = tm() - t0
+        t0 = tm()
+        n_tb, h_tb = forced(
+            dedup.incremental_near_dup_filter(
+                corpus, trickle, local_threshold=0, signature_store=bstore
+            )
+        )
+        t_trickle_bkt = tm() - t0
+        assert (n_ts, h_ts) == (n_tb, h_tb), (
+            f"{name}: trickle tier mismatch stored=({n_ts},{h_ts}) "
+            f"bucketed=({n_tb},{h_tb})"
+        )
         print(
             f"{name:6s} store_build={t_build:.1f}s/bkt={t_bbuild:.1f}s  "
             f"self_contained={t_plain:.1f}s  stored_probe={t_stored:.1f}s  "
             f"bucketed_probe={t_bkt:.1f}s  "
-            f"admitted={n_plain} (parity OK)",
+            f"trickle_stored={t_trickle_stored:.1f}s  "
+            f"trickle_bucketed={t_trickle_bkt:.1f}s  "
+            f"admitted={n_plain}/{n_ts} (parity OK)",
             flush=True,
         )
     spark.stop()

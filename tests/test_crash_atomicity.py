@@ -144,6 +144,51 @@ def test_ivf_build_kill_after_centroids_is_loud_everywhere(spark, tmp_path):
     assert similarity.query_ivf_index(spark, idx2, q, k=2, n_probe=2).count() == 2
 
 
+def test_ivf_append_crash_replay_duplicates_closed_by_dedupe_ids(spark, tmp_path):
+    """SCALE.md crash table row 3 (r12 close): an append whose WRITE
+    committed but whose caller crashed before recording it gets blindly
+    re-appended on recovery — the lists then hold each re-appended id
+    twice, and an exact probe surfaces the duplicates.  Pin both halves:
+    the default probe DOES show duplicate ids after the replay (the
+    documented caveat, not silently masked), and ``dedupe_ids=True``
+    returns k DISTINCT ids with the same top-score ordering."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0 + 0.01 * i]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    centers = [[0.0, 1.0], [1.0, 0.0]]
+    first = emb.where("vec_id < 8")
+    extra = emb.where("vec_id >= 8")
+    similarity.build_ivf_index(first, idx, precomputed_centroids=centers)
+    similarity.append_ivf_index(extra, idx)
+    # crash-replay: the recovery job re-appends the already-committed batch
+    similarity.append_ivf_index(extra, idx)
+
+    q = spark.createDataFrame(
+        [(100, [1.0, 1.1])], "query_id long, query_vec array<double>"
+    )
+    base = similarity.query_ivf_index(spark, idx, q, k=12, n_probe=2).collect()
+    ids = [r["vec_id"] for r in base]
+    assert len(ids) != len(set(ids))  # the caveat is real
+    # raw reference map over the FULL candidate set (k past the dup rows)
+    base = similarity.query_ivf_index(spark, idx, q, k=24, n_probe=2).collect()
+    deduped = similarity.query_ivf_index(
+        spark, idx, q, k=12, n_probe=2, dedupe_ids=True
+    ).collect()
+    dids = [r["vec_id"] for r in deduped]
+    assert len(dids) == len(set(dids)) == 12
+    # scores survive the keep-max dedup: every returned (id, score) pair
+    # appears in the raw result, and ranks stay score-descending
+    raw_best = {}
+    for r in base:
+        raw_best[r["vec_id"]] = max(raw_best.get(r["vec_id"], -2.0), r["score"])
+    for r in deduped:
+        assert abs(raw_best[r["vec_id"]] - r["score"]) < 1e-12
+    scores = [r["score"] for r in sorted(deduped, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_docstore_orphan_manifest_tmp_is_reaped_under_lock(spark, tmp_path):
     """A crash between writing `_manifest.json.tmp-<hex>` and its
     os.replace leaves the tmp behind; the next flock-holding save must

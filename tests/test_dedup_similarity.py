@@ -1439,6 +1439,28 @@ def test_recall_gap_pins_script_protocol(spark, tmp_path):
     )
     assert based["recall"] == pytest.approx(got["recall"])
     assert based["gap"] == pytest.approx(1.0 - got["recall"])
+    # (d) r11 advisor finding: a holdout with NO measurable query (every
+    # exact set empty — here a single-vector store probed by its own id,
+    # so the self-exclusion removes the only candidate) must report
+    # None/None, never recall=0/gap=1 — a scheduled monitor thresholding
+    # gap > 0.05 would read that as catastrophic drift and retrain
+    solo = spark.createDataFrame(
+        [(7, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    idx_solo = str(tmp_path / "ivf_solo")
+    similarity.build_ivf_index(solo, idx_solo, precomputed_centroids=[[0.0, 1.0]])
+    empty = similarity.recall_gap(
+        spark,
+        idx_solo,
+        spark.createDataFrame(
+            [(7, [0.0, 1.0])], "query_id long, query_vec array<double>"
+        ),
+        k=5,
+        n_probe=1,
+        baseline_recall=full["recall"],
+    )
+    assert empty["recall"] is None and empty["gap"] is None
+    assert empty["n_queries"] == 0
 
 
 def test_pandas_topk_null_id_and_nonfinite_parity(spark):

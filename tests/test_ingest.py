@@ -51,13 +51,15 @@ def _patient(full_url, pid="p", gender="male", birth="1980-06-01",
     return {"fullUrl": full_url, "resource": r}
 
 
-def _condition(full_url, system, code, subject=None):
+def _condition(full_url, system, code, subject=None, performer=None):
     r = {
         "resourceType": "Condition",
         "code": {"coding": [{"system": system, "code": code, "display": code}]},
     }
     if subject:
         r["subject"] = {"reference": subject}
+    if performer:
+        r["performer"] = [{"reference": ref} for ref in performer]
     return {"fullUrl": full_url, "resource": r}
 
 
@@ -74,7 +76,8 @@ def ingest_env(spark, tmp_path_factory):
         "b1": _bundle(
             [
                 _patient("urn:uuid:pat1", gender="male", birth="1980-06-01"),
-                _condition("urn:uuid:c1", SNOMED, "44054006", subject="urn:uuid:pat1"),
+                _condition("urn:uuid:c1", SNOMED, "44054006", subject="urn:uuid:pat1",
+                           performer=["urn:uuid:pat1", "urn:uuid:external"]),
                 _condition("urn:uuid:c2", SNOMED, "38341003", subject="urn:uuid:pat1"),
                 _condition("urn:uuid:c3", SNOMED, "38341003", subject="urn:uuid:pat1"),  # dup
                 _condition("urn:uuid:c4", SNOMED, "99999999", subject="urn:uuid:dangling"),
@@ -195,6 +198,18 @@ def test_j3_reference_rewrite(ingest_env, spark):
     assert rows["urn:uuid:c4"]["resource"]["subject"]["reference"] == "urn:uuid:dangling"
     # resource.id was reassigned to the deterministic id (main.go:264-275)
     assert rows["urn:uuid:c1"]["resource"]["id"] != "c1"
+    # ARRAY-valued Reference path (r12, bundle.go:192-221 recurses
+    # reflect.Slice): the intra-bundle performer element rewrites to the
+    # same new id as the subject; the external one stays verbatim; and
+    # conditions without a performer keep NULL (never an empty array)
+    performers = rows["urn:uuid:c1"]["resource"]["performer"]
+    assert [p["reference"] for p in performers] == [rewritten, "urn:uuid:external"]
+    assert rows["urn:uuid:c2"]["resource"]["performer"] is None
+    # the path lists are DERIVED from the schema — performer must be found
+    # as an array path, not a scalar one
+    assert "performer" in ing.REFERENCE_ARRAY_PATHS
+    assert "performer" not in ing.REFERENCE_PATHS
+    assert "subject" in ing.REFERENCE_PATHS
 
 
 def test_rawstat_golden(ingest_env, spark):
