@@ -6,10 +6,16 @@ decode / feature-extraction runs as Arrow-batched pandas iterators
 (mapInPandas), which is the supported way to run per-record Python at
 cluster scale without row-at-a-time serialization.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_stub`` produces deterministic fake features so the
-Spark-side plumbing — schema, batching, partitioning — is real and tested;
-swap `_decode_batch` for a real decoder (PIL/librosa/ffmpeg) in production.
+Decoders: PPM (P6, binary RGB — fixed header + raw pixels) is decoded FOR
+REAL by a pure-Python parser (r12 — no image libraries needed for this
+format, so no stub): ``decode_image`` parses header + pixels and emits
+width/height/channel statistics, and ``resize_thumbnails(decode="ppm")``
+does a true nearest-neighbor pixel resize.  Formats that need a real
+codec (JPEG/PNG/audio/video) keep the deterministic byte-level stand-ins
+(``_decode_batch`` byte histogram, byte-striding resize, chunk "frames")
+so the Spark-side plumbing — schema, batching, partitioning, fan-out — is
+real and tested; swap the per-batch function for PIL/librosa/ffmpeg in
+production, the mapInPandas contract is unchanged.
 """
 
 from __future__ import annotations
@@ -201,8 +207,191 @@ def resize_thumbnails(media: DataFrame, thumb_w: int = 8, thumb_h: int = 8) -> D
     return media.select("media_id", "payload").mapInPandas(run, THUMBNAIL_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Real image decode is NOT available in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; use extract_features (stub) for the plumbing"
-    )
+# ---------------------------------------------------------------------------
+# Real PPM (P6) decode — pure Python, no image libraries (r12)
+# ---------------------------------------------------------------------------
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        # exact integer channel sums, not float means: sums hash identically
+        # across engines (registry conventions: no floats on a hash path);
+        # mean_c = channel_sums[c] / (width*height) when a caller wants it
+        T.StructField("channel_sums", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def synthetic_ppm_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic PPM (P6) fixture images as MEDIA_SCHEMA rows — the
+    image-shaped testdata generator (no image libs in the container, and
+    the driver's parquet tables carry no blobs, so fixtures are
+    synthesized from ids).  For media id m:
+      width  = 8 + m % 5,  height = 6 + m % 7
+      pixel byte at (x, y, channel c) = (m*7919 + y*131 + x*17 + c*29) % 256
+    The formula is pure integer arithmetic so a SQL oracle can restate the
+    decoded statistics WITHOUT parsing bytes — Spark's path is
+    generate -> encode_ppm -> parse_ppm -> aggregate, the oracle computes
+    the same stats straight from the formula; any parser drift breaks the
+    hash.  Generation itself is Arrow-batched Python (fixture-making, not
+    a hot operator)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "payload": [], "meta": []}
+            for mid in pdf[id_col]:
+                m = int(mid)
+                w, h = 8 + m % 5, 6 + m % 7
+                rgb = bytes(
+                    (m * 7919 + y * 131 + x * 17 + c * 29) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                payload = encode_ppm(w, h, rgb)
+                out["media_id"].append(m)
+                out["payload"].append(payload)
+                out["meta"].append(
+                    {"mime": "image/x-portable-pixmap",
+                     "n_bytes": len(payload), "source": "synthetic"}
+                )
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def parse_ppm(b: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a binary PPM (P6) payload -> (width, height, raw RGB bytes),
+    or None if the payload is not a well-formed maxval-255 P6 image.
+    Header grammar per the netpbm spec: 'P6', then whitespace-separated
+    width/height/maxval with '#' comments allowed between tokens, then
+    EXACTLY ONE whitespace byte, then width*height*3 raw bytes."""
+    if not b or not b.startswith(b"P6"):
+        return None
+    i, n = 2, len(b)
+    fields: list[int] = []
+    while len(fields) < 3:
+        while i < n and b[i : i + 1].isspace():
+            i += 1
+        if i < n and b[i : i + 1] == b"#":  # comment to end of line
+            while i < n and b[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and b[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            return None
+        fields.append(int(b[i:j]))
+        i = j
+    if i >= n or not b[i : i + 1].isspace():
+        return None
+    i += 1  # the single post-maxval whitespace byte
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval != 255:
+        return None
+    need = w * h * 3
+    if n - i < need:
+        return None
+    return w, h, b[i : i + need]
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Assemble a binary PPM (P6) payload from raw RGB bytes — the fixture
+    generator's other half of parse_ppm (round-trip pytest-pinned)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"encode_ppm: need {width * height * 3} RGB bytes for "
+            f"{width}x{height}, got {len(rgb)}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """REAL image decode for PPM (P6) payloads — pure-Python parser, no
+    PIL (r12; this replaces the previous NotImplementedError stub for the
+    one format a fixed-header parser can own).  Arrow-batched mapInPandas,
+    same scale shape as extract_features: bytes never leave the executor,
+    one Python worker pass per batch.
+
+    Emits (media_id, width, height, channels, channel_sums) with EXACT
+    integer per-channel pixel sums (hash-stable across engines — divide by
+    width*height for means).  A payload that does not parse as maxval-255
+    P6 yields NULL width/height/channels/sums — decode failures are data,
+    not exceptions, so one corrupt blob cannot kill a 10^9-row decode job
+    (the same quarantine stance as the ingest's corrupt-record capture)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "width": [], "height": [],
+                "channels": [], "channel_sums": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_ppm(bytes(payload or b""))
+                out["media_id"].append(mid)
+                if parsed is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["channel_sums"].append(None)
+                    continue
+                w, h, rgb = parsed
+                sums = [0, 0, 0]
+                for c in range(3):
+                    sums[c] = sum(rgb[c::3])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(3)
+                out["channel_sums"].append(sums)
+            frame = pd.DataFrame(out)
+            frame["width"] = frame["width"].astype("Int32")
+            frame["height"] = frame["height"].astype("Int32")
+            frame["channels"] = frame["channels"].astype("Int32")
+            yield frame
+
+    return media.select("media_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+def resize_ppm_thumbnails(
+    media: DataFrame, thumb_w: int = 8, thumb_h: int = 8
+) -> DataFrame:
+    """TRUE nearest-neighbor resize for PPM (P6) payloads: thumbnail pixel
+    (tx, ty) samples source pixel (tx*W // thumb_w, ty*H // thumb_h) — the
+    standard floor mapping — and the output is the thumb_w*thumb_h*3 raw
+    RGB bytes (THUMBNAIL_SCHEMA, so downstream ops compose exactly like
+    the byte-striding stub path).  Non-PPM payloads yield a NULL
+    thumbnail, same quarantine stance as decode_image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs: list = []
+            for payload in pdf["payload"]:
+                parsed = parse_ppm(bytes(payload or b""))
+                if parsed is None:
+                    thumbs.append(None)
+                    continue
+                w, h, rgb = parsed
+                out = bytearray(thumb_w * thumb_h * 3)
+                k = 0
+                for ty in range(thumb_h):
+                    sy = ty * h // thumb_h
+                    row = sy * w
+                    for tx in range(thumb_w):
+                        src = (row + tx * w // thumb_w) * 3
+                        out[k : k + 3] = rgb[src : src + 3]
+                        k += 3
+                thumbs.append(bytes(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb_w": pd.Series([thumb_w] * len(pdf), dtype="int32"),
+                    "thumb_h": pd.Series([thumb_h] * len(pdf), dtype="int32"),
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, THUMBNAIL_SCHEMA)

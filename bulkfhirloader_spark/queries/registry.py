@@ -4613,6 +4613,85 @@ FROM st
 """
 
 
+def mm_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (r12 — the NotImplementedError stub replaced):
+    deterministic PPM (P6) fixture images are synthesized per id
+    (multimodal.synthetic_ppm_media's pinned integer formula), then
+    decode_image's pure-Python parser reads header + raw pixels and emits
+    exact per-channel pixel sums.  The oracle NEVER parses bytes — it
+    computes the same statistics straight from the generating formula —
+    so the hash certifies the full encode -> parse -> aggregate loop: a
+    parser that misread the header grammar, pixel order, or channel
+    interleave would diverge."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+    out = multimodal.decode_image(multimodal.synthetic_ppm_media(ids))
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.array_join(
+            F.transform("channel_sums", lambda s: s.cast("string")), ","
+        ).alias("sums_csv"),
+    )
+
+
+_MM_DECODE_SQL = """
+WITH ids AS (SELECT doc_id AS media_id,
+                    CAST(8 + doc_id % 5 AS INTEGER) AS width,
+                    CAST(6 + doc_id % 7 AS INTEGER) AS height
+             FROM documents WHERE doc_id % 20 = 0),
+px AS (SELECT media_id, width, height, CAST(i % 3 AS INTEGER) AS c,
+              (media_id * 7919 + ((i // 3) // width) * 131 +
+               ((i // 3) % width) * 17 + (i % 3) * 29) % 256 AS v
+       FROM ids, unnest(range(CAST(width * height * 3 AS BIGINT))) AS t(i)),
+s AS (SELECT media_id, width, height, c, CAST(sum(v) AS BIGINT) AS sv
+      FROM px GROUP BY 1, 2, 3, 4)
+SELECT media_id, width, height, CAST(3 AS INTEGER) AS channels,
+       array_to_string(list(CAST(sv AS VARCHAR) ORDER BY c), ',') AS sums_csv
+FROM s GROUP BY 1, 2, 3
+"""
+
+
+def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE nearest-neighbor PPM resize (r12): 4x4 RGB thumbnails of the
+    synthesized P6 images; thumbnail pixel (tx, ty) samples source pixel
+    (tx*W // 4, ty*H // 4).  The oracle re-derives every thumbnail byte
+    from the generating formula + the same floor mapping and compares the
+    hex — certifying parse, the resample index math, and byte order."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+    out = multimodal.resize_ppm_thumbnails(
+        multimodal.synthetic_ppm_media(ids), thumb_w=4, thumb_h=4
+    )
+    return out.select(
+        "media_id", "thumb_w", "thumb_h", F.hex("thumbnail").alias("thumb_hex")
+    )
+
+
+_MM_RESIZE_PPM_SQL = """
+WITH ids AS (SELECT doc_id AS media_id,
+                    8 + doc_id % 5 AS w, 6 + doc_id % 7 AS h
+             FROM documents WHERE doc_id % 20 = 0)
+SELECT media_id,
+       CAST(4 AS INTEGER) AS thumb_w, CAST(4 AS INTEGER) AS thumb_h,
+       array_to_string(
+           list_transform(range(48),
+               i -> printf('%02X',
+                    (media_id * 7919 +
+                     (((i // 3) // 4) * h // 4) * 131 +
+                     (((i // 3) % 4) * w // 4) * 17 +
+                     (i % 3) * 29) % 256)),
+           '') AS thumb_hex
+FROM ids
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5689,6 +5768,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mm_extract_features": (mm_extract_features, _MM_FEATURES_SQL),
     "mm_sample_frames": (mm_sample_frames, _MM_FRAMES_SQL),
     "mm_resize_thumbnails": (mm_resize_thumbnails, _MM_RESIZE_SQL),
+    # r12: REAL PPM decode + true nearest-neighbor resize — oracles restate
+    # the decoded stats from the fixture-generating formula, never parsing
+    # bytes, so the hash certifies the parser end-to-end
+    "mm_decode_image": (mm_decode_image, _MM_DECODE_SQL),
+    "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
     # user-journey / sequence analytics
     "ext_funnel_conversion": (ext_funnel_conversion, _EXT_FUNNEL_SQL),
     "ext_retention_cohorts": (ext_retention_cohorts, _EXT_RETENTION_SQL),

@@ -56,3 +56,74 @@ def test_extract_features_unit_histogram(spark):
     assert row["n_bytes"] == 11
     assert len(row["feature"]) == 8
     assert abs(sum(row["feature"]) - 1.0) < 1e-6  # normalized histogram
+
+
+# ---------------------------------------------------------------------------
+# Real PPM (P6) decode + nearest-neighbor resize (r12)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_media(spark, rows):
+    """(media_id, payload-bytes) rows as MEDIA_SCHEMA."""
+    return spark.createDataFrame(
+        [(mid, b, ("image/x-portable-pixmap", len(b), "t")) for mid, b in rows],
+        multimodal.MEDIA_SCHEMA,
+    )
+
+
+def test_parse_ppm_roundtrip_and_header_grammar():
+    rgb = bytes(range(2 * 3 * 3))  # 2x3 image
+    assert multimodal.parse_ppm(multimodal.encode_ppm(2, 3, rgb)) == (2, 3, rgb)
+    # comments between header tokens are legal netpbm
+    with_comment = b"P6\n# a comment\n2 3\n# another\n255\n" + rgb
+    assert multimodal.parse_ppm(with_comment) == (2, 3, rgb)
+    # rejections: wrong magic, truncated pixels, non-255 maxval, zero dim
+    assert multimodal.parse_ppm(b"P5\n2 3\n255\n" + rgb) is None
+    assert multimodal.parse_ppm(multimodal.encode_ppm(2, 3, rgb)[:-1]) is None
+    assert multimodal.parse_ppm(b"P6\n2 3\n65535\n" + rgb) is None
+    assert multimodal.parse_ppm(b"P6\n0 3\n255\n") is None
+    assert multimodal.parse_ppm(b"") is None
+    assert multimodal.parse_ppm(b"not an image at all") is None
+
+
+def test_decode_image_real_stats_and_corrupt_quarantine(spark):
+    # 2x2 image with known channel sums
+    rgb = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    good = multimodal.encode_ppm(2, 2, rgb)
+    media = _ppm_media(spark, [(1, good), (2, b"garbage bytes")])
+    rows = {r["media_id"]: r for r in multimodal.decode_image(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (2, 2, 3)
+    assert rows[1]["channel_sums"] == [10 + 40 + 70 + 100,
+                                       20 + 50 + 80 + 110,
+                                       30 + 60 + 90 + 120]
+    # corrupt payload is DATA (NULL row), never an exception
+    assert rows[2]["width"] is None and rows[2]["channel_sums"] is None
+
+
+def test_resize_ppm_nearest_neighbor_exact(spark):
+    # 4x2 source, downsample to 2x1: thumb (tx,0) samples (tx*4//2, 0*2//1)
+    # = source pixels x=0 and x=2 of row 0
+    px = [[(x + 1) * 10 + c for c in range(3)] for x in range(4)]  # row 0
+    px += [[200 + x for _ in range(3)] for x in range(4)]          # row 1
+    rgb = bytes(v for p in px for v in p)
+    media = _ppm_media(spark, [(1, multimodal.encode_ppm(4, 2, rgb)),
+                               (2, b"nope")])
+    rows = {r["media_id"]: r for r in
+            multimodal.resize_ppm_thumbnails(media, thumb_w=2, thumb_h=1).collect()}
+    assert bytes(rows[1]["thumbnail"]) == bytes(px[0] + px[2])
+    assert rows[1]["thumb_w"] == 2 and rows[1]["thumb_h"] == 1
+    assert rows[2]["thumbnail"] is None
+
+
+def test_synthetic_ppm_media_matches_its_documented_formula(spark):
+    ids = spark.createDataFrame([(23,)], "media_id long")
+    row = multimodal.synthetic_ppm_media(ids).collect()[0]
+    m, w, h = 23, 8 + 23 % 5, 6 + 23 % 7
+    parsed = multimodal.parse_ppm(bytes(row["payload"]))
+    assert parsed is not None
+    pw, ph, rgb = parsed
+    assert (pw, ph) == (w, h)
+    want = bytes((m * 7919 + y * 131 + x * 17 + c * 29) % 256
+                 for y in range(h) for x in range(w) for c in range(3))
+    assert rgb == want
+    assert row["meta"]["mime"] == "image/x-portable-pixmap"
