@@ -86,6 +86,62 @@ def test_pack_token_shards_equals_global_cumsum(spark):
     assert all(x <= y for x, y in zip(shards, shards[1:]))
 
 
+def test_pack_token_shards_offsets_relation_is_provably_bounded(spark):
+    """r11 verdict nit, closed: the second-level (global-window) offsets
+    relation must be bounded by max_offset_rows at ANY corpus/id span —
+    bucket width is derived from the actual id span, the caller's
+    bucket_size acting as a floor.  Unit-pin the derivation's bound, then
+    plant a 10^10-wide sparse id range and check (a) the derived width
+    kicks in, (b) the output still equals the naive global cumsum."""
+    from bulkfhirloader_spark.operators.curation import _derive_bucket_size
+
+    # bound: buckets over [lo, hi] at the derived width never exceed cap
+    for lo, hi, floor, cap in [
+        (0, 10**12, 1 << 16, 1 << 16),
+        (0, 100, 1 << 16, 1 << 16),
+        (-(10**9), 10**9, 64, 1024),
+        (5, 5, 64, 8),
+    ]:
+        w = _derive_bucket_size(lo, hi, floor, cap)
+        n_buckets = (hi // w) - (lo // w) + 1
+        assert w >= floor and n_buckets <= cap + 1, (lo, hi, w, n_buckets)
+    assert _derive_bucket_size(None, None, 77, 10) == 77  # empty corpus
+
+    ids = [0, 3, 65536, 10**7, 10**9, 5 * 10**9, 10**10]
+    docs = spark.createDataFrame(
+        [(i, "tok " * (j + 1)) for j, i in enumerate(ids)],
+        "doc_id long, text string",
+    )
+    out = curation.pack_token_shards(
+        docs, shard_tokens=5, bucket_size=64, max_offset_rows=128
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # derived width = ceil((10^10+1)/128) — the floor (64) must NOT appear
+    # as the div literal in the plan
+    derived = -(-(10**10 + 1) // 128)
+    assert f"div {derived}" in plan.replace("(", " ").replace(")", " ") or str(
+        derived
+    ) in plan
+    naive = {
+        (r["doc_id"], r["n_tokens"], r["shard_id"])
+        for r in docs.select(
+            "doc_id",
+            token_count_bpe_ish(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN "
+                "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div 5"
+            ).alias("shard_id"),
+        )
+        .collect()
+    }
+    got = {(r["doc_id"], r["n_tokens"], r["shard_id"]) for r in out.collect()}
+    assert got == naive  # derivation path is still bit-identical to global
+
+
 def test_pack_token_shards_plan_is_parallel(spark):
     """The scale property: NO single-partition global window on the
     document stream — the only global ordering happens on the tiny
