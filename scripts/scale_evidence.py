@@ -308,14 +308,24 @@ def measure_fixed_batch() -> None:
 
 
 def measure_streaming_gate() -> None:
-    """The streaming admission gate's two static-side tiers against
+    """The streaming admission gate's three static-side tiers against
     growing corpora, constant 2.5k-doc stream (two micro-batches): the
     self-contained tier derives the banded static side from the corpus
     TEXT at gate construction (shingle+minhash the whole corpus), the
-    banded_store tier scans the pre-banded parquet table.  The store
-    build is timed separately (in deployment it is each admitted batch's
-    own append, amortized).  Admitted sets asserted identical — the
-    measurement doubles as a parity check at 200x the pytest fixture."""
+    banded_store tier scans the pre-banded parquet table, the bucketed
+    tier reads the bucketBy(band_hash) table (zero static-side Exchange
+    from layout).  The store build is timed separately (in deployment it
+    is each admitted batch's own append, amortized).  Admitted sets
+    asserted identical — the measurement doubles as a parity check at
+    200x the pytest fixture.
+
+    EACH DRAIN RUNS IN ITS OWN SparkSession (r12): a gate restart IS a
+    fresh session — that is exactly the case the bucketed layout exists
+    for — and sharing one session across drains let three successive
+    array-carrying static caches + two store builds OOM a 48g heap at 2M
+    docs (the measurement artifact, not an engine property: a deployment
+    runs one gate per session).  Per-session also keeps each tier's
+    timing clean of its predecessor's GC debt."""
     import shutil
     import tempfile
 
@@ -332,10 +342,14 @@ def measure_streaming_gate() -> None:
     # decoded footprint exactly the way a cluster's maxPartitionBytes
     # does — this is measurement config mirroring the documented cluster
     # posture, not an engine change.
-    spark = get_spark(
-        app_name="scale-evidence-streaming-gate",
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
-    )
+    _GATE_CONF = {"spark.sql.files.maxPartitionBytes": "16m"}
+
+    def fresh_session():
+        return get_spark(
+            app_name="scale-evidence-streaming-gate", extra_conf=_GATE_CONF
+        )
+
+    spark = fresh_session()
     tm = time.monotonic
     batch = spark.read.parquet(f"{OUTDIR}/batch2500.parquet")
     schema = batch.schema
@@ -345,7 +359,7 @@ def measure_streaming_gate() -> None:
     batch.where("doc_id % 2 = 0").coalesce(1).write.parquet(f"{indir}/f0")
     batch.where("doc_id % 2 = 1").coalesce(1).write.parquet(f"{indir}/f1")
 
-    def drain(static_kw: dict, qname: str) -> list:
+    def drain(spark, static_kw: dict, qname: str) -> list:
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -389,14 +403,23 @@ def measure_streaming_gate() -> None:
         t0 = tm()
         banded_signature_store_write(corpus, bstore, num_buckets=32)
         t_bstore = tm() - t0
+
+        # one session per drain (see docstring): stop, restart, re-read
+        spark.stop()
+        spark = fresh_session()
+        corpus = spark.read.parquet(f"{OUTDIR}/{name}.parquet")
         t0 = tm()
-        a = drain({"existing": corpus}, f"gate_self_{name}")
+        a = drain(spark, {"existing": corpus}, f"gate_self_{name}")
         t_self = tm() - t0
+        spark.stop()
+        spark = fresh_session()
         t0 = tm()
-        b = drain({"banded_store": store}, f"gate_store_{name}")
+        b = drain(spark, {"banded_store": store}, f"gate_store_{name}")
         t_stored = tm() - t0
+        spark.stop()
+        spark = fresh_session()  # the bucketed tier's fresh-catalog case
         t0 = tm()
-        c = drain({"banded_store": bstore}, f"gate_bkt_{name}")
+        c = drain(spark, {"banded_store": bstore}, f"gate_bkt_{name}")
         t_bkt = tm() - t0
         assert a == b == c, (
             f"{name}: tier mismatch ({len(a)} vs {len(b)} vs {len(c)} admitted)"
