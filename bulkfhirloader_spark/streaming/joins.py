@@ -342,6 +342,13 @@ def stream_near_dup_admission(
     appends made while a gate is live are not screened against until the
     gate restarts — the deployment loop is batch-append, then (re)start
     the gate; a restart is also when new geometry would be rejected.
+    A store written with ``num_buckets=`` (the r12 bucketed layout) is
+    detected from its meta and read through its catalog table
+    (auto-re-attached on a fresh session): the bucketBy(band_hash) layout
+    satisfies the join's static-side distribution, so the micro-batch
+    plan has ZERO static-side Exchange and there is no cache-fill shuffle
+    at all — the restart-friendly tier (plan-asserted in
+    tests/test_plans.py).
     Without the parameter the static side is derived from ``existing`` to
     stay self-contained.  State: the
     stream-static join itself is STATELESS (the static side re-resolves
