@@ -6,16 +6,18 @@ decode / feature-extraction runs as Arrow-batched pandas iterators
 (mapInPandas), which is the supported way to run per-record Python at
 cluster scale without row-at-a-time serialization.
 
-Decoders: PPM (P6, binary RGB — fixed header + raw pixels) is decoded FOR
-REAL by a pure-Python parser (r12 — no image libraries needed for this
-format, so no stub): ``decode_image`` parses header + pixels and emits
-width/height/channel statistics, and ``resize_thumbnails(decode="ppm")``
-does a true nearest-neighbor pixel resize.  Formats that need a real
-codec (JPEG/PNG/audio/video) keep the deterministic byte-level stand-ins
-(``_decode_batch`` byte histogram, byte-striding resize, chunk "frames")
-so the Spark-side plumbing — schema, batching, partitioning, fan-out — is
-real and tested; swap the per-batch function for PIL/librosa/ffmpeg in
-production, the mapInPandas contract is unchanged.
+Decoders: two modalities are decoded FOR REAL by pure-Python parsers
+(r12 — these formats need no codec library, so no stub): PPM (P6, binary
+RGB — fixed header + raw pixels) via ``decode_image`` /
+``resize_ppm_thumbnails`` (true nearest-neighbor pixel resize), and WAV
+(RIFF/PCM16) via ``decode_audio`` / ``audio_frame_energy`` (a real RIFF
+chunk walker + int16 sample statistics and per-frame energies).  Formats
+that need a real codec (JPEG/PNG/compressed audio/video) keep the
+deterministic byte-level stand-ins (``_decode_batch`` byte histogram,
+byte-striding resize, chunk "frames") so the Spark-side plumbing —
+schema, batching, partitioning, fan-out — is real and tested; swap the
+per-batch function for PIL/librosa/ffmpeg in production, the
+mapInPandas contract is unchanged.
 """
 
 from __future__ import annotations
@@ -354,6 +356,202 @@ def decode_image(media: DataFrame) -> DataFrame:
             yield frame
 
     return media.select("media_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF/PCM) decode — pure Python, no audio libraries (r12)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        # exact integer sample statistics, not float RMS: integer sums hash
+        # identically across engines (registry conventions: no floats on a
+        # hash path); rms = sqrt(sum_sq / n_samples) when a caller wants it
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Assemble a RIFF/WAVE payload (PCM, mono, 16-bit little-endian) from
+    int16 sample values — the fixture generator's other half of parse_wav
+    (round-trip pytest-pinned)."""
+    import struct
+
+    data = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(b: bytes) -> tuple[int, int, bytes] | None:
+    """Parse a RIFF/WAVE payload -> (sample_rate, n_channels, raw PCM16
+    data bytes), or None if the payload is not well-formed PCM 16-bit.
+    A real RIFF chunk walker per the WAVE spec: 'RIFF' <size> 'WAVE', then
+    a sequence of <fourcc><u32 size><payload> chunks with a pad byte after
+    odd-sized chunks; unknown chunks (LIST, fact, ...) are skipped, 'fmt '
+    must declare PCM (format tag 1) at 16 bits/sample before 'data'."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    sample_rate = n_channels = None
+    while i + 8 <= n:
+        fourcc = b[i : i + 4]
+        (size,) = struct.unpack_from("<I", b, i + 4)
+        i += 8
+        if i + size > n:
+            return None
+        if fourcc == b"fmt ":
+            if size < 16:
+                return None
+            tag, ch, rate, _bps, _align, bits = struct.unpack_from("<HHIIHH", b, i)
+            if tag != 1 or bits != 16 or ch < 1:
+                return None
+            sample_rate, n_channels = rate, ch
+        elif fourcc == b"data":
+            if sample_rate is None or n_channels is None:
+                return None  # data before fmt: malformed for our purposes
+            if size % 2 != 0:
+                return None  # torn int16 stream
+            return sample_rate, n_channels, b[i : i + size]
+        i += size + (size & 1)  # odd chunks are padded to word boundary
+    return None
+
+
+def synthetic_wav_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic WAV (RIFF/PCM16 mono) fixture clips as MEDIA_SCHEMA
+    rows — the audio-shaped testdata generator (no audio libs in the
+    container, and the driver's parquet tables carry no blobs, so fixtures
+    are synthesized from ids).  For media id m:
+      sample_rate = 8000 Hz,  n_samples = 64 + m % 37
+      sample[i] = ((m*7919 + i*104729) % 65536) - 32768   (int16)
+    Pure integer arithmetic, so a SQL oracle can restate the decoded
+    statistics WITHOUT parsing bytes — Spark's path is generate ->
+    encode_wav -> parse_wav -> aggregate, the oracle computes the same
+    stats straight from the formula; any parser drift breaks the hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "payload": [], "meta": []}
+            for mid in pdf[id_col]:
+                m = int(mid)
+                n = 64 + m % 37
+                samples = [((m * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+                payload = encode_wav(8000, samples)
+                out["media_id"].append(m)
+                out["payload"].append(payload)
+                out["meta"].append(
+                    {"mime": "audio/wav", "n_bytes": len(payload), "source": "synthetic"}
+                )
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode for WAV (RIFF/PCM16) payloads — pure-Python RIFF
+    chunk walker, no librosa/soundfile (r12; audio joins PPM as the second
+    genuinely-decoded modality).  Arrow-batched mapInPandas, same scale
+    shape as decode_image: bytes never leave the executor.
+
+    Emits (media_id, sample_rate, n_channels, n_samples, sum_abs,
+    peak_abs, duration_ms) with EXACT integer sample statistics
+    (hash-stable across engines; rms derives from them).  n_samples counts
+    per-channel frames (interleaved channels divide the int16 count).  A
+    payload that does not parse as PCM16 WAVE yields NULL stats — decode
+    failures are data, not exceptions, so one corrupt blob cannot kill a
+    10^9-row decode job (the ingest's quarantine stance)."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "sum_abs": [], "peak_abs": [], "duration_ms": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_wav(bytes(payload or b""))
+                out["media_id"].append(mid)
+                if parsed is None:
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "sum_abs", "peak_abs", "duration_ms"):
+                        out[k].append(None)
+                    continue
+                rate, ch, data = parsed
+                vals = struct.unpack("<%dh" % (len(data) // 2), data)
+                n_frames = len(vals) // ch
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(n_frames)
+                out["sum_abs"].append(sum(abs(v) for v in vals))
+                out["peak_abs"].append(max((abs(v) for v in vals), default=0))
+                out["duration_ms"].append(n_frames * 1000 // rate)
+            frame = pd.DataFrame(out)
+            frame["sample_rate"] = frame["sample_rate"].astype("Int32")
+            frame["n_channels"] = frame["n_channels"].astype("Int32")
+            for k in ("n_samples", "sum_abs", "peak_abs", "duration_ms"):
+                frame[k] = frame[k].astype("Int64")
+            yield frame
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+def audio_frame_energy(media: DataFrame, frame_samples: int = 16) -> DataFrame:
+    """Per-frame energy over decoded WAV samples — the 1->N audio shape
+    (one clip fans out to fixed-width analysis frames, the skeleton every
+    spectral featurizer shares).  Frame f covers samples
+    [f*frame_samples, (f+1)*frame_samples); energy = sum(v^2) over the
+    frame, an EXACT integer (max 16 * 32768^2 ≈ 1.7e10, well inside
+    int64), so the fan-out is fully SQL-oracle-checkable.  Non-WAV
+    payloads contribute no frames (quarantine-by-absence, like
+    sample_frames on empty payloads)."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "n_samples": [], "energy": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_wav(bytes(payload or b""))
+                if parsed is None:
+                    continue
+                _rate, _ch, data = parsed
+                vals = struct.unpack("<%dh" % (len(data) // 2), data)
+                for f in range(0, (len(vals) + frame_samples - 1) // frame_samples):
+                    chunk = vals[f * frame_samples : (f + 1) * frame_samples]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(sum(v * v for v in chunk))
+            frame = pd.DataFrame(out)
+            frame["frame_idx"] = frame["frame_idx"].astype("int32")
+            for k in ("n_samples", "energy"):
+                frame[k] = frame[k].astype("Int64")
+            yield frame
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_FRAMES_SCHEMA)
 
 
 def resize_ppm_thumbnails(

@@ -4692,6 +4692,66 @@ FROM ids
 """
 
 
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (r12 — WAV joins PPM as the second genuinely
+    decoded modality): deterministic RIFF/PCM16 mono clips are synthesized
+    per id (multimodal.synthetic_wav_media's pinned integer formula), then
+    decode_audio's pure-Python RIFF chunk walker reads fmt + data chunks
+    and emits exact integer sample statistics.  The oracle NEVER parses
+    bytes — it computes the same statistics straight from the generating
+    formula — so the hash certifies the full encode -> chunk-walk ->
+    unpack -> aggregate loop: a walker that misread chunk sizes, skipped
+    the pad-byte rule, or unpacked the wrong endianness would diverge."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 20 == 1).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return multimodal.decode_audio(multimodal.synthetic_wav_media(ids))
+
+
+_MM_DECODE_WAV_SQL = """
+WITH ids AS (SELECT doc_id AS media_id, CAST(64 + doc_id % 37 AS BIGINT) AS n
+             FROM documents WHERE doc_id % 20 = 1),
+s AS (SELECT media_id, n,
+             ((media_id * 7919 + i * 104729) % 65536) - 32768 AS v
+      FROM ids, unnest(range(n)) AS t(i))
+SELECT media_id, CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       n AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms
+FROM s GROUP BY media_id, n
+"""
+
+
+def mm_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N audio fan-out over REAL WAV decode (r12): each synthesized
+    clip fans out to 16-sample analysis frames with exact integer
+    energies (sum of v^2) — the skeleton every spectral featurizer
+    shares, fully oracle-checked from the generating formula."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 20 == 1).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return multimodal.audio_frame_energy(
+        multimodal.synthetic_wav_media(ids), frame_samples=16
+    )
+
+
+_MM_WAV_ENERGY_SQL = """
+WITH ids AS (SELECT doc_id AS media_id, CAST(64 + doc_id % 37 AS BIGINT) AS n
+             FROM documents WHERE doc_id % 20 = 1),
+s AS (SELECT media_id, CAST(i // 16 AS INTEGER) AS frame_idx,
+             ((media_id * 7919 + i * 104729) % 65536) - 32768 AS v
+      FROM ids, unnest(range(n)) AS t(i))
+SELECT media_id, frame_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM s GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5773,6 +5833,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # bytes, so the hash certifies the parser end-to-end
     "mm_decode_image": (mm_decode_image, _MM_DECODE_SQL),
     "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
+    "mm_decode_wav": (mm_decode_wav, _MM_DECODE_WAV_SQL),
+    "mm_wav_frame_energy": (mm_wav_frame_energy, _MM_WAV_ENERGY_SQL),
     # user-journey / sequence analytics
     "ext_funnel_conversion": (ext_funnel_conversion, _EXT_FUNNEL_SQL),
     "ext_retention_cohorts": (ext_retention_cohorts, _EXT_RETENTION_SQL),

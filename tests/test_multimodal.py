@@ -127,3 +127,88 @@ def test_synthetic_ppm_media_matches_its_documented_formula(spark):
                  for y in range(h) for x in range(w) for c in range(3))
     assert rgb == want
     assert row["meta"]["mime"] == "image/x-portable-pixmap"
+
+
+def test_parse_wav_roundtrip_and_chunk_walking():
+    import struct
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    payload = multimodal.encode_wav(8000, samples)
+    rate, ch, data = multimodal.parse_wav(payload)
+    assert (rate, ch) == (8000, 1)
+    assert list(struct.unpack("<7h", data)) == samples
+
+    # a real chunk walker must skip unknown chunks (LIST before fmt/data)
+    # and honor the odd-size pad byte rule
+    odd_chunk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    body = payload[12:]  # fmt + data chunks
+    wrapped = b"RIFF" + struct.pack("<I", 4 + len(odd_chunk) + len(body)) + b"WAVE" + odd_chunk + body
+    rate2, ch2, data2 = multimodal.parse_wav(wrapped)
+    assert (rate2, ch2, data2) == (rate, ch, data)
+
+    # malformed payloads quarantine to None, never raise
+    assert multimodal.parse_wav(b"") is None
+    assert multimodal.parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    assert multimodal.parse_wav(payload[:20]) is None  # truncated
+    assert multimodal.parse_wav(b"OggS" + payload[4:]) is None  # wrong magic
+    # fmt declaring 8-bit (non-PCM16) refuses
+    bad_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt)
+    assert multimodal.parse_wav(bad) is None
+    # data chunk before fmt refuses (sample layout unknown)
+    data_first = (b"RIFF" + struct.pack("<I", 4 + 8 + 4) + b"WAVE"
+                  + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    assert multimodal.parse_wav(data_first) is None
+
+
+def test_decode_audio_real_stats_and_corrupt_quarantine(spark):
+    ids = spark.createDataFrame([(3,), (17,)], "media_id long")
+    media = multimodal.synthetic_wav_media(ids)
+    rows = {r["media_id"]: r for r in multimodal.decode_audio(media).collect()}
+    for m in (3, 17):
+        n = 64 + m % 37
+        vals = [((m * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+        r = rows[m]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (8000, 1, n)
+        assert r["sum_abs"] == sum(abs(v) for v in vals)
+        assert r["peak_abs"] == max(abs(v) for v in vals)
+        assert r["duration_ms"] == n * 1000 // 8000
+    # corrupt payload -> NULL stats, not an exception
+    junk = _media(spark, [(99, "not a wav at all")])
+    r = multimodal.decode_audio(junk).collect()[0]
+    assert r["media_id"] == 99 and r["n_samples"] is None and r["sum_abs"] is None
+
+
+def test_decode_audio_stereo_frames_divide_channels(spark):
+    import struct
+
+    # hand-build a stereo clip: 4 interleaved L/R int16 pairs = 4 frames
+    vals = [100, -100, 200, -200, 300, -300, 400, -400]
+    data = struct.pack("<8h", *vals)
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+    media = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    r = multimodal.decode_audio(media.select(
+        "media_id", "payload")).collect()[0]
+    assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (16000, 2, 4)
+    assert r["sum_abs"] == sum(abs(v) for v in vals)
+    assert r["duration_ms"] == 4 * 1000 // 16000
+
+
+def test_audio_frame_energy_fanout_exact(spark):
+    ids = spark.createDataFrame([(5,)], "media_id long")
+    media = multimodal.synthetic_wav_media(ids)
+    rows = sorted(multimodal.audio_frame_energy(media, frame_samples=16).collect(),
+                  key=lambda r: r["frame_idx"])
+    n = 64 + 5 % 37  # 69 samples -> 5 frames: 16,16,16,16,5
+    vals = [((5 * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+    assert [r["n_samples"] for r in rows] == [16, 16, 16, 16, 5]
+    for f, r in enumerate(rows):
+        chunk = vals[f * 16:(f + 1) * 16]
+        assert r["energy"] == sum(v * v for v in chunk)
+    # non-WAV payloads contribute no frames
+    junk = _media(spark, [(99, "plain text")])
+    assert multimodal.audio_frame_energy(junk).count() == 0

@@ -405,10 +405,14 @@ def test_bucketed_signature_store_probe_prunes_buckets(spark, tmp_path):
         docs, store, num_hashes=16, shingle_words=3, bands=8, num_buckets=8
     )
     table = dedup.register_signature_bands_table(spark, store)
+    # DISTINCT: the bands file is sorted by band_hash, so a plain limit(3)
+    # can return one value three times — Catalyst folds a single-value IN
+    # to EqualTo and the In(...) pushdown assertion below goes flaky
     some_hashes = [
         r.band_hash
-        for r in spark.table(table).select("band_hash").limit(3).collect()
+        for r in spark.table(table).select("band_hash").distinct().limit(3).collect()
     ]
+    assert len(set(some_hashes)) == 3
     probe = spark.table(table).where(F.col("band_hash").isin(some_hashes))
     new_side = spark.range(10).select(
         F.xxhash64("id").alias("band_hash"), F.col("id").alias("nid")
