@@ -940,6 +940,85 @@ def embedding_cosine_pairs(
     return cand.select("id_a", "id_b", sim).filter(F.col("cos_sim") >= threshold)
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then compare pairs
+    ONLY within a cluster — ``(id_a, id_b, cluster_id, cos_sim)`` with
+    ``cos_sim >= threshold``.
+
+    Where this sits among the embedding dedup tiers: the exact tier
+    (``embedding_cosine_pairs`` full-scan) is O(n²) globally; the LSH tier
+    bounds candidates by random-hyperplane buckets — data-OBLIVIOUS
+    geometry.  SemDeDup bounds them by a data-ADAPTIVE partition: the
+    deterministic Lloyd fit (``similarity.kmeans_centroids``) places the
+    cuts where the corpus is sparse, so semantically-unrelated pairs are
+    never scored.  The published trade: pairs straddling a cluster
+    boundary are unscored by design (recall loss concentrated on
+    borderline pairs), in exchange for sum(m_i²) pair work instead of n².
+
+    Scale shape: the Lloyd fit is n_iter + 1 corpus passes with zero-
+    shuffle assignments (see kmeans_centroids); the pair stage is ONE
+    self-join keyed on cluster_id.  Two knobs own the skew story:
+    ``k`` must scale with the corpus (k ≈ N / target_cluster_size — at
+    constant k a 100× corpus makes every cluster 100× heavier and the
+    per-cluster clique 10⁴×), and ``max_cluster_size`` is the hard cap —
+    the same contract as the MinHash band cap (_cap_band_buckets): members
+    of an oversized cluster beyond the cap (kept in ascending id order,
+    deterministic) are excluded from the join, trading recall on
+    mega-clusters for a bounded output.  Norms are computed once per
+    vector before the join, never per pair.
+    """
+    from bulkfhirloader_spark.operators.similarity import (
+        cosine_with_norms,
+        kmeans_assign,
+        l2_norm,
+    )
+
+    assigned = kmeans_assign(
+        emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col, round_dp=round_dp
+    ).select(id_col, "cluster_id")
+    if max_cluster_size is not None:
+        w = Window.partitionBy("cluster_id").orderBy(id_col)
+        assigned = (
+            assigned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_cluster_size)
+            .drop("_rn")
+        )
+    body = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    sides = {
+        s: assigned.join(body, id_col).select(
+            F.col(id_col).alias(f"id_{s}"),
+            "cluster_id",
+            F.col("_v").alias(f"v_{s}"),
+            F.col("_n").alias(f"n_{s}"),
+        )
+        for s in ("a", "b")
+    }
+    sim = cosine_with_norms(
+        F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+    ).alias("cos_sim")
+    return (
+        sides["a"]
+        .join(sides["b"], "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cluster_id", sim)
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

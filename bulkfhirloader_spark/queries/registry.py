@@ -2240,6 +2240,87 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+# Shared deterministic-Lloyd CTE prefix (k=8, n_iter=2, 6 dp): init from
+# the 8 smallest vec_ids, two assignment→update rounds, final assignment.
+# Every step restates similarity.kmeans_centroids' rounding contract —
+# scores rounded to 6 dp BEFORE the argmax (ties to smallest cluster id),
+# per-dim means rounded to 6 dp — so both engines walk identical
+# centroid sequences.
+_KMEANS_CTE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+              list_transform(v, x -> round(x, 6)) AS cen
+       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+s1 AS (SELECT e.vec_id, e.v, c0.cid,
+              round(list_cosine_similarity(e.v, c0.cen), 6) AS s
+       FROM e, c0),
+m1 AS (SELECT vec_id, v, cid FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk FROM s1)
+       WHERE rnk = 1),
+u1 AS (SELECT cid, u.dim AS dim, avg(u.x) AS mean_x
+       FROM m1, LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim) u
+       GROUP BY 1, 2),
+c1 AS (SELECT cid, list(round(mean_x, 6) ORDER BY dim) AS cen FROM u1 GROUP BY 1),
+s2 AS (SELECT e.vec_id, e.v, c1.cid,
+              round(list_cosine_similarity(e.v, c1.cen), 6) AS s
+       FROM e, c1),
+m2 AS (SELECT vec_id, v, cid FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk FROM s2)
+       WHERE rnk = 1),
+u2 AS (SELECT cid, u.dim AS dim, avg(u.x) AS mean_x
+       FROM m2, LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim) u
+       GROUP BY 1, 2),
+c2 AS (SELECT cid, list(round(mean_x, 6) ORDER BY dim) AS cen FROM u2 GROUP BY 1),
+sf AS (SELECT e.vec_id, e.v, c2.cid,
+              round(list_cosine_similarity(e.v, c2.cen), 6) AS s
+       FROM e, c2),
+f AS (SELECT vec_id, v, cid AS cluster_id, s AS score FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk FROM sf)
+      WHERE rnk = 1)
+"""
+
+
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means (similarity.kmeans_assign):
+    every vector's final cluster and rounded cosine-to-centroid.  The only
+    oracle-checkable k-means fit in the repo — the IVF quantizer is MLlib
+    (not SQL-restatable) and the PQ trainer is a driver sample; this tier
+    clusters the POPULATION with DataFrame ops whose every step (init by
+    smallest ids, 6-dp rounded argmax, 6-dp rounded per-dim means) the
+    DuckDB CTE chain restates exactly.  Per iteration: one zero-shuffle
+    broadcast assignment pass + one k×dim-partial update shuffle; centroids
+    round-trip the driver as literals so plans stay flat."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, k=8, n_iter=2)
+
+
+_EMB_KMEANS_SQL = _KMEANS_CTE + """
+SELECT vec_id, cluster_id, score FROM f
+"""
+
+
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (dedup.semantic_dedup_pairs): near-dup pairs scored only
+    WITHIN a k-means cluster — the data-adaptive candidate bound, vs the
+    LSH tier's data-oblivious hyperplane buckets and the exact tier's
+    global O(n²).  Oracle extends the Lloyd CTE chain with the same
+    within-cluster self-join; boundary-straddling pairs are unscored on
+    both engines by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.semantic_dedup_pairs(emb, k=8, n_iter=2, threshold=0.4)
+    return out.select(
+        "id_a", "id_b", "cluster_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+_DEDUP_SEMANTIC_SQL = _KMEANS_CTE + """
+, p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+               list_cosine_similarity(a.v, b.v) AS cs
+        FROM f a JOIN f b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cluster_id, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — text analysis (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -5750,6 +5831,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash_pairs": (dedup_simhash_pairs, _DEDUP_NGRAM_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),
     "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, _DEDUP_EMB_SQL),
+    "dedup_semantic_pairs": (dedup_semantic_pairs, _DEDUP_SEMANTIC_SQL),
+    "emb_kmeans_assign": (emb_kmeans_assign, _EMB_KMEANS_SQL),
     "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "dedup_survivors_quality": (dedup_survivors_quality, _DEDUP_SURV_SQL),
     "dedup_incremental_admission": (dedup_incremental_admission, _DEDUP_INCR_SQL),

@@ -1652,3 +1652,87 @@ def test_signature_store_custom_id_col_roundtrip(spark, tmp_path):
     ).parquet(f"{bad}/sigs")
     with pytest.raises(ValueError, match="corrupt signature store"):
         dedup.signature_store_read(spark, bad, num_hashes=16, shingle_words=3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd k-means + SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def two_lobes(spark):
+    """Two tight direction-lobes in R4 whose CENTERS are still cos≈0.7
+    similar: ids 1/2 (the k=2 init seeds) land one per lobe; within-lobe
+    cosines ≈1, cross-lobe ≈0.7 — above a 0.5 near-dup threshold, so a
+    GLOBAL pair scan would emit cross-lobe pairs that the semantic tier
+    must exclude by construction."""
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [0.7, 0.7, 0.0, 0.0]),
+        (3, [0.99, 0.0, 0.01, 0.0]),
+        (4, [0.71, 0.69, 0.0, 0.01]),
+        (5, [1.0, 0.01, 0.0, 0.01]),
+        (6, [0.69, 0.71, 0.01, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_assign_separates_planted_lobes(two_lobes):
+    out = {
+        r["vec_id"]: r["cluster_id"]
+        for r in similarity.kmeans_assign(two_lobes, k=2, n_iter=2).collect()
+    }
+    assert out[1] == out[3] == out[5]
+    assert out[2] == out[4] == out[6]
+    assert out[1] != out[2]
+
+
+def test_kmeans_deterministic_across_runs(two_lobes):
+    a = sorted(map(tuple, similarity.kmeans_assign(two_lobes, k=2, n_iter=2).collect()))
+    b = sorted(map(tuple, similarity.kmeans_assign(two_lobes, k=2, n_iter=2).collect()))
+    assert a == b
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    """k exceeding the number of distinct directions: duplicate-direction
+    seeds lose the rounded-argmax tie to the smaller cluster id, so the
+    redundant cluster empties and DROPS after the first update (standard
+    Lloyd variant) — survivors keep stable ids and every row stays
+    assigned."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.0]),  # k=3 seed identical to seed 1 -> its cluster empties
+        (4, [1.0, 0.0]),
+        (5, [0.0, 1.0]),
+        (6, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_centroids(emb, k=3, n_iter=2)
+    assert cents.count() == 2
+    out = similarity.kmeans_assign(emb, k=3, n_iter=2)
+    assert out.count() == 6
+    assert out.select("cluster_id").distinct().count() == 2
+
+
+def test_semantic_dedup_excludes_cross_cluster_pairs(two_lobes):
+    sem = dedup.semantic_dedup_pairs(two_lobes, k=2, n_iter=2, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in sem.collect()}
+    # within-lobe pairs only
+    assert pairs == {(1, 3), (1, 5), (3, 5), (2, 4), (2, 6), (4, 6)}
+    # the exact global tier DOES see cross-lobe pairs at this threshold —
+    # the semantic tier's candidate bound is what removed them
+    full = dedup.embedding_cosine_pairs(
+        two_lobes, threshold=0.5, allow_full_scan=True
+    )
+    assert full.count() > len(pairs)
+
+
+def test_semantic_dedup_max_cluster_size_cap(two_lobes):
+    """Cap contract mirrors the MinHash band cap: members beyond the cap
+    in ascending-id order are excluded from the pair join entirely."""
+    sem = dedup.semantic_dedup_pairs(
+        two_lobes, k=2, n_iter=2, threshold=0.5, max_cluster_size=2
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in sem.collect()}
+    assert pairs == {(1, 3), (2, 4)}

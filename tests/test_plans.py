@@ -232,6 +232,8 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "q11_important_parts",      # 1-row grand-total threshold
     "q22_dormant_customers",    # 1-row avg-balance threshold
     "emb_knn_classify",         # n_classes-row broadcast centroid table
+    "emb_kmeans_assign",        # k-row broadcast centroid table (same shape)
+    "dedup_semantic_pairs",     # k-row broadcast centroid table feeds assignment
     "ext_bloom_semi_lineitem",  # 1-row broadcast bloom map attach
     "ext_winsorize_doclen",     # 1-row broadcast percentile bounds
     "cur_median_length_filter", # 1-row broadcast exact-median threshold
@@ -272,6 +274,19 @@ def test_knn_classify_corpus_path_is_projection(spark):
     (the groupBy-struct-max formulation plans SortAggregate + a full-corpus
     shuffle)."""
     fn, _ = registry.REGISTRY["emb_knn_classify"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "SortAggregate" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_kmeans_final_assignment_is_projection(spark):
+    """The Lloyd fit's deliverable (every row's cluster) must score the
+    corpus the same way emb_knn does: centroids ride a one-row broadcast,
+    argmax is array_max — no aggregate and no exchange keyed by the vector
+    id anywhere in the final assignment pass.  (The per-iteration update
+    shuffles only k x dim partials, and those passes have already been
+    collected to literals by the time this plan exists.)"""
+    fn, _ = registry.REGISTRY["emb_kmeans_assign"]
     plan = _plan(fn(spark, SF_DIR))
     assert "SortAggregate" not in plan
     assert "hashpartitioning(vec_id" not in plan
