@@ -190,6 +190,89 @@ def select_for_training(
     )
 
 
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    max_epochs: float = 2.0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Static dataset-mixture planning (the Pile / DoReMi-style step that
+    precedes sampling): given target mixture ``weights`` per source and a
+    total ``token_budget``, compute each source's token allocation, capped
+    at ``max_epochs`` passes over what the source actually has — the
+    standard guard against a high-weight/low-volume source degenerating
+    into hundreds of repeat epochs.
+
+    Per source: ``available_tokens`` (whitespace-token sum),
+    ``target_tokens = floor(weight / sum(weights) * budget)``,
+    ``planned_tokens = least(target, floor(max_epochs * available))``,
+    ``epochs = round(planned / available, 6)``, and the unmet
+    ``deficit_tokens = target - planned`` (what a re-weighting pass would
+    redistribute).  ``sum(weights)`` normalizes over the PROVIDED dict —
+    a weighted source absent from the corpus still claims its share (its
+    plan row is absent, its budget share is the deficit the caller sees
+    missing); a corpus source absent from the dict is dropped.
+
+    Scale shape: ONE corpus scan projecting (source, n_tokens) into a
+    partial-aggregated groupBy — the exchange carries one running sum per
+    source — then a broadcast join against the k-row weights table.  All
+    arithmetic after the sum is per-source scalar math, deterministic and
+    SQL-restatable (integer floors; the one double division is identical
+    IEEE ops in identical order on both engines).
+    """
+    from bulkfhirloader_spark.operators.text import quality_exprs
+
+    spark = docs.sparkSession
+    wsum = float(sum(weights.values()))
+    wtab = F.broadcast(
+        spark.createDataFrame(
+            sorted(weights.items()), f"{source_col} STRING, weight DOUBLE"
+        )
+    )
+    avail = (
+        docs.select(
+            F.col(source_col),
+            quality_exprs(text_col)["n_tokens"].alias("_nt"),
+        )
+        .groupBy(source_col)
+        .agg(F.sum("_nt").cast("long").alias("available_tokens"))
+    )
+    target = F.floor(
+        F.col("weight") / F.lit(wsum) * F.lit(float(token_budget))
+    ).cast("long")
+    cap = F.floor(F.lit(float(max_epochs)) * F.col("available_tokens")).cast(
+        "long"
+    )
+    return (
+        avail.join(wtab, source_col)
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "planned_tokens", F.least(F.col("target_tokens"), cap)
+        )
+        .select(
+            source_col,
+            "available_tokens",
+            "weight",
+            "target_tokens",
+            "planned_tokens",
+            # nullif: an all-empty-text source has 0 available tokens —
+            # NULL epochs, not an ANSI DIVIDE_BY_ZERO throw
+            F.round(
+                F.col("planned_tokens").cast("double")
+                / F.nullif(
+                    F.col("available_tokens").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("epochs"),
+            (F.col("target_tokens") - F.col("planned_tokens")).alias(
+                "deficit_tokens"
+            ),
+        )
+    )
+
+
 def decontaminate_ngram_overlap(
     corpus: DataFrame,
     eval_docs: DataFrame,

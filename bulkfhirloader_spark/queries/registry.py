@@ -3669,6 +3669,40 @@ SELECT doc_id, n_tokens, CAST(excl // 10000 AS BIGINT) AS shard_id FROM c
 """
 
 
+def cur_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static mixture planning (curation.mixture_plan): per-source token
+    allocation under ascending weights (srcN gets weight N+1, sum 210) and
+    a 50k-token budget, epoch-capped at 2 passes — at sf0.01 the cap
+    ENGAGES for the high-weight sources (their 2-epoch ceiling is below
+    their budget share) while low-weight sources stay uncapped, so both
+    branches of the least() are exercised.  One partial-aggregated corpus
+    scan + a 20-row broadcast weight join; oracle restates the weight dict
+    arithmetically from the source name."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": float(i + 1) for i in range(20)}
+    return curation.mixture_plan(
+        docs, weights, token_budget=50_000, max_epochs=2.0
+    )
+
+
+_CUR_MIXTURE_SQL = r"""
+WITH a AS (SELECT source,
+                  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS available_tokens
+           FROM documents GROUP BY 1),
+t AS (SELECT source, available_tokens,
+             CAST(CAST(substr(source, 4) AS INTEGER) + 1 AS DOUBLE) AS weight,
+             CAST(floor((CAST(substr(source, 4) AS INTEGER) + 1) / 210.0 * 50000.0) AS BIGINT) AS target_tokens,
+             CAST(floor(2.0 * available_tokens) AS BIGINT) AS cap
+      FROM a)
+SELECT source, available_tokens, weight, target_tokens,
+       least(target_tokens, cap) AS planned_tokens,
+       round(CAST(least(target_tokens, cap) AS DOUBLE)
+             / nullif(CAST(available_tokens AS DOUBLE), 0.0), 6) AS epochs,
+       target_tokens - least(target_tokens, cap) AS deficit_tokens
+FROM t
+"""
+
+
 def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 97th document plays the eval set;
     the rest are the corpus.  One row per corpus document sharing ≥1 word
@@ -5887,6 +5921,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cur_select_for_training": (cur_select_for_training, _CUR_SELECT_SQL),
     "cur_pack_token_shards": (cur_pack_token_shards, _CUR_PACK_SQL),
     "cur_decontaminate": (cur_decontaminate, _CUR_DECON_SQL),
+    "cur_mixture_plan": (cur_mixture_plan, _CUR_MIXTURE_SQL),
     "cur_stratified_sample": (cur_stratified_sample, _CUR_STRAT_SQL),
     "cur_incremental_merge": (cur_incremental_merge, _CUR_MERGE_SQL),
     "cur_zorder_layout": (cur_zorder_layout, _CUR_ZORDER_SQL),

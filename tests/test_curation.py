@@ -651,3 +651,41 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
         .count()
         == 0
     )
+
+
+def test_mixture_plan_caps_and_membership(spark):
+    """Mixture planning contract: epoch cap binds high-weight/low-volume
+    sources (deficit surfaces the unmet share); an all-empty source plans
+    NULL epochs instead of throwing under ANSI; a weighted source absent
+    from the corpus has no row; an unweighted corpus source is dropped."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "tiny"),        # 4 tokens, weight 9 -> capped
+            (2, "w x y z " * 25, "big"),   # 100 tokens, weight 1 -> uncapped
+            (3, "", "empty"),              # 0 tokens -> NULL epochs
+            (4, "q r s", "unweighted"),    # no weight -> dropped
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r
+        for r in curation.mixture_plan(
+            docs,
+            {"tiny": 9.0, "big": 1.0, "empty": 1.0, "ghost": 9.0},
+            token_budget=200,
+            max_epochs=2.0,
+        ).collect()
+    }
+    assert set(out) == {"tiny", "big", "empty"}  # ghost absent, unweighted dropped
+    # tiny: target = floor(9/20*200)=90, cap = floor(2*4)=8 -> capped
+    t = out["tiny"]
+    assert (t["target_tokens"], t["planned_tokens"], t["deficit_tokens"]) == (90, 8, 82)
+    assert t["epochs"] == 2.0
+    # big: target = floor(1/20*200)=10 <= cap 200 -> uncapped, 0.1 epochs
+    b = out["big"]
+    assert (b["target_tokens"], b["planned_tokens"], b["deficit_tokens"]) == (10, 10, 0)
+    assert b["epochs"] == 0.1
+    # empty: 0 available -> planned 0, epochs NULL (no ANSI throw)
+    e = out["empty"]
+    assert e["available_tokens"] == 0 and e["planned_tokens"] == 0
+    assert e["epochs"] is None
