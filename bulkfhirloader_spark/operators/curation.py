@@ -226,6 +226,11 @@ def mixture_plan(
 
     spark = docs.sparkSession
     wsum = float(sum(weights.values()))
+    if not weights or wsum <= 0.0:
+        raise ValueError(
+            "mixture_plan needs a non-empty weights dict with positive sum "
+            f"(got sum={wsum})"
+        )
     wtab = F.broadcast(
         spark.createDataFrame(
             sorted(weights.items()), f"{source_col} STRING, weight DOUBLE"

@@ -949,6 +949,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     round_dp: int = 6,
     max_cluster_size: int | None = None,
+    precomputed_assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then compare pairs
@@ -976,6 +977,12 @@ def semantic_dedup_pairs(
     deterministic) are excluded from the join, trading recall on
     mega-clusters for a bounded output.  Norms are computed once per
     vector before the join, never per pair.
+
+    ``precomputed_assignments`` (an ``(id_col, cluster_id)`` DataFrame)
+    skips the in-call Lloyd fit — the fit-once/pair-many deployment
+    shape (one fit serves the pair stage, the streaming gate, and any
+    re-threshold run), and what lets a measurement time the pair stage
+    alone.  ``k``/``n_iter``/``round_dp`` are ignored when it is given.
     """
     from bulkfhirloader_spark.operators.similarity import (
         cosine_with_norms,
@@ -983,9 +990,13 @@ def semantic_dedup_pairs(
         l2_norm,
     )
 
-    assigned = kmeans_assign(
-        emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col, round_dp=round_dp
-    ).select(id_col, "cluster_id")
+    if precomputed_assignments is not None:
+        assigned = precomputed_assignments.select(id_col, "cluster_id")
+    else:
+        assigned = kmeans_assign(
+            emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+            round_dp=round_dp,
+        ).select(id_col, "cluster_id")
     if max_cluster_size is not None:
         w = Window.partitionBy("cluster_id").orderBy(id_col)
         assigned = (

@@ -533,6 +533,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dp: int = 6,
+    assign_tier: str = "fold",
 ) -> DataFrame:
     """Deterministic distributed Lloyd's k-means over an embedding column,
     returning the final ``(c_label, centroid: array<double>)`` table.
@@ -571,7 +572,26 @@ def kmeans_centroids(
     iteration i's full plan, and the corpus is never re-scanned more than
     n_iter + 1 times end-to-end.  k should scale with the corpus
     (k ≈ N / target_cluster_size), not stay constant: the update shuffle
-    and the broadcast both grow only as k × dim.
+    and the broadcast both grow only as k × dim.  Driver-state ceiling,
+    explicitly: the per-iteration round-trip is k × dim × 8 bytes — the
+    published SemDeDup operating point (k = 50k clusters, d = 768) is
+    ~300 MB, heavy but the same order MLlib's own Lloyd holds on the
+    driver; beyond that, keep the centroid relation distributed (chain
+    ``classify_nearest_centroid`` → ``label_centroids`` without the
+    collect) and accept nested lineage or checkpoint between iterations.
+
+    ``assign_tier="blas"`` runs each iteration's assignment AND its
+    per-cluster partial sums as one Arrow/numpy pass
+    (``_kmeans_update_blas``): the fold tier's per-row assignment is
+    k × dim interpreted expression nodes, which with the k ∝ N
+    deployment rule makes the fit O(N²·dim / target_cluster_size) with
+    an interpreted constant — measured 190–262 s (two runs) at
+    800k × k=800 × d=16 vs 8.7 s for the blas tier on the same fit, with
+    ZERO assignment mismatches (scripts/semantic_scale_evidence.py).
+    Same rounded-argmax contract, NOT bit-promised equal to the fold
+    (BLAS summation order; numpy half-even rounding) — keep ``fold``
+    (the default) where oracle parity matters; identical fits
+    pytest-pinned on separated corpora.
     """
     spark = emb.sparkSession
     seed = (
@@ -588,7 +608,12 @@ def kmeans_centroids(
     )
     cents = [(i, list(r["_cen"])) for i, r in enumerate(seed)]
     schema = "c_label INT, centroid ARRAY<DOUBLE>"
+    if assign_tier not in ("fold", "blas"):
+        raise ValueError(f"assign_tier must be 'fold' or 'blas', got {assign_tier!r}")
     for _ in range(n_iter):
+        if assign_tier == "blas":
+            cents = _kmeans_update_blas(emb, cents, vec_col, round_dp)
+            continue
         cents_df = spark.createDataFrame(cents, schema=schema)
         assigned = classify_nearest_centroid(
             emb,
@@ -607,6 +632,211 @@ def kmeans_centroids(
     return spark.createDataFrame(cents, schema=schema)
 
 
+def _blas_centroid_broadcast(spark, cents: list[tuple[int, list[float]]]):
+    """(cids int64 ascending, row-normalized centroid matrix) as a Spark
+    broadcast — cids ascending makes numpy argmax's first-max rule equal
+    the fold tier's ties-to-smallest-cluster rule."""
+    import numpy as np
+
+    cents = sorted(cents)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    cn = np.linalg.norm(C, axis=1)
+    if (cn == 0).any():
+        raise ValueError("zero-norm centroid")
+    return spark.sparkContext.broadcast((cids, C / cn[:, None]))
+
+
+def kmeans_assign_blas(
+    emb: DataFrame,
+    cents,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """BLAS/Arrow assignment under a frozen centroid set: ``(id_col,
+    cluster_id, score)`` via one dgemm per Arrow batch — the SCALE tier of
+    cluster assignment, exactly the cosine_topk_pandas judgment call:
+    the fold tier's per-row cost is k × dim interpreted higher-order-
+    function nodes (measured: the 800k × k=800 × d=16 fit spends
+    190–262 s in assignment passes vs 8.7 s for this tier, zero
+    assignment mismatches; scripts/semantic_scale_evidence.py), while
+    one (batch × dim) @ (dim × k) matmul scores the whole batch.  Corpus
+    path: zero shuffle — batches stream through mapInPandas, centroids
+    ride ONE broadcast.
+
+    Contract vs the fold tier (``classify_nearest_centroid`` /
+    ``cosine_cluster_exprs``): scores rounded to ``round_dp``, ties to the
+    smallest cluster id (cids ascending + numpy first-max).  NOT
+    bit-promised equal: BLAS summation order differs from the fold's
+    left-to-right, and numpy rounds half-even where the fold rounds
+    HALF_UP — a knife-edge vector can flip.  Deterministic across runs
+    either way; the fold tier remains the oracle-checkable one.
+    Zero-norm vectors are dropped (the fold tier scores them NULL — "a
+    zero vector is similar to nothing"); NULL ids are dropped plan-side
+    (the cosine_topk_pandas int64-precision argument).
+
+    ``cents``: a ``(c_label, centroid)`` DataFrame or ``[(cid, vec)]``
+    list.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if hasattr(cents, "collect"):
+        cents = [(int(r["c_label"]), list(r["centroid"])) for r in cents.collect()]
+    bc = _blas_centroid_broadcast(emb.sparkSession, cents)
+
+    def assign(batches):
+        cids, Cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            ok = xn > 0
+            if not ok.any():
+                continue
+            X, ids, xn = X[ok], pdf[id_col].to_numpy()[ok], xn[ok]
+            S = np.round((X / xn[:, None]) @ Cn.T, round_dp)
+            best = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids.astype(np.int64),
+                    "cluster_id": cids[best].astype(np.int32),
+                    "score": S[np.arange(len(best)), best],
+                }
+            )
+
+    return (
+        emb.select(id_col, vec_col)
+        .where(F.col(id_col).isNotNull())
+        .mapInPandas(assign, f"{id_col} long, cluster_id int, score double")
+    )
+
+
+def _kmeans_update_blas(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    round_dp: int,
+) -> list[tuple[int, list[float]]]:
+    """One BLAS Lloyd iteration: assign every batch with a dgemm, combine
+    per-cluster (sum-vector, count) PARTIALS inside the same mapInPandas
+    pass (np.add.at — the map-side combine), then reduce the
+    k × dim × n_batches partial rows with one tiny groupBy.  The corpus
+    crosses the Python boundary once and never shuffles; only partials
+    do.  Means rounded to ``round_dp`` like label_centroids (partial
+    addition order across batches differs run to run, but 6-dp rounding
+    collapses sub-ulp drift — the same stance the fold tier's partial
+    aggregation already takes)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    bc = _blas_centroid_broadcast(spark, cents)
+    dim = len(cents[0][1])
+
+    def partials(batches):
+        cids, Cn = bc.value
+        k = len(cids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            ok = xn > 0
+            if not ok.any():
+                continue
+            X = X[ok]
+            best = np.argmax(
+                np.round((X / xn[ok, None]) @ Cn.T, round_dp), axis=1
+            )
+            sums = np.zeros((k, X.shape[1]))
+            np.add.at(sums, best, X)
+            cnt = np.bincount(best, minlength=k)
+            hit = cnt > 0
+            rows = []
+            for ci in np.nonzero(hit)[0]:
+                for d in range(X.shape[1]):
+                    rows.append((int(cids[ci]), d, sums[ci, d], int(cnt[ci])))
+            yield pd.DataFrame(
+                rows, columns=["cluster_id", "dim", "s", "c"]
+            )
+
+    part = emb.select(vec_col).mapInPandas(
+        partials, "cluster_id int, dim int, s double, c long"
+    )
+    per_dim = (
+        part.groupBy("cluster_id", "dim")
+        .agg(F.round(F.sum("s") / F.sum("c"), round_dp).alias("m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    out = sorted((int(r["cluster_id"]), list(r["centroid"])) for r in per_dim)
+    if not all(len(v) == dim for _, v in out):
+        raise AssertionError("update produced a malformed centroid")
+    return out
+
+
+def cosine_cluster_exprs(
+    vec: Column,
+    cents: list[tuple[int, list[float]]],
+    round_dp: int = 6,
+    vec_norm: Column | None = None,
+) -> dict:
+    """``(cluster_id, score)`` assignment EXPRESSIONS against LITERAL
+    centroids — ``classify_nearest_centroid``'s exact contract (6-dp
+    rounded argmax, ties to the smallest cluster id) with the centroid
+    table baked into the expression tree instead of riding a broadcast
+    cross join.  Streaming needs this form: a pure projection is
+    stateless and legal on a stream side where a cross join is not; it
+    is also what a stored-centroid deployment evaluates (the IVF probes
+    use the same literal-expression pattern, _probe_clusters).
+
+    Centroid norms are precomputed in Python with the SAME operation
+    order as ``l2_norm``'s fold (acc + x·x left-to-right, then sqrt) —
+    IEEE-identical doubles, so scores match the broadcast tier
+    bit-for-bit.  Cost: k × dim literal tree per evaluation site; fine
+    for the k of a dedup fit, same budget as the IVF probe expression.
+    """
+    import math
+
+    def _norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    # hoist the row's own norm: without it the fold re-evaluates once per
+    # centroid (k re-traversals of the vector per row)
+    vn = vec_norm if vec_norm is not None else l2_norm(vec)
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_with_norms(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        vn,
+                        F.lit(_norm(c)),
+                    ),
+                    round_dp,
+                ).alias("score"),
+                F.lit(-int(cid)).alias("neg_label"),
+            )
+            for cid, c in cents
+        ]
+    )
+    m = F.array_max(scored)
+    return {"cluster_id": -m["neg_label"], "score": m["score"]}
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
@@ -614,13 +844,22 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dp: int = 6,
+    assign_tier: str = "fold",
 ) -> DataFrame:
     """Cluster every row under a ``kmeans_centroids`` fit:
     ``(id_col, cluster_id, score)`` with the same rounded-argmax contract.
-    The corpus-side cost is one extra zero-shuffle assignment pass."""
+    The corpus-side cost is one extra zero-shuffle assignment pass.
+    ``assign_tier="blas"`` uses the Arrow/dgemm pass for both the fit and
+    the final assignment (see kmeans_centroids; scale tier, not the
+    oracle one)."""
     cents = kmeans_centroids(
-        emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col, round_dp=round_dp
+        emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+        round_dp=round_dp, assign_tier=assign_tier,
     )
+    if assign_tier == "blas":
+        return kmeans_assign_blas(
+            emb, cents, vec_col=vec_col, id_col=id_col, round_dp=round_dp
+        )
     return classify_nearest_centroid(
         emb, cents, vec_col=vec_col, id_cols=(id_col,), round_dp=round_dp
     ).select(

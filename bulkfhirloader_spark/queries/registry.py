@@ -3497,6 +3497,66 @@ def stream_near_dup_admit_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(qname).select("doc_id").distinct()
 
 
+def stream_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic (embedding) admission gate
+    (streaming.joins.stream_semantic_admission): odd vec_ids replayed as a
+    3-file stream against the static even-id corpus under a FROZEN
+    deterministic k-means fit (k=8, n_iter=2 over the full table —
+    identical to emb_kmeans_assign's); a vector is admitted iff no
+    same-cluster even vector has cosine >= 0.4.  The oracle extends the
+    Lloyd CTE chain with the NOT EXISTS anti join — green iff the
+    stream-static gate loses nothing across micro-batch boundaries AND
+    the literal-expression assignment matches the batch tier exactly."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_semantic_admission
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "semantic_admit")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_sem_")
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        ).repartition(3).write.mode("overwrite").parquet(_os.path.join(src, "in"))
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    existing = emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    cents = similarity.kmeans_centroids(emb, k=8, n_iter=2)
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_sem_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_semantic_admission(stream, existing, cents, threshold=0.4)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("vec_id", "cluster_id").distinct()
+
+
+_STREAM_SEMANTIC_SQL = _KMEANS_CTE + """
+, o AS (SELECT vec_id, v, cluster_id FROM f WHERE vec_id % 2 = 1),
+ev AS (SELECT vec_id, v, cluster_id FROM f WHERE vec_id % 2 = 0)
+SELECT o.vec_id, CAST(o.cluster_id AS INTEGER) AS cluster_id FROM o
+WHERE NOT EXISTS (SELECT 1 FROM ev
+                  WHERE ev.cluster_id = o.cluster_id
+                    AND ev.vec_id != o.vec_id
+                    AND list_cosine_similarity(o.v, ev.v) >= 0.4)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — corpus curation (SURVEY §2.10: split / tf-idf / selection /
 # shard packing)
@@ -5814,6 +5874,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # the self-contained twin, so the oracle is shared (AUDIT.md discloses
     # the mid-round addition)
     "stream_near_dup_admit_stored": (stream_near_dup_admit_stored, _STREAM_ADMIT_SQL),
+    "stream_semantic_admit": (stream_semantic_admit, _STREAM_SEMANTIC_SQL),
     # r12: the bucketed banded-table gate tier (zero static-side Exchange
     # from layout); semantics defined identical, oracle shared
     "stream_near_dup_admit_bucketed": (

@@ -513,3 +513,103 @@ def stream_near_dup_admission(
 # Cache-hygiene ledger for stream_near_dup_admission's static banded side
 # (same pattern as dedup._live_sig_caches).
 _live_static_band_caches: list = []
+
+
+def stream_semantic_admission(
+    stream_emb: DataFrame,
+    existing: DataFrame,
+    centroids,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Streaming twin of dedup.semantic_dedup_pairs' admission reading:
+    admit arriving embeddings that have NO semantic near-dup
+    (cosine >= ``threshold``) among the EXISTING corpus members of their
+    k-means cluster — the always-on ingest gate for embedding-level
+    dedup, as a stateless stream-static anti join.
+
+    ``centroids`` is a PRE-FIT cluster table — a ``(c_label, centroid)``
+    DataFrame (similarity.kmeans_centroids) or an already-collected
+    ``[(cid, vec), ...]`` list — baked into BOTH sides' assignment as a
+    literal expression (similarity.cosine_cluster_exprs): the stream side
+    stays a pure projection (no broadcast cross join, which a stream side
+    cannot plan; no state), and both sides share the broadcast tier's
+    exact rounding contract, so gate admissions equal the batch
+    operator's on the same snapshot (pytest-pinned).  Re-fitting
+    centroids is a batch job; the gate evaluates a FROZEN fit — restart
+    it to pick up a re-fit, the same deployment loop as the banded
+    store's snapshot semantics.
+
+    Plan shape: the static side is assigned once, then cached ALREADY
+    PARTITIONED AND SORTED on cluster_id (the stream_near_dup_admission
+    cache contract — InMemoryRelation preserves its child's partitioning,
+    so per micro-batch only the batch-sized stream side shuffles); the
+    LEFT ANTI join keys cluster equality and carries the exact-cosine
+    verify as a join predicate — per-vector norms are hoisted sibling
+    columns on both sides, never recomputed per pair.  Cross-cluster
+    near-dups are unscreened by design — the SemDeDup recall trade,
+    identical to the batch tier, so batch-vs-gate parity is exact, not
+    approximate.  At scale the static side is a cluster-partitioned
+    stored table (the IVF layout); k must grow with the corpus so
+    per-cluster fan-in stays bounded.
+
+    ONE LIVE SEMANTIC GATE PER SESSION: same deliberate cache-ledger
+    memory bound as stream_near_dup_admission (separate ledger — a
+    semantic gate does not evict a minhash gate).
+    """
+    from bulkfhirloader_spark.operators.similarity import (
+        cosine_cluster_exprs,
+        cosine_with_norms,
+        l2_norm,
+    )
+
+    if hasattr(centroids, "collect"):
+        cents = sorted(
+            (int(r["c_label"]), list(r["centroid"])) for r in centroids.collect()
+        )
+    else:
+        cents = sorted((int(c), list(v)) for c, v in centroids)
+    if not cents:
+        raise ValueError("stream_semantic_admission needs >= 1 centroid")
+
+    def assigned(df: DataFrame, sfx: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"id{sfx}"),
+            F.col(vec_col).cast("array<double>").alias(f"v{sfx}"),
+        ).withColumn(f"n{sfx}", l2_norm(F.col(f"v{sfx}")))
+        e = cosine_cluster_exprs(
+            F.col(f"v{sfx}"), cents, round_dp=round_dp,
+            vec_norm=F.col(f"n{sfx}"),
+        )
+        return base.withColumn("cluster_id", e["cluster_id"])
+
+    stream_side = assigned(stream_emb, "_s")
+    static_side = assigned(existing, "_e")
+    while _live_static_sem_caches:
+        _live_static_sem_caches.pop().unpersist()
+    static_side = (
+        static_side.repartition(F.col("cluster_id"))
+        .sortWithinPartitions("cluster_id")
+        .persist()
+    )
+    _live_static_sem_caches.append(static_side)
+    cond = (
+        (stream_side["cluster_id"] == static_side["cluster_id"])
+        & (stream_side["id_s"] != static_side["id_e"])
+        & (
+            cosine_with_norms(
+                F.col("v_s"), F.col("v_e"), F.col("n_s"), F.col("n_e")
+            )
+            >= F.lit(threshold)
+        )
+    )
+    return (
+        stream_side.join(static_side, cond, "left_anti")
+        .select(F.col("id_s").alias(id_col), stream_side["cluster_id"])
+    )
+
+
+# Cache-hygiene ledger for stream_semantic_admission's static side.
+_live_static_sem_caches: list = []

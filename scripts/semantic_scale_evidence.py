@@ -1,0 +1,173 @@
+"""Measured scaling evidence for the semantic-dedup family (SCALE.md
+round-12 closures).
+
+Two claims to pin with numbers:
+
+1. **The Lloyd fit is corpus-linear** — (n_iter + 1) corpus passes, each a
+   zero-shuffle broadcast assignment + a k×dim-partial update exchange —
+   even while k GROWS with the corpus (the deployment rule
+   k ≈ N / target_cluster_size keeps per-cluster membership constant).
+2. **The pair stage is sum(mᵢ²)-bounded, not n²-bounded**: with k ∝ N the
+   expected per-cluster membership m stays constant, so pair work grows
+   ~linearly in N while the exact tier's n² grows 16× per 4× corpus.
+   The run PROVES the bound arithmetic per size (Σ mᵢ² computed from the
+   actual fitted assignment) alongside the wall time.
+
+Corpus: deterministic synthetic embeddings — ``n_true`` latent unit
+directions in R^dim (seeded numpy), each vector = a direction + small
+noise, 2% planted near-dup pairs (vector i copies i-1 with one component
+nudged whenever i % 50 == 1).  Near-dups are ~parallel, so they share a
+cluster under ANY sane fit; the measured pair stage must surface at least
+the planted pairs at cos >= 0.99 (a correctness floor, not a recall
+ceiling — noise twins can legitimately exceed it).
+
+Usage:  python scripts/semantic_scale_evidence.py
+        SEM_SIZES=50000,200000,800000 python scripts/semantic_scale_evidence.py
+
+Fixtures under /tmp/semscale (atomic rename on write — a killed run must
+not leave a torn parquet a later sweep silently reuses).  Single-box
+local[32]: the signal is the growth RATE between sizes.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+OUTDIR = "/tmp/semscale"
+DIM = 16
+PER_CLUSTER = 1_000  # deployment rule: k = N / PER_CLUSTER
+
+
+def _sizes() -> list[int]:
+    raw = os.environ.get("SEM_SIZES")
+    if not raw:
+        return [50_000, 200_000, 800_000]
+    sizes = [int(s) for s in raw.split(",")]
+    if any(n < PER_CLUSTER for n in sizes):
+        raise SystemExit(f"sizes must be >= {PER_CLUSTER} (k = N/{PER_CLUSTER})")
+    return sizes
+
+
+def generate(n: int) -> str:
+    """Deterministic clustered embeddings; atomic write."""
+    path = f"{OUTDIR}/emb_{n}.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(OUTDIR, exist_ok=True)
+    rng = np.random.RandomState(42)
+    n_true = max(8, n // (PER_CLUSTER * 2))  # 2 fitted clusters per latent
+    dirs = rng.randn(n_true, DIM)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    which = rng.randint(0, n_true, size=n)
+    vecs = dirs[which] + 0.05 * rng.randn(n, DIM)
+    # planted near-dups: i copies i-1 with one component nudged
+    dup = np.arange(1, n) % 50 == 1
+    idx = np.arange(1, n)[dup]
+    vecs[idx] = vecs[idx - 1]
+    vecs[idx, 0] += 1e-4
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(
+                [v for v in vecs.astype(np.float64)],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import dedup, similarity
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(app_name="semantic-scale", shuffle_partitions=32)
+    rows = []
+    for n in _sizes():
+        path = generate(n)
+        # the generator writes ONE parquet file; without an explicit
+        # repartition Spark scans it as ONE input partition and the whole
+        # fit runs on a single core (observed: load pinned at 1.0 for the
+        # 800k fit) — measurement must reflect the parallel plan
+        emb = spark.read.parquet(path).repartition(64).persist()
+        emb.count()
+        k = n // PER_CLUSTER
+        t0 = time.monotonic()
+        cents = similarity.kmeans_centroids(emb, k=k, n_iter=2)
+        assigned = similarity.classify_nearest_centroid(
+            emb, cents, id_cols=("vec_id",)
+        ).select("vec_id", F.col("predicted_label").alias("cluster_id"))
+        assigned.write.mode("overwrite").parquet(f"{OUTDIR}/assign_{n}.parquet")
+        fit_s = time.monotonic() - t0
+        # the blas tier on the same fit: one Arrow/dgemm pass per
+        # iteration instead of k x dim interpreted fold nodes per row
+        t0 = time.monotonic()
+        similarity.kmeans_assign(emb, k=k, n_iter=2, assign_tier="blas").write.mode(
+            "overwrite"
+        ).parquet(f"{OUTDIR}/assign_blas_{n}.parquet")
+        fit_blas_s = time.monotonic() - t0
+        blas_match = (
+            spark.read.parquet(f"{OUTDIR}/assign_blas_{n}.parquet")
+            .select("vec_id", "cluster_id")
+            .exceptAll(spark.read.parquet(f"{OUTDIR}/assign_{n}.parquet"))
+            .count()
+        )
+        # the bound arithmetic, from the ACTUAL fit: sum(m_i^2) vs n^2
+        sizes_df = (
+            spark.read.parquet(f"{OUTDIR}/assign_{n}.parquet")
+            .groupBy("cluster_id")
+            .count()
+        )
+        agg = sizes_df.agg(
+            F.sum(F.col("count") * F.col("count")).alias("sum_m2"),
+            F.max("count").alias("max_m"),
+            F.count(F.lit(1)).alias("n_clusters"),
+        ).collect()[0]
+        t0 = time.monotonic()
+        pairs = dedup.semantic_dedup_pairs(
+            emb,
+            threshold=0.99,
+            precomputed_assignments=spark.read.parquet(
+                f"{OUTDIR}/assign_{n}.parquet"
+            ),
+        )
+        n_pairs = pairs.count()
+        pair_s = time.monotonic() - t0
+        planted = len([i for i in range(1, n) if i % 50 == 1])
+        rec = {
+            "n": n,
+            "k": k,
+            "fit_s": round(fit_s, 1),
+            "fit_blas_s": round(fit_blas_s, 1),
+            "blas_assign_mismatches": blas_match,
+            "pair_stage_s": round(pair_s, 1),
+            "sum_m2": int(agg["sum_m2"]),
+            "n2": n * n,
+            "bound_ratio": round(n * n / agg["sum_m2"], 1),
+            "max_cluster": int(agg["max_m"]),
+            "n_clusters": int(agg["n_clusters"]),
+            "pairs@0.99": n_pairs,
+            "planted": planted,
+        }
+        # correctness floor: every planted pair shares a cluster and scores
+        assert n_pairs >= planted, rec
+        rows.append(rec)
+        print(json.dumps(rec))
+    print(json.dumps({"sweep": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1736,3 +1736,58 @@ def test_semantic_dedup_max_cluster_size_cap(two_lobes):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in sem.collect()}
     assert pairs == {(1, 3), (2, 4)}
+
+
+def test_semantic_dedup_precomputed_assignments_parity(two_lobes):
+    """fit-once/pair-many: passing the fit's own assignments must yield
+    the identical pair set as the in-call fit."""
+    from bulkfhirloader_spark.operators import similarity as sim
+
+    assigned = sim.kmeans_assign(two_lobes, k=2, n_iter=2).select(
+        "vec_id", "cluster_id"
+    )
+    incall = dedup.semantic_dedup_pairs(two_lobes, k=2, n_iter=2, threshold=0.5)
+    pre = dedup.semantic_dedup_pairs(
+        two_lobes, threshold=0.5, precomputed_assignments=assigned
+    )
+    assert sorted(map(tuple, incall.collect())) == sorted(map(tuple, pre.collect()))
+
+
+def test_kmeans_blas_tier_matches_fold_on_separated(two_lobes):
+    """The Arrow/dgemm assignment tier must produce the identical fit and
+    assignment as the fold tier away from knife-edge ties (the
+    cosine_topk_pandas rank-parity stance: not bit-promised, pinned on
+    separated data)."""
+    from bulkfhirloader_spark.operators import similarity as sim
+
+    fold = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in sim.kmeans_assign(two_lobes, k=2, n_iter=2).collect()
+    )
+    blas = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in sim.kmeans_assign(
+            two_lobes, k=2, n_iter=2, assign_tier="blas"
+        ).collect()
+    )
+    assert fold == blas
+
+
+def test_kmeans_blas_assignment_drops_zero_and_null(spark):
+    """Zero-norm vectors score NULL in the fold tier ('similar to
+    nothing'); the blas tier must drop them rather than emit a NaN
+    cluster, and NULL ids must be filtered plan-side."""
+    from bulkfhirloader_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),       # zero norm -> dropped
+            (None, [1.0, 0.0]),    # NULL id -> dropped plan-side
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.kmeans_assign_blas(emb, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    got = sorted((r["vec_id"], r["cluster_id"]) for r in out.collect())
+    assert got == [(1, 0), (4, 1)]

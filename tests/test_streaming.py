@@ -683,3 +683,68 @@ def test_stream_near_dup_admission_from_bucketed_store(spark, tmp_path):
     rows, is_bucketed = banded_signature_store_read(spark, store, 16, 8, 3)
     assert is_bucketed and rows.select("id").distinct().count() == 3
     assert run("stream_admission_bucketed_t2") == [12]  # uniq1 now stored
+
+
+def test_stream_semantic_admission_matches_batch_rule(spark, tmp_path):
+    """Stream-static SEMANTIC admission under a frozen k-means fit: an
+    arriving embedding near-duplicating (cos >= threshold) an existing
+    SAME-cluster vector is rejected across micro-batch boundaries; a
+    cross-cluster near-dup is NOT screened (the SemDeDup recall trade,
+    identical to the batch tier); novel vectors are admitted."""
+    from bulkfhirloader_spark.streaming.joins import stream_semantic_admission
+
+    # two lobes around [1,0,0] and [0,1,0]; centroids frozen explicitly.
+    # Resident id 2 sits NEAR THE CLUSTER BOUNDARY (still cluster 0) so a
+    # mirror vector across the boundary is a true cross-cluster near-dup.
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    existing = spark.createDataFrame(
+        [
+            (2, [0.75, 0.66, 0.0]),  # cluster 0, boundary resident
+            (4, [0.0, 1.0, 0.2]),    # cluster 1 resident
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    batch1 = [
+        (11, [0.76, 0.65, 0.0]),     # cluster 0, cos~0.9999 to id 2 -> reject
+        (13, [0.0, 0.0, 1.0]),       # novel direction -> admit (cluster tie->0)
+    ]
+    # cross-cluster probe: id 2's boundary mirror — lands in cluster 1
+    # (0.75 > 0.66 flipped) with cos~0.991 to CLUSTER-0's id 2 and only
+    # ~0.74 to its own cluster's resident: unscreened, must be ADMITTED
+    batch2 = [
+        (15, [0.66, 0.75, 0.0]),
+        (17, [0.0, 1.0, 0.21]),      # cluster 1, cos~0.9999 to id 4 -> reject
+    ]
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f0")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f1")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "in" / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_semantic_admission(stream, existing, cents, threshold=0.95)
+        .writeStream.format("memory")
+        .queryName("stream_sem_admission_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.vec_id: r.cluster_id for r in spark.table("stream_sem_admission_t").collect()}
+    assert sorted(rows) == [13, 15]
+    assert rows[15] == 1  # the cross-cluster probe really did land in cluster 1
+    # sanity: 15 IS a cos>=0.95 near-dup of cluster-0's resident — only the
+    # cluster bound (not the score) is what admitted it
+    import math
+    a, b = [0.66, 0.75, 0.0], [0.75, 0.66, 0.0]
+    cos = sum(x * y for x, y in zip(a, b)) / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+    )
+    assert cos >= 0.95
