@@ -950,6 +950,7 @@ def semantic_dedup_pairs(
     round_dp: int = 6,
     max_cluster_size: int | None = None,
     precomputed_assignments: DataFrame | None = None,
+    assign_tier: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then compare pairs
@@ -983,6 +984,9 @@ def semantic_dedup_pairs(
     shape (one fit serves the pair stage, the streaming gate, and any
     re-threshold run), and what lets a measurement time the pair stage
     alone.  ``k``/``n_iter``/``round_dp`` are ignored when it is given.
+    ``assign_tier="blas"`` runs the in-call fit through the Arrow/dgemm
+    pass (see similarity.kmeans_centroids — the scale tier for k ∝ N;
+    the default ``fold`` stays the oracle-restatable one).
     """
     from bulkfhirloader_spark.operators.similarity import (
         cosine_with_norms,
@@ -995,7 +999,7 @@ def semantic_dedup_pairs(
     else:
         assigned = kmeans_assign(
             emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
-            round_dp=round_dp,
+            round_dp=round_dp, assign_tier=assign_tier,
         ).select(id_col, "cluster_id")
     if max_cluster_size is not None:
         w = Window.partitionBy("cluster_id").orderBy(id_col)

@@ -2247,7 +2247,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-dim means rounded to 6 dp — so both engines walk identical
 # centroid sequences.
 _KMEANS_CTE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
               list_transform(v, x -> round(x, 6)) AS cen
        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
@@ -2318,6 +2318,38 @@ _DEDUP_SEMANTIC_SQL = _KMEANS_CTE + """
                list_cosine_similarity(a.v, b.v) AS cs
         FROM f a JOIN f b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cluster_id, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4
+"""
+
+
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the SEMANTIC near-dup pipeline, composed exactly like
+    dedup_clusters' MinHash twin: Lloyd fit → within-cluster pairs →
+    connected components → one row per duplicate group (size + surviving
+    min id).  The oracle chains the unrolled Lloyd CTEs into the same
+    recursive-CTE transitive closure the MinHash pipeline uses — one hash
+    certifies fit, pair stage, and the iterative min-label propagation
+    together.  (Components CAN span k-means clusters: two pairs sharing a
+    member in different-cluster pairs chain — both engines close over the
+    same edge set, so the semantics agree by construction.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.semantic_dedup_pairs(emb, k=8, n_iter=2, threshold=0.4)
+    return dedup.duplicate_clusters(pairs)
+
+
+_DEDUP_SEMANTIC_SURV_SQL = _KMEANS_CTE + """
+, p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM f a JOIN f b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (SELECT src AS node, least(src, min(dst)) AS component
+           FROM reach GROUP BY src)
+SELECT component, count(*) AS cluster_size, min(node) AS keep_id
+FROM labels GROUP BY component
 """
 
 
@@ -5927,6 +5959,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),
     "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, _DEDUP_EMB_SQL),
     "dedup_semantic_pairs": (dedup_semantic_pairs, _DEDUP_SEMANTIC_SQL),
+    "dedup_semantic_survivors": (dedup_semantic_survivors, _DEDUP_SEMANTIC_SURV_SQL),
     "emb_kmeans_assign": (emb_kmeans_assign, _EMB_KMEANS_SQL),
     "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "dedup_survivors_quality": (dedup_survivors_quality, _DEDUP_SURV_SQL),

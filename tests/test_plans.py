@@ -234,6 +234,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "emb_knn_classify",         # n_classes-row broadcast centroid table
     "emb_kmeans_assign",        # k-row broadcast centroid table (same shape)
     "dedup_semantic_pairs",     # k-row broadcast centroid table feeds assignment
+    "dedup_semantic_survivors", # same fit feeds the composed pipeline
     "ext_bloom_semi_lineitem",  # 1-row broadcast bloom map attach
     "ext_winsorize_doclen",     # 1-row broadcast percentile bounds
     "cur_median_length_filter", # 1-row broadcast exact-median threshold
