@@ -580,6 +580,19 @@ def kmeans_centroids(
     ``classify_nearest_centroid`` → ``label_centroids`` without the
     collect) and accept nested lineage or checkpoint between iterations.
 
+    Degenerate-vector contract (family-wide, r12 review): NULL embeddings
+    and all-zero embeddings are EXCLUDED from the fit, the assignments,
+    the pair stage, and the gate — a zero vector has no direction, so it
+    cannot meaningfully cluster ("similar to nothing", the
+    cosine_with_norms stance).  Without the explicit filter the two
+    assignment tiers DIVERGED on such rows (verified: the fold tier's
+    all-NULL-score argmax fell through to cluster 0 and skewed that
+    centroid toward the origin, while the blas tier dropped the row — and
+    a NULL embedding crashed the blas tier's np.stack outright), and a
+    zero vector's NaN cosine makes DuckDB's ``>=`` comparisons diverge
+    from Spark's NULL semantics in the oracles.  The oracle CTE applies
+    the identical exclusion.
+
     ``assign_tier="blas"`` runs each iteration's assignment AND its
     per-cluster partial sums as one Arrow/numpy pass
     (``_kmeans_update_blas``): the fold tier's per-row assignment is
@@ -593,7 +606,10 @@ def kmeans_centroids(
     (the default) where oracle parity matters; identical fits
     pytest-pinned on separated corpora.
     """
+    if assign_tier not in ("fold", "blas"):
+        raise ValueError(f"assign_tier must be 'fold' or 'blas', got {assign_tier!r}")
     spark = emb.sparkSession
+    emb = _drop_degenerate_vectors(emb, vec_col)
     seed = (
         emb.select(
             F.col(id_col),
@@ -608,8 +624,6 @@ def kmeans_centroids(
     )
     cents = [(i, list(r["_cen"])) for i, r in enumerate(seed)]
     schema = "c_label INT, centroid ARRAY<DOUBLE>"
-    if assign_tier not in ("fold", "blas"):
-        raise ValueError(f"assign_tier must be 'fold' or 'blas', got {assign_tier!r}")
     for _ in range(n_iter):
         if assign_tier == "blas":
             cents = _kmeans_update_blas(emb, cents, vec_col, round_dp)
@@ -630,6 +644,16 @@ def kmeans_centroids(
         ).collect()
         cents = sorted((r["c_label"], list(r["centroid"])) for r in new_cents)
     return spark.createDataFrame(cents, schema=schema)
+
+
+def _drop_degenerate_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """The semantic family's shared precondition filter: NULL embeddings
+    and all-zero embeddings are out (no direction → cannot cluster; and
+    they crash / diverge the tiers — see kmeans_centroids' contract).
+    ``exists(x != 0)`` is a cheap short-circuiting projection in the same
+    scan, no norm computation."""
+    v = F.col(vec_col)
+    return df.where(v.isNotNull() & F.exists(v, lambda x: x != F.lit(0)))
 
 
 def _blas_centroid_broadcast(spark, cents: list[tuple[int, list[float]]]):
@@ -672,9 +696,10 @@ def kmeans_assign_blas(
     left-to-right, and numpy rounds half-even where the fold rounds
     HALF_UP — a knife-edge vector can flip.  Deterministic across runs
     either way; the fold tier remains the oracle-checkable one.
-    Zero-norm vectors are dropped (the fold tier scores them NULL — "a
-    zero vector is similar to nothing"); NULL ids are dropped plan-side
-    (the cosine_topk_pandas int64-precision argument).
+    NULL and all-zero embeddings are dropped PLAN-side (the family
+    precondition — a NULL reaching np.stack would kill the Python
+    worker), as are NULL ids (the cosine_topk_pandas int64-precision
+    argument); the in-numpy zero-norm mask stays as defense in depth.
 
     ``cents``: a ``(c_label, centroid)`` DataFrame or ``[(cid, vec)]``
     list.
@@ -708,7 +733,7 @@ def kmeans_assign_blas(
             )
 
     return (
-        emb.select(id_col, vec_col)
+        _drop_degenerate_vectors(emb.select(id_col, vec_col), vec_col)
         .where(F.col(id_col).isNotNull())
         .mapInPandas(assign, f"{id_col} long, cluster_id int, score double")
     )
@@ -755,15 +780,24 @@ def _kmeans_update_blas(
             np.add.at(sums, best, X)
             cnt = np.bincount(best, minlength=k)
             hit = cnt > 0
-            rows = []
-            for ci in np.nonzero(hit)[0]:
-                for d in range(X.shape[1]):
-                    rows.append((int(cids[ci]), d, sums[ci, d], int(cnt[ci])))
+            # column-wise construction: a Python tuple loop here is
+            # O(k x dim) allocations per batch per iteration — ~38M at
+            # the docstring's published SemDeDup operating point
+            # (k=50k, d=768), dwarfing the dgemm (r12 review)
+            d = X.shape[1]
+            nh = int(hit.sum())
             yield pd.DataFrame(
-                rows, columns=["cluster_id", "dim", "s", "c"]
+                {
+                    "cluster_id": np.repeat(
+                        cids[hit], d
+                    ).astype(np.int32),
+                    "dim": np.tile(np.arange(d, dtype=np.int32), nh),
+                    "s": sums[hit].ravel(),
+                    "c": np.repeat(cnt[hit], d).astype(np.int64),
+                }
             )
 
-    part = emb.select(vec_col).mapInPandas(
+    part = _drop_degenerate_vectors(emb.select(vec_col), vec_col).mapInPandas(
         partials, "cluster_id int, dim int, s double, c long"
     )
     per_dim = (
@@ -856,6 +890,7 @@ def kmeans_assign(
         emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
         round_dp=round_dp, assign_tier=assign_tier,
     )
+    emb = _drop_degenerate_vectors(emb, vec_col)
     if assign_tier == "blas":
         return kmeans_assign_blas(
             emb, cents, vec_col=vec_col, id_col=id_col, round_dp=round_dp

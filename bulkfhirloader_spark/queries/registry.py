@@ -2245,9 +2245,14 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every step restates similarity.kmeans_centroids' rounding contract —
 # scores rounded to 6 dp BEFORE the argmax (ties to smallest cluster id),
 # per-dim means rounded to 6 dp — so both engines walk identical
-# centroid sequences.
+# centroid sequences.  NULL / all-zero embeddings are excluded up front,
+# mirroring the operators' family precondition (a zero vector's NaN
+# cosine would otherwise make DuckDB's >= comparisons diverge from
+# Spark's NULL semantics).
 _KMEANS_CTE = """
-WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                     WHERE embedding IS NOT NULL
+                       AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x <> 0)) > 0),
 c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
               list_transform(v, x -> round(x, 6)) AS cen
        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),

@@ -575,6 +575,14 @@ def stream_semantic_admission(
         raise ValueError("stream_semantic_admission needs >= 1 centroid")
 
     def assigned(df: DataFrame, sfx: str) -> DataFrame:
+        from bulkfhirloader_spark.operators.similarity import (
+            _drop_degenerate_vectors,
+        )
+
+        # family precondition (see kmeans_centroids): NULL / all-zero
+        # embeddings cannot cluster — excluded on BOTH sides, a stateless
+        # projection-level filter on the stream side
+        df = _drop_degenerate_vectors(df, vec_col)
         base = df.select(
             F.col(id_col).alias(f"id{sfx}"),
             F.col(vec_col).cast("array<double>").alias(f"v{sfx}"),

@@ -119,12 +119,15 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{OUTDIR}/assign_blas_{n}.parquet")
         fit_blas_s = time.monotonic() - t0
-        blas_match = (
-            spark.read.parquet(f"{OUTDIR}/assign_blas_{n}.parquet")
-            .select("vec_id", "cluster_id")
-            .exceptAll(spark.read.parquet(f"{OUTDIR}/assign_{n}.parquet"))
-            .count()
+        # SYMMETRIC parity: one-directional exceptAll would report 0 for
+        # rows the blas tier silently dropped (r12 review)
+        blas_df = spark.read.parquet(f"{OUTDIR}/assign_blas_{n}.parquet").select(
+            "vec_id", "cluster_id"
         )
+        fold_df = spark.read.parquet(f"{OUTDIR}/assign_{n}.parquet")
+        blas_match = blas_df.exceptAll(fold_df).count() + fold_df.exceptAll(
+            blas_df
+        ).count()
         # the bound arithmetic, from the ACTUAL fit: sum(m_i^2) vs n^2
         sizes_df = (
             spark.read.parquet(f"{OUTDIR}/assign_{n}.parquet")
@@ -166,6 +169,9 @@ def main() -> None:
         assert n_pairs >= planted, rec
         rows.append(rec)
         print(json.dumps(rec))
+        # each size's cache would otherwise stack under the next size's
+        # run and skew the growth-rate signal (r12 review)
+        emb.unpersist()
     print(json.dumps({"sweep": rows}))
 
 

@@ -1791,3 +1791,42 @@ def test_kmeans_blas_assignment_drops_zero_and_null(spark):
     out = sim.kmeans_assign_blas(emb, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
     got = sorted((r["vec_id"], r["cluster_id"]) for r in out.collect())
     assert got == [(1, 0), (4, 1)]
+
+
+def test_kmeans_degenerate_vectors_excluded_both_tiers(spark):
+    """Family precondition (r12 review): NULL and all-zero embeddings are
+    excluded from fit AND assignment by BOTH tiers — before the explicit
+    filter the fold tier silently assigned the zero vector to cluster 0
+    (skewing that centroid toward the origin) while the blas tier dropped
+    it, and a NULL embedding crashed the blas tier's np.stack."""
+    from bulkfhirloader_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.0, 0.0]),   # zero vector -> excluded everywhere
+            (4, None),         # NULL embedding -> excluded everywhere
+            (5, [1.0, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    fold = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in sim.kmeans_assign(emb, k=2, n_iter=2).collect()
+    )
+    blas = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in sim.kmeans_assign(emb, k=2, n_iter=2, assign_tier="blas").collect()
+    )
+    assert fold == blas == [(1, 0), (2, 1), (5, 0)]
+    # centroid of cluster 0 must NOT be dragged toward the origin by row 3
+    cents = {
+        r["c_label"]: list(r["centroid"])
+        for r in sim.kmeans_centroids(emb, k=2, n_iter=2).collect()
+    }
+    assert cents[0] == [1.0, 0.05]
+    # and the pair stage never sees the degenerate rows
+    pairs = dedup.semantic_dedup_pairs(emb, k=2, n_iter=2, threshold=0.9)
+    ids = {i for r in pairs.collect() for i in (r["id_a"], r["id_b"])}
+    assert 3 not in ids and 4 not in ids
