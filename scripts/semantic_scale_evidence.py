@@ -175,5 +175,92 @@ def main() -> None:
     print(json.dumps({"sweep": rows}))
 
 
+def gate_sweep() -> None:
+    """Streaming semantic gate at a 500k static corpus: per-micro-batch
+    durations from the query's own progress events.  The claim under
+    test: batch 0 pays the static side's one-time assignment + cache
+    fill; later batches join from cached, already-partitioned blocks and
+    pay only the (tiny) stream side.  Usage:
+    ``python scripts/semantic_scale_evidence.py gate``."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import similarity
+    from bulkfhirloader_spark.session import get_spark
+    from bulkfhirloader_spark.streaming.joins import stream_semantic_admission
+
+    spark = get_spark(app_name="semantic-gate-scale", shuffle_partitions=32)
+    n = int(os.environ.get("GATE_STATIC_N", 500_000))
+    k = n // PER_CLUSTER
+    path = generate(n)
+    static = spark.read.parquet(path).repartition(64)
+    t0 = time.monotonic()
+    cents_df = similarity.kmeans_centroids(
+        static, k=k, n_iter=2, assign_tier="blas"
+    )
+    cents = sorted(
+        (int(r["c_label"]), list(r["centroid"])) for r in cents_df.collect()
+    )
+    fit_s = time.monotonic() - t0
+    # 3 micro-batches of 2k arriving vectors each: same latent directions,
+    # ids offset past the corpus
+    src = tempfile.mkdtemp(prefix="semgate_")
+    try:
+        base = spark.read.parquet(path).limit(6_000).select(
+            (F.col("vec_id") + n).alias("vec_id"), "embedding"
+        )
+        for b in range(3):
+            base.where((F.col("vec_id") - n) % 3 == b).coalesce(1).write.parquet(
+                f"{src}/in/f{b}"
+            )
+        schema = spark.read.parquet(f"{src}/in/f0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/in/*")
+        )
+        t0 = time.monotonic()
+        q = (
+            stream_semantic_admission(stream, static, cents, threshold=0.99)
+            .writeStream.format("memory")
+            .queryName("semgate_scale")
+            .outputMode("append")
+            .option("checkpointLocation", f"{src}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        drain_s = time.monotonic() - t0
+        batches = [
+            {
+                "batch": p["batchId"],
+                "rows": p["numInputRows"],
+                "batch_s": round(p["batchDuration"] / 1000.0, 1),
+            }
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        admitted = spark.table("semgate_scale").count()
+        print(
+            json.dumps(
+                {
+                    "gate_static_n": n,
+                    "k": k,
+                    "fit_blas_s": round(fit_s, 1),
+                    "drain_s": round(drain_s, 1),
+                    "batches": batches,
+                    "admitted": admitted,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "gate":
+        gate_sweep()
+    else:
+        main()
