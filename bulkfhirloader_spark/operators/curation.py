@@ -231,6 +231,15 @@ def mixture_plan(
             "mixture_plan needs a non-empty weights dict with positive sum "
             f"(got sum={wsum})"
         )
+    for src_name, w in sorted(weights.items()):
+        # per-weight check (r12 advice): a single negative weight can hide
+        # behind a positive SUM and silently plan negative target/planned
+        # tokens and a meaningless epochs value
+        if float(w) < 0.0:
+            raise ValueError(
+                f"mixture_plan weights must be >= 0; source {src_name!r} "
+                f"has weight {w}"
+            )
     wtab = F.broadcast(
         spark.createDataFrame(
             sorted(weights.items()), f"{source_col} STRING, weight DOUBLE"

@@ -552,8 +552,14 @@ def kmeans_centroids(
 
     Determinism contract (each step restatable in SQL):
     - init: the ``k`` smallest-``id_col`` vectors, components rounded to
-      ``round_dp`` (HALF_UP on both engines); cluster ids 0..k-1 in id
-      order.  Content-deterministic and partitioning-independent.
+      ``round_dp``; cluster ids 0..k-1 in id order.
+      Content-deterministic and partitioning-independent.  (Rounding-tie
+      caveat, the quantize_int8 stance: bare round() is half-up in Spark
+      but half-even in DuckDB, so an EXACT-half double at ``round_dp``
+      would be oracle-unstable — measure-zero on real cosine/mean
+      doubles, and every registry hash verifies green; quantize_int8
+      shows the explicit floor(x+0.5) form if a caller ever needs
+      tie-proof rounding.)
     - assignment: highest-cosine centroid, scores rounded to ``round_dp``
       before the argmax, ties to the smallest cluster id — exactly
       ``classify_nearest_centroid``'s contract (reused verbatim).
@@ -624,6 +630,12 @@ def kmeans_centroids(
     )
     cents = [(i, list(r["_cen"])) for i, r in enumerate(seed)]
     schema = "c_label INT, centroid ARRAY<DOUBLE>"
+    if not cents:
+        # empty (or all-degenerate) corpus: BOTH tiers return the empty
+        # centroid table.  Without this guard the tiers diverged (r12
+        # advice): the fold tier degraded gracefully while the blas loop
+        # IndexError'd on cents[0][1] / np.stack of an empty seed list.
+        return spark.createDataFrame([], schema=schema)
     for _ in range(n_iter):
         if assign_tier == "blas":
             cents = _kmeans_update_blas(emb, cents, vec_col, round_dp)

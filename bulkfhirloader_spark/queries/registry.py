@@ -2248,7 +2248,15 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid sequences.  NULL / all-zero embeddings are excluded up front,
 # mirroring the operators' family precondition (a zero vector's NaN
 # cosine would otherwise make DuckDB's >= comparisons diverge from
-# Spark's NULL semantics).
+# Spark's NULL semantics).  The rnk subqueries carry a NaN guard
+# (WHERE s = s, r12 advice): if a Lloyd update ever produced an all-zero
+# centroid, DuckDB's list_cosine_similarity yields NaN — which DuckDB
+# sorts FIRST under ORDER BY s DESC — while Spark's cosine_with_norms
+# returns NULL, which ranks LAST under the fold tier's array_max; the
+# guard drops the NaN rows so both engines never assign a zero-norm
+# centroid (every real vector still has >= 1 non-NaN score as long as
+# one centroid has nonzero norm, which the non-degenerate seed set
+# guarantees).
 _KMEANS_CTE = """
 WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
                      WHERE embedding IS NOT NULL
@@ -2260,7 +2268,8 @@ s1 AS (SELECT e.vec_id, e.v, c0.cid,
               round(list_cosine_similarity(e.v, c0.cen), 6) AS s
        FROM e, c0),
 m1 AS (SELECT vec_id, v, cid FROM
-         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk FROM s1)
+         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk
+          FROM s1 WHERE s = s)
        WHERE rnk = 1),
 u1 AS (SELECT cid, u.dim AS dim, avg(u.x) AS mean_x
        FROM m1, LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim) u
@@ -2270,7 +2279,8 @@ s2 AS (SELECT e.vec_id, e.v, c1.cid,
               round(list_cosine_similarity(e.v, c1.cen), 6) AS s
        FROM e, c1),
 m2 AS (SELECT vec_id, v, cid FROM
-         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk FROM s2)
+         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk
+          FROM s2 WHERE s = s)
        WHERE rnk = 1),
 u2 AS (SELECT cid, u.dim AS dim, avg(u.x) AS mean_x
        FROM m2, LATERAL (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim) u
@@ -2280,7 +2290,8 @@ sf AS (SELECT e.vec_id, e.v, c2.cid,
               round(list_cosine_similarity(e.v, c2.cen), 6) AS s
        FROM e, c2),
 f AS (SELECT vec_id, v, cid AS cluster_id, s AS score FROM
-        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk FROM sf)
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rnk
+         FROM sf WHERE s = s)
       WHERE rnk = 1)
 """
 

@@ -689,3 +689,17 @@ def test_mixture_plan_caps_and_membership(spark):
     e = out["empty"]
     assert e["available_tokens"] == 0 and e["planned_tokens"] == 0
     assert e["epochs"] is None
+
+
+def test_mixture_plan_rejects_negative_weight(spark):
+    """r12 advice: a negative weight hiding behind a positive SUM must
+    raise (naming the source) instead of silently planning negative
+    target/planned tokens."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e f", "s2")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="'s1'"):
+        curation.mixture_plan(docs, {"s1": -1.0, "s2": 3.0}, token_budget=100)

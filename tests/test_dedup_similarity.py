@@ -1830,3 +1830,19 @@ def test_kmeans_degenerate_vectors_excluded_both_tiers(spark):
     pairs = dedup.semantic_dedup_pairs(emb, k=2, n_iter=2, threshold=0.9)
     ids = {i for r in pairs.collect() for i in (r["id_a"], r["id_b"])}
     assert 3 not in ids and 4 not in ids
+
+
+def test_kmeans_empty_corpus_both_tiers(spark):
+    """r12 advice: an all-degenerate (or empty) corpus yields an empty seed
+    list — both tiers must return the empty centroid table instead of the
+    blas tier IndexError-ing on cents[0][1] / np.stack of an empty list."""
+    from bulkfhirloader_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    fold = sim.kmeans_centroids(emb, k=2, n_iter=2)
+    blas = sim.kmeans_centroids(emb, k=2, n_iter=2, assign_tier="blas")
+    assert fold.count() == 0 and blas.count() == 0
+    assert fold.schema == blas.schema
