@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -92,10 +93,12 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     for b in pdf["payload"]:
         b = bytes(b or b"")
         # deterministic fake: byte-histogram moments over 8 buckets
-        buckets = [0] * 8
-        for byte in b[:4096]:
-            buckets[byte % 8] += 1
-        total = max(sum(buckets), 1)
+        # (vectorized r13 — bincount over `byte % 8`, same exact counts
+        # as the former per-byte Python loop)
+        buckets = np.bincount(
+            np.frombuffer(b[:4096], dtype=np.uint8) % 8, minlength=8
+        )
+        total = max(int(buckets.sum()), 1)
         feats.append([float(c) / total for c in buckets])
     return pd.DataFrame(
         {
@@ -342,9 +345,15 @@ def decode_image(media: DataFrame) -> DataFrame:
                     out["channel_sums"].append(None)
                     continue
                 w, h, rgb = parsed
-                sums = [0, 0, 0]
-                for c in range(3):
-                    sums[c] = sum(rgb[c::3])
+                # vectorized channel sums (r13, r12 verdict nit): strided
+                # uint8 views summed into int64 — same EXACT integers.
+                # Formulation matters: `sum(rgb[c::3])` (builtin sum over a
+                # bytes slice) is already C-level, and a (N,3) reshape-sum
+                # is stride-bound and NO faster; the strided-view
+                # `arr[c::3].sum()` is the one that wins — measured 51 ms
+                # -> 5.8 ms (8.8x) on a 10 MB payload (SCALE.md r13)
+                arr = np.frombuffer(rgb, dtype=np.uint8)
+                sums = [int(arr[c::3].sum(dtype=np.int64)) for c in range(3)]
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(3)
@@ -482,7 +491,6 @@ def decode_audio(media: DataFrame) -> DataFrame:
     payload that does not parse as PCM16 WAVE yields NULL stats — decode
     failures are data, not exceptions, so one corrupt blob cannot kill a
     10^9-row decode job (the ingest's quarantine stance)."""
-    import struct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -499,13 +507,21 @@ def decode_audio(media: DataFrame) -> DataFrame:
                         out[k].append(None)
                     continue
                 rate, ch, data = parsed
-                vals = struct.unpack("<%dh" % (len(data) // 2), data)
-                n_frames = len(vals) // ch
+                # vectorized sample statistics (r13, r12 verdict nit): the
+                # per-sample Python generator over a struct.unpack tuple
+                # was interpreted work inside the Arrow batch; one
+                # little-endian int16 frombuffer + int64 abs/sum/max is the
+                # same EXACT integers at numpy speed (int64 BEFORE abs:
+                # |INT16_MIN| overflows int16, and the sum needs the width
+                # anyway).  Measured 567 ms -> 26 ms (22x) on a 10 MB
+                # payload (SCALE.md r13).
+                arr = np.abs(np.frombuffer(data, dtype="<i2").astype(np.int64))
+                n_frames = arr.size // ch
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(ch)
                 out["n_samples"].append(n_frames)
-                out["sum_abs"].append(sum(abs(v) for v in vals))
-                out["peak_abs"].append(max((abs(v) for v in vals), default=0))
+                out["sum_abs"].append(int(arr.sum()))
+                out["peak_abs"].append(int(arr.max()) if arr.size else 0)
                 out["duration_ms"].append(n_frames * 1000 // rate)
             frame = pd.DataFrame(out)
             frame["sample_rate"] = frame["sample_rate"].astype("Int32")
@@ -526,7 +542,6 @@ def audio_frame_energy(media: DataFrame, frame_samples: int = 16) -> DataFrame:
     int64), so the fan-out is fully SQL-oracle-checkable.  Non-WAV
     payloads contribute no frames (quarantine-by-absence, like
     sample_frames on empty payloads)."""
-    import struct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -538,13 +553,23 @@ def audio_frame_energy(media: DataFrame, frame_samples: int = 16) -> DataFrame:
                 if parsed is None:
                     continue
                 _rate, _ch, data = parsed
-                vals = struct.unpack("<%dh" % (len(data) // 2), data)
-                for f in range(0, (len(vals) + frame_samples - 1) // frame_samples):
-                    chunk = vals[f * frame_samples : (f + 1) * frame_samples]
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(f)
-                    out["n_samples"].append(len(chunk))
-                    out["energy"].append(sum(v * v for v in chunk))
+                # vectorized frame energies (r13, r12 verdict nit): square
+                # in int64 (a frame sum reaches 16 * 32768^2 — past int32)
+                # and segment-sum with add.reduceat over the frame starts —
+                # same EXACT integers as the per-sample Python loop,
+                # including the ragged tail frame (reduceat's last segment
+                # runs to the end).  Measured 670 ms -> 19 ms warm (35x) on
+                # a 10 MB payload (SCALE.md r13).
+                arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if arr.size == 0:
+                    continue
+                starts = np.arange(0, arr.size, frame_samples)
+                energies = np.add.reduceat(arr * arr, starts)
+                n_per = np.diff(np.append(starts, arr.size))
+                out["media_id"].extend([mid] * len(starts))
+                out["frame_idx"].extend(range(len(starts)))
+                out["n_samples"].extend(n_per.tolist())
+                out["energy"].extend(energies.tolist())
             frame = pd.DataFrame(out)
             frame["frame_idx"] = frame["frame_idx"].astype("int32")
             for k in ("n_samples", "energy"):
@@ -573,16 +598,18 @@ def resize_ppm_thumbnails(
                     thumbs.append(None)
                     continue
                 w, h, rgb = parsed
-                out = bytearray(thumb_w * thumb_h * 3)
-                k = 0
-                for ty in range(thumb_h):
-                    sy = ty * h // thumb_h
-                    row = sy * w
-                    for tx in range(thumb_w):
-                        src = (row + tx * w // thumb_w) * 3
-                        out[k : k + 3] = rgb[src : src + 3]
-                        k += 3
-                thumbs.append(bytes(out))
+                # vectorized gather (r13, r12 verdict nit): the same floor
+                # mapping as the per-pixel loop — row indices (ty*H //
+                # thumb_h) and column indices (tx*W // thumb_w) as integer
+                # arrays, one fancy-index gather over the (h, w, 3) view —
+                # byte-identical output.  Honest measurement: the old loop
+                # cost scaled with THUMB size, not source size, so at 8x8
+                # this is parity (~0.1 ms either way on a 10 MB payload);
+                # the numpy form wins as thumb dims grow and reads cleaner
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                sy = np.arange(thumb_h, dtype=np.int64) * h // thumb_h
+                sx = np.arange(thumb_w, dtype=np.int64) * w // thumb_w
+                thumbs.append(a[sy][:, sx].tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
