@@ -3605,6 +3605,71 @@ WHERE NOT EXISTS (SELECT 1 FROM ev
 """
 
 
+def stream_semantic_admit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-tier streaming semantic gate (r13, the r12 verdict's Next
+    round #1 — the banded store's pattern applied to its SemDeDup twin):
+    the gate's static side is the BUCKETED pre-assigned semantic store —
+    (cluster_id, id, vec, norm) written bucketBy(cluster_id) with the
+    frozen Lloyd fit riding the store — so a fresh session pays only a
+    scan (zero static-side Exchange, plan-asserted in tests/test_plans.py)
+    instead of the measured 46 s assign+cache fill at a 500k corpus
+    (SCALE.md r12).  `existing` and `centroids` are omitted entirely:
+    the store carries its own fit, so stream-vs-static fit divergence is
+    impossible by construction.  The gate re-attaches the catalog table
+    itself (register_semantic_table) — the restart path a deployment
+    takes.  Admissions are defined identical to the cached twin, so the
+    oracle SQL is shared (_STREAM_SEMANTIC_SQL)."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import (
+        semantic_store_write,
+        stream_semantic_admission,
+    )
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "semantic_admit_stored")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_sem_store_")
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        ).repartition(3).write.mode("overwrite").parquet(_os.path.join(src, "in"))
+        cents = similarity.kmeans_centroids(emb, k=8, n_iter=2)
+        semantic_store_write(
+            emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"),
+            _os.path.join(src, "semstore"),
+            cents,
+            num_buckets=8,
+        )
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_sem_stored_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_semantic_admission(
+            stream,
+            threshold=0.4,
+            semantic_store=_os.path.join(src, "semstore"),
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("vec_id", "cluster_id").distinct()
+
+
 # ---------------------------------------------------------------------------
 # Extension — corpus curation (SURVEY §2.10: split / tf-idf / selection /
 # shard packing)
@@ -5923,6 +5988,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # the mid-round addition)
     "stream_near_dup_admit_stored": (stream_near_dup_admit_stored, _STREAM_ADMIT_SQL),
     "stream_semantic_admit": (stream_semantic_admit, _STREAM_SEMANTIC_SQL),
+    "stream_semantic_admit_stored": (
+        stream_semantic_admit_stored,
+        _STREAM_SEMANTIC_SQL,
+    ),
     # r12: the bucketed banded-table gate tier (zero static-side Exchange
     # from layout); semantics defined identical, oracle shared
     "stream_near_dup_admit_bucketed": (

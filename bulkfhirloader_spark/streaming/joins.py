@@ -515,14 +515,275 @@ def stream_near_dup_admission(
 _live_static_band_caches: list = []
 
 
+def _semantic_assigned(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+    sfx: str,
+) -> DataFrame:
+    """The ONE assignment projection both the semantic gate's sides and
+    the semantic store's writer share (so store rows and gate rows can
+    never diverge): drop degenerate vectors (family precondition), cast
+    to array<double>, hoist the l2 norm as a sibling column, assign the
+    FROZEN centroid set as a literal expression
+    (similarity.cosine_cluster_exprs — stateless, streaming-legal, exact
+    rounding parity with the batch tier).  Output columns: ``id{sfx}``,
+    ``v{sfx}``, ``n{sfx}``, ``cluster_id``."""
+    from bulkfhirloader_spark.operators.similarity import (
+        _drop_degenerate_vectors,
+        cosine_cluster_exprs,
+        l2_norm,
+    )
+
+    df = _drop_degenerate_vectors(df, vec_col)
+    base = df.select(
+        F.col(id_col).alias(f"id{sfx}"),
+        F.col(vec_col).cast("array<double>").alias(f"v{sfx}"),
+    ).withColumn(f"n{sfx}", l2_norm(F.col(f"v{sfx}")))
+    e = cosine_cluster_exprs(
+        F.col(f"v{sfx}"), cents, round_dp=round_dp, vec_norm=F.col(f"n{sfx}")
+    )
+    return base.withColumn("cluster_id", e["cluster_id"])
+
+
+def _centroid_fingerprint(cents: list[tuple[int, list[float]]]) -> str:
+    """Deterministic sha256 of a frozen centroid fit — the semantic
+    store's geometry analog of the banded store's (num_hashes, bands)
+    tuple: appended rows assigned under a DIFFERENT fit would silently
+    sit in the wrong cluster partitions and never meet their probes, so
+    fit identity is validated as hard as band geometry.  repr of the
+    sorted (cid, [float components]) list is canonical here because the
+    fit's own contract already rounds every component to round_dp."""
+    import hashlib
+
+    canon = repr(sorted((int(c), [float(x) for x in v]) for c, v in cents))
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()
+
+
+def _normalize_centroids(centroids) -> list[tuple[int, list[float]]]:
+    """``centroids`` as a sorted [(cid, vec)] list from either a
+    (c_label, centroid) DataFrame or an already-collected list."""
+    if hasattr(centroids, "collect"):
+        return sorted(
+            (int(r["c_label"]), list(r["centroid"])) for r in centroids.collect()
+        )
+    return sorted((int(c), list(v)) for c, v in centroids)
+
+
+def _semantic_table_name(path: str) -> str:
+    """Catalog-name seed for the bucketed semantic store at ``path``."""
+    return bucketed_table_name("bfls_semstore", path)
+
+
+def semantic_store_write(
+    emb: DataFrame,
+    path: str,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    mode: str = "append",
+    num_buckets: int | None = None,
+) -> None:
+    """Persist the ASSIGNED static corpus the streaming semantic gate
+    reads at 100 TB: ``(cluster_id, id, vec, norm)`` rows plus the frozen
+    centroid fit itself — the exact analog of what
+    banded_signature_store_write is to the MinHash gate (r12 verdict,
+    Next round #1).  Before this store existed the gate assigned + cached
+    the full static corpus PER SESSION (measured 46 s batch-0 fill at
+    500k vectors, SCALE.md r12) and the cache died with the session;
+    the store pays the assignment once at write time and a restart pays
+    only a scan.
+
+    Layout: ``<path>/meta.parquet`` (one row: round_dp, k, dim,
+    centroid_sha, nullable num_buckets/bucket_table),
+    ``<path>/centroids.parquet`` (the frozen (c_label, centroid) fit —
+    the gate's stream side evaluates THIS fit, so the store carries it;
+    a gate built over the store can never pair a stream-side fit with
+    different static-side assignments), and ``<path>/vectors`` (the
+    assigned rows).  With ``num_buckets=<n>`` the vectors are written as
+    an EXTERNAL BUCKETED TABLE (``bucketBy(n, "cluster_id")``, per-bucket
+    sorted) whose LAYOUT satisfies the gate join's static-side
+    distribution — zero static-side Exchange from a fresh catalog
+    (plan-asserted in tests/test_plans.py), the restart-friendly tier.
+    Plain/bucketed mixing is refused in both directions, same corruption
+    argument as the banded store.
+
+    FROZEN-FIT CONTRACT: ``centroids`` (a (c_label, centroid) DataFrame
+    or [(cid, vec)] list) is REQUIRED at store creation and optional on
+    append — appended rows are assigned under the STORED fit (read back
+    from the store).  Passing centroids on append validates their
+    fingerprint against the stored fit and refuses on mismatch: rows
+    assigned under a re-fit would sit in the wrong cluster partitions
+    and silently never meet their probes.  A re-fit means a REBUILD
+    (mode="overwrite" with the new fit), then a gate restart — the same
+    deployment loop as the banded store's snapshot semantics.
+
+    Append id-uniqueness and single-writer serialization are the
+    caller's contract; overwrite writes data first, meta last
+    (commit-marker ordering via fsutil.store_meta_lifecycle) and is not
+    crash-atomic for concurrent readers — replace a live store at a
+    fresh path and swap the pointer."""
+    spark = emb.sparkSession
+    meta_path = f"{path}/meta.parquet"
+    cents_path = f"{path}/centroids.parquet"
+    cents = _normalize_centroids(centroids) if centroids is not None else None
+    if cents is not None and not cents:
+        raise ValueError("semantic_store_write needs >= 1 centroid")
+    if cents is None:
+        if mode == "overwrite" or not fs_path_exists(spark, meta_path):
+            raise ValueError(
+                "semantic_store_write needs the frozen `centroids` fit at "
+                "store creation (append to an existing store may omit it — "
+                "rows are then assigned under the stored fit)"
+            )
+        cents = _read_semantic_centroids(spark, cents_path)
+    sha = _centroid_fingerprint(cents)
+    k, dim = len(cents), len(cents[0][1])
+    bucket_table = _semantic_table_name(path) if num_buckets is not None else None
+    resolved: dict = {}
+
+    def _validate(rows) -> None:
+        _validate_semantic_meta(rows, meta_path, round_dp, sha)
+        got_buckets, got_table = _meta_bucket_spec(rows[0])
+        if got_buckets != num_buckets:
+            raise ValueError(
+                f"semantic store bucket-layout mismatch at {meta_path}: "
+                f"store was written with num_buckets={got_buckets}, caller "
+                f"asked num_buckets={num_buckets} — mixing plain and "
+                f"bucketed part files under one table silently corrupts "
+                f"bucketed scans.  Rebuild the store to change its layout"
+            )
+        resolved["bucket_table"] = got_table
+
+    finalize_meta = store_meta_lifecycle(
+        spark,
+        meta_path,
+        f"{path}/vectors",
+        "round_dp int, k int, dim int, centroid_sha string, "
+        "num_buckets int, bucket_table string",
+        (round_dp, k, dim, sha, num_buckets, bucket_table),
+        _validate,
+        mode,
+    )
+    bucket_table = resolved.get("bucket_table", bucket_table)
+    # the frozen fit rides the store: written on create/overwrite, never
+    # on append (the validator just proved the fit is unchanged)
+    write_cents = mode == "overwrite" or not fs_path_exists(spark, cents_path)
+    assigned = _semantic_assigned(emb, cents, id_col, vec_col, round_dp, "").select(
+        "cluster_id",
+        F.col("id").cast("long").alias("id"),
+        F.col("v").alias("vec"),
+        F.col("n").alias("norm"),
+    )
+    if num_buckets is None:
+        assigned.write.mode(mode).parquet(f"{path}/vectors")
+    else:
+        if mode == "overwrite" and spark.catalog.tableExists(bucket_table):
+            spark.sql(f"DROP TABLE `{bucket_table}`")
+        elif (
+            mode == "append"
+            and not spark.catalog.tableExists(bucket_table)
+            and fs_path_exists(spark, f"{path}/vectors")
+        ):
+            register_semantic_table(spark, path)
+        # repartition on the bucket expression first (see the banded
+        # writer): otherwise a bucketed write emits one file per
+        # (task, bucket) pair per append
+        w = (
+            assigned.repartition(num_buckets, F.col("cluster_id"))
+            .write.format("parquet")
+            .mode(mode)
+            .bucketBy(num_buckets, "cluster_id")
+            .sortBy("cluster_id")
+            .option("path", f"{path}/vectors")
+        )
+        w.saveAsTable(bucket_table)
+    if write_cents:
+        spark.createDataFrame(
+            cents, "c_label INT, centroid ARRAY<DOUBLE>"
+        ).coalesce(1).write.mode("overwrite").parquet(cents_path)
+    finalize_meta()
+
+
+def _read_semantic_centroids(spark, cents_path: str) -> list[tuple[int, list[float]]]:
+    return sorted(
+        (int(r["c_label"]), list(r["centroid"]))
+        for r in spark.read.parquet(cents_path).collect()
+    )
+
+
+def _validate_semantic_meta(rows, meta_path, round_dp, sha) -> None:
+    if len(rows) != 1:
+        raise ValueError(f"corrupt semantic store meta at {meta_path}: {rows}")
+    m = rows[0]
+    if m["round_dp"] != round_dp:
+        raise ValueError(
+            f"semantic store geometry mismatch at {meta_path}: store has "
+            f"round_dp={m['round_dp']}, caller asked {round_dp} — mismatched "
+            f"rounding makes assignments engine-inconsistent"
+        )
+    if m["centroid_sha"] != sha:
+        raise ValueError(
+            f"semantic store fit mismatch at {meta_path}: the store was "
+            f"assigned under a different frozen centroid fit "
+            f"(stored sha {m['centroid_sha'][:12]}…, caller's {sha[:12]}…) "
+            f"— rows assigned under a re-fit would sit in the wrong cluster "
+            f"partitions and never meet their probes.  A re-fit means a "
+            f"rebuild (mode='overwrite'), then a gate restart"
+        )
+
+
+def register_semantic_table(spark, path: str) -> str:
+    """Re-attach the bucketed semantic store's vectors table at ``path``
+    to THIS session's catalog without rewriting any data — the restart
+    case the layout exists for (exact twin of register_banded_table).
+    Raises on a plain (non-bucketed) store."""
+    meta_path = f"{path}/meta.parquet"
+    rows = spark.read.parquet(meta_path).collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt semantic store meta at {meta_path}: {rows}")
+    num_buckets, table = _meta_bucket_spec(rows[0])
+    if num_buckets is None or table is None:
+        raise ValueError(
+            f"semantic store at {path} is a plain (non-bucketed) store — "
+            f"there is no table to register; read it with "
+            f"semantic_store_read or rebuild it with num_buckets=<n>"
+        )
+    return register_external_bucketed_table(
+        spark, table, f"{path}/vectors", "cluster_id", num_buckets, ["cluster_id"]
+    )
+
+
+def semantic_store_read(
+    spark, path: str, round_dp: int = 6
+) -> tuple[DataFrame, list[tuple[int, list[float]]], bool]:
+    """(vectors, frozen centroid fit, is_bucketed) for the semantic store
+    at ``path`` — vectors are the assigned (cluster_id, id, vec, norm)
+    DataFrame, meta-validated.  A bucketed store is read through its
+    catalog table (auto-re-attached), which is what carries the bucket
+    layout into the plan."""
+    meta_path = f"{path}/meta.parquet"
+    rows = spark.read.parquet(meta_path).collect()
+    cents = _read_semantic_centroids(spark, f"{path}/centroids.parquet")
+    _validate_semantic_meta(rows, meta_path, round_dp, _centroid_fingerprint(cents))
+    num_buckets, _table = _meta_bucket_spec(rows[0])
+    if num_buckets is not None:
+        return spark.table(register_semantic_table(spark, path)), cents, True
+    return spark.read.parquet(f"{path}/vectors"), cents, False
+
+
 def stream_semantic_admission(
     stream_emb: DataFrame,
-    existing: DataFrame,
-    centroids,
+    existing: DataFrame | None = None,
+    centroids=None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    semantic_store: str | None = None,
 ) -> DataFrame:
     """Streaming twin of dedup.semantic_dedup_pairs' admission reading:
     admit arriving embeddings that have NO semantic near-dup
@@ -551,57 +812,80 @@ def stream_semantic_admission(
     columns on both sides, never recomputed per pair.  Cross-cluster
     near-dups are unscreened by design — the SemDeDup recall trade,
     identical to the batch tier, so batch-vs-gate parity is exact, not
-    approximate.  At scale the static side is a cluster-partitioned
-    stored table (the IVF layout); k must grow with the corpus so
-    per-cluster fan-in stays bounded.
+    approximate.  k must grow with the corpus so per-cluster fan-in
+    stays bounded.
+
+    STORED TIER (r13, the r12 verdict's Next round #1 — the banded
+    store's pattern applied to its SemDeDup twin): pass
+    ``semantic_store=<path>`` (built via semantic_store_write) and the
+    static side is a scan of the PRE-ASSIGNED (cluster_id, id, vec,
+    norm) store — no per-session assignment pass, and the frozen
+    centroid fit comes FROM THE STORE (``existing`` and ``centroids``
+    must then be omitted: the store carries its own fit, so the stream
+    side can never evaluate a different fit than the one the static
+    rows were assigned under).  A store written with ``num_buckets=``
+    satisfies the join's static-side distribution from LAYOUT — the
+    micro-batch plan has ZERO static-side Exchange from a fresh catalog
+    (plan-asserted in tests/test_plans.py) and batch 0 pays only a scan,
+    not the measured 46 s assign+shuffle fill at a 500k corpus
+    (SCALE.md r12/r13).  SNAPSHOT semantics, same as the banded store:
+    the file listing (and the fit) are captured at gate construction —
+    store appends and re-fits screen only from the NEXT gate
+    construction, never mid-stream (pytest-pinned).
 
     ONE LIVE SEMANTIC GATE PER SESSION: same deliberate cache-ledger
     memory bound as stream_near_dup_admission (separate ledger — a
     semantic gate does not evict a minhash gate).
     """
-    from bulkfhirloader_spark.operators.similarity import (
-        cosine_cluster_exprs,
-        cosine_with_norms,
-        l2_norm,
-    )
+    from bulkfhirloader_spark.operators.similarity import cosine_with_norms
 
-    if hasattr(centroids, "collect"):
-        cents = sorted(
-            (int(r["c_label"]), list(r["centroid"])) for r in centroids.collect()
+    bucketed_static = False
+    if semantic_store is not None:
+        if existing is not None or centroids is not None:
+            raise ValueError(
+                "semantic_store carries its own corpus AND frozen fit — "
+                "pass either the store path or (existing, centroids), "
+                "not both (a stream side evaluating a different fit than "
+                "the stored assignments would silently mis-route probes)"
+            )
+        store_rows, cents, bucketed_static = semantic_store_read(
+            stream_emb.sparkSession, semantic_store, round_dp
+        )
+        static_side = store_rows.select(
+            F.col("id").alias("id_e"),
+            F.col("vec").alias("v_e"),
+            F.col("norm").alias("n_e"),
+            "cluster_id",
+        )
+    elif existing is None or centroids is None:
+        raise ValueError(
+            "stream_semantic_admission needs either (existing, centroids) "
+            "or a `semantic_store=` path"
         )
     else:
-        cents = sorted((int(c), list(v)) for c, v in centroids)
-    if not cents:
-        raise ValueError("stream_semantic_admission needs >= 1 centroid")
-
-    def assigned(df: DataFrame, sfx: str) -> DataFrame:
-        from bulkfhirloader_spark.operators.similarity import (
-            _drop_degenerate_vectors,
+        cents = _normalize_centroids(centroids)
+        if not cents:
+            raise ValueError("stream_semantic_admission needs >= 1 centroid")
+        static_side = _semantic_assigned(
+            existing, cents, id_col, vec_col, round_dp, "_e"
         )
-
-        # family precondition (see kmeans_centroids): NULL / all-zero
-        # embeddings cannot cluster — excluded on BOTH sides, a stateless
-        # projection-level filter on the stream side
-        df = _drop_degenerate_vectors(df, vec_col)
-        base = df.select(
-            F.col(id_col).alias(f"id{sfx}"),
-            F.col(vec_col).cast("array<double>").alias(f"v{sfx}"),
-        ).withColumn(f"n{sfx}", l2_norm(F.col(f"v{sfx}")))
-        e = cosine_cluster_exprs(
-            F.col(f"v{sfx}"), cents, round_dp=round_dp,
-            vec_norm=F.col(f"n{sfx}"),
-        )
-        return base.withColumn("cluster_id", e["cluster_id"])
-
-    stream_side = assigned(stream_emb, "_s")
-    static_side = assigned(existing, "_e")
+    stream_side = _semantic_assigned(
+        stream_emb, cents, id_col, vec_col, round_dp, "_s"
+    )
     while _live_static_sem_caches:
         _live_static_sem_caches.pop().unpersist()
-    static_side = (
-        static_side.repartition(F.col("cluster_id"))
-        .sortWithinPartitions("cluster_id")
-        .persist()
-    )
+    if bucketed_static:
+        # the bucketBy(cluster_id) layout already satisfies the join's
+        # static-side distribution — persist only serves repeat
+        # micro-batches from cached blocks (InMemoryRelation preserves the
+        # bucketed child's partitioning); batch 0's fill is a plain scan
+        static_side = static_side.persist()
+    else:
+        static_side = (
+            static_side.repartition(F.col("cluster_id"))
+            .sortWithinPartitions("cluster_id")
+            .persist()
+        )
     _live_static_sem_caches.append(static_side)
     cond = (
         (stream_side["cluster_id"] == static_side["cluster_id"])

@@ -574,3 +574,89 @@ def test_streaming_gate_bucketed_store_static_side_has_zero_exchange(
     assert len(band_exchanges) == 1, plan
     assert "ENSURE_REQUIREMENTS" in band_exchanges[0], plan
     assert "REPARTITION_BY_COL" not in plan, plan
+
+
+def test_streaming_semantic_gate_stored_static_side_has_zero_exchange(
+    spark, tmp_path
+):
+    """r13 (mirror of the banded gate's bucketed-store assertion): a
+    semantic gate built over a BUCKETED semantic store satisfies the anti
+    join's static-side distribution from LAYOUT — the micro-batch plan
+    from a fresh catalog (table dropped, re-attached by the gate itself —
+    the restart case) has ZERO static-side Exchange anywhere: the only
+    cluster-key Exchange in the whole plan is the stream side's
+    ENSURE_REQUIREMENTS shuffle, the static scan is Bucketed: true, and
+    there is no REPARTITION_BY_COL cache-fill lineage at all."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import (
+        _semantic_table_name,
+        semantic_store_write,
+        stream_semantic_admission,
+    )
+
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    existing = spark.createDataFrame(
+        [(i, [1.0, float(i % 7) / 10.0, 0.0]) for i in range(0, 20, 2)],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path)
+    store = f"{src}/semstore"
+    semantic_store_write(existing, store, cents, num_buckets=8)
+    spark.sql(f"DROP TABLE `{_semantic_table_name(store)}`")
+
+    spark.createDataFrame(
+        [(i, [float(i % 5) / 10.0, 1.0, 0.0]) for i in range(1, 20, 2)],
+        "vec_id long, embedding array<double>",
+    ).repartition(2).write.parquet(f"{src}/in")
+    schema = spark.read.parquet(f"{src}/in").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/in")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = stream_semantic_admission(stream, semantic_store=store)
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("plan_sem_gate_stored")
+            .outputMode("append")
+            .option("checkpointLocation", _os.path.join(src, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan, plan
+    # the streaming sink wrapper renders the physical plan twice, so count
+    # ATTRIBUTES, not lines: the static side's cluster_id (the attr inside
+    # the InMemoryRelation over the bucketed scan) must appear in NO
+    # Exchange — every cluster-key Exchange is the stream side's
+    # ENSURE_REQUIREMENTS shuffle — and there is no REPARTITION_BY_COL
+    # cache-fill lineage anywhere
+    import re as _re
+
+    static_attrs = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "InMemoryRelation [" in ln
+        for m in [_re.search(r"cluster_id#(\d+)", ln)]
+        if m
+    }
+    exchange_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(cluster_id" in ln
+    ]
+    exchange_attrs = {
+        _re.search(r"Exchange hashpartitioning\(cluster_id#(\d+)", ln).group(1)
+        for ln in exchange_lines
+    }
+    assert static_attrs and exchange_attrs, plan
+    assert exchange_attrs.isdisjoint(static_attrs), plan
+    assert all("ENSURE_REQUIREMENTS" in ln for ln in exchange_lines), plan
+    assert "REPARTITION_BY_COL" not in plan, plan

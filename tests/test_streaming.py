@@ -748,3 +748,156 @@ def test_stream_semantic_admission_matches_batch_rule(spark, tmp_path):
         math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
     )
     assert cos >= 0.95
+
+
+def _sem_fixture(spark):
+    """Shared semantic-gate fixture (see
+    test_stream_semantic_admission_matches_batch_rule for the geometry
+    commentary): frozen two-lobe fit, boundary resident, expected
+    verdicts [13 admit(c0), 15 admit(c1 cross-cluster), 11/17 reject]."""
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    existing = spark.createDataFrame(
+        [(2, [0.75, 0.66, 0.0]), (4, [0.0, 1.0, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    return cents, existing
+
+
+def _sem_stream_run(spark, tmp_path, qname, **gate_kwargs):
+    from bulkfhirloader_spark.streaming.joins import stream_semantic_admission
+
+    schema = "vec_id long, embedding array<double>"
+    in_dir = tmp_path / "in"
+    if not (in_dir / "f0").exists():
+        spark.createDataFrame(
+            [(11, [0.76, 0.65, 0.0]), (13, [0.0, 0.0, 1.0])], schema
+        ).coalesce(1).write.parquet(str(in_dir / "f0"))
+        spark.createDataFrame(
+            [(15, [0.66, 0.75, 0.0]), (17, [0.0, 1.0, 0.21])], schema
+        ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(in_dir / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        stream_semantic_admission(stream, threshold=0.95, **gate_kwargs)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(r.vec_id for r in spark.table(qname).collect())
+
+
+def test_stream_semantic_admission_from_stored(spark, tmp_path):
+    """r13 (the r12 verdict's Next round #1): the semantic gate's static
+    side read from a pre-assigned semantic store must admit EXACTLY what
+    the self-contained (existing, centroids) form admits — `existing`
+    AND `centroids` omitted entirely, the frozen fit coming from the
+    store.  Conflicting/missing inputs, a re-fit append, and a rounding
+    mismatch all refuse loudly."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.streaming.joins import (
+        semantic_store_write,
+        stream_semantic_admission,
+    )
+
+    cents, existing = _sem_fixture(spark)
+    store = str(tmp_path / "semstore")
+    semantic_store_write(existing, store, cents)
+
+    got = _sem_stream_run(spark, tmp_path, "sem_stored_t", semantic_store=store)
+    assert got == [13, 15]  # identical to the self-contained test's verdicts
+
+    # store + explicit corpus/fit is a contract violation, not a merge
+    with _pytest.raises(ValueError, match="not both"):
+        stream_semantic_admission(
+            existing, existing, cents, semantic_store=store
+        )
+    with _pytest.raises(ValueError, match="existing"):
+        stream_semantic_admission(existing)
+    # a re-fit append refuses: rows assigned under a different fit would
+    # sit in the wrong cluster partitions
+    refit = [(0, [0.0, 0.0, 1.0]), (1, [0.0, 1.0, 0.0])]
+    with _pytest.raises(ValueError, match="fit mismatch"):
+        semantic_store_write(existing, store, refit)
+    # rounding contract is geometry too
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        semantic_store_write(existing, store, cents, round_dp=4)
+    # creation without a fit is refused; append without one uses the
+    # stored fit (screens exactly as before)
+    with _pytest.raises(ValueError, match="frozen `centroids` fit"):
+        semantic_store_write(existing, str(tmp_path / "nofit"))
+
+
+def test_semantic_store_data_without_meta_refuses_append(spark, tmp_path):
+    """Same corrupt-store refusal as both signature stores."""
+    import shutil
+
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.streaming.joins import semantic_store_write
+
+    cents, existing = _sem_fixture(spark)
+    store = str(tmp_path / "semstore")
+    semantic_store_write(existing, store, cents)
+    shutil.rmtree(f"{store}/meta.parquet")
+    with _pytest.raises(ValueError, match="data but no readable meta"):
+        semantic_store_write(existing, store, cents)
+
+
+def test_stream_semantic_admission_from_bucketed_store(spark, tmp_path):
+    """r13: the BUCKETED semantic store admits exactly what the plain
+    store (and the self-contained form) admits — including after a
+    catalog restart (table dropped, auto-re-attached by the gate) and
+    after a fit-matching append from that restarted catalog: the
+    appended vector screens only from the NEXT gate construction (the
+    banded store's snapshot/append contract, r12 verdict #7).  Layout
+    mismatches refuse loudly in both directions."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.streaming.joins import (
+        _semantic_table_name,
+        semantic_store_read,
+        semantic_store_write,
+    )
+
+    cents, existing = _sem_fixture(spark)
+    store = str(tmp_path / "semstore")
+    semantic_store_write(existing, store, cents, num_buckets=4)
+
+    # catalog restart: the gate must re-attach the table by itself
+    spark.sql(f"DROP TABLE `{_semantic_table_name(store)}`")
+    got = _sem_stream_run(spark, tmp_path, "sem_bucketed_t", semantic_store=store)
+    assert got == [13, 15]
+
+    # layout refusals, both directions + bucket-count mismatch
+    with _pytest.raises(ValueError, match="bucket-layout mismatch"):
+        semantic_store_write(existing, store, cents)
+    with _pytest.raises(ValueError, match="bucket-layout mismatch"):
+        semantic_store_write(existing, store, cents, num_buckets=8)
+    plain = str(tmp_path / "plainstore")
+    semantic_store_write(existing, plain, cents)
+    with _pytest.raises(ValueError, match="bucket-layout mismatch"):
+        semantic_store_write(existing, plain, cents, num_buckets=4)
+
+    # append 13's own direction under the STORED fit (centroids omitted)
+    # from a restarted catalog: a REBUILT gate now rejects 13; 15 stays
+    spark.sql(f"DROP TABLE `{_semantic_table_name(store)}`")
+    semantic_store_write(
+        spark.createDataFrame(
+            [(6, [0.0, 0.0, 1.0])], "vec_id long, embedding array<double>"
+        ),
+        store,
+        num_buckets=4,
+    )
+    rows, got_cents, is_bucketed = semantic_store_read(spark, store)
+    assert is_bucketed and got_cents == sorted(cents)
+    assert rows.count() == 3
+    assert _sem_stream_run(spark, tmp_path, "sem_bucketed_t2",
+                           semantic_store=store) == [15]
