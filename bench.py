@@ -83,19 +83,28 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_NO_QUIESCE=1.
     # r7 lesson: gating on the 1-min loadavg alone let the r7 run start at
     # 5-min loadavg 6.56 (1-min had dipped to 1.91 between residual-JVM
-    # bursts) and the whole cold cohort drifted ~5%.  Gate on
-    # max(1m, 0.5·5m) so a still-draining box keeps waiting, and give the
-    # wait a bigger budget — 5 minutes of quiesce is cheap against a
-    # mis-graded round.
-    quiesce_budget = float(os.environ.get("SPARK_GRAFT_QUIESCE_BUDGET_S", "300"))
+    # bursts) and the whole cold cohort drifted ~5%.
+    # r12 lesson (verdict #5): even max(1m, 0.5·5m) passed a run whose 5m
+    # was 3.98 at start — it read +24% over the same-HEAD quiet box.  The
+    # gate now requires BOTH averages under their thresholds (the 5m one
+    # separately tunable — it drains slowly, so the default budget is
+    # 10 minutes; an honest long wait is cheaper than a mis-graded round).
+    quiesce_budget = float(os.environ.get("SPARK_GRAFT_QUIESCE_BUDGET_S", "600"))
     quiesce_threshold = float(os.environ.get("SPARK_GRAFT_QUIESCE_LOAD", "2.0"))
+    quiesce_threshold_5m = float(
+        os.environ.get("SPARK_GRAFT_QUIESCE_LOAD_5M", str(quiesce_threshold))
+    )
+
+    def _gate_ok(l1: float, l5: float) -> bool:
+        return l1 <= quiesce_threshold and l5 <= quiesce_threshold_5m
+
     waited = 0.0
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_QUIESCE"):
         t_q = time.monotonic()
         while time.monotonic() - t_q < quiesce_budget:
             try:
                 l1, l5, _ = os.getloadavg()
-                if max(l1, 0.5 * l5) <= quiesce_threshold:
+                if _gate_ok(l1, l5):
                     break
             except OSError:
                 break
@@ -113,15 +122,15 @@ def main() -> None:
     # stdout line, so a reader can never mistake a loaded-box artifact for
     # a plan regression; the committed quiet-box protocol (bench run at
     # loadavg < 2 after several idle minutes) is the only publishable path.
-    noisy_run = (
-        load_at_start[0] >= 0
-        and max(load_at_start[0], 0.5 * load_at_start[1]) > quiesce_threshold
+    noisy_run = load_at_start[0] >= 0 and not _gate_ok(
+        load_at_start[0], load_at_start[1]
     )
     if noisy_run:
         print(
             f"bench: REJECTED-NOISY — starting loadavg {load_at_start} exceeds "
-            f"the {quiesce_threshold} gate after {waited}s of quiesce; timings "
-            f"below are load-inflated and must not be compared round-over-round",
+            f"the gate (1m<={quiesce_threshold} AND 5m<={quiesce_threshold_5m}) "
+            f"after {waited}s of quiesce; timings below are load-inflated and "
+            f"must not be compared round-over-round",
             file=sys.stderr,
         )
     spark = get_spark(app_name="bulkfhirloader-bench")
@@ -236,6 +245,11 @@ def main() -> None:
                              "5m": load_at_entry[1],
                              "15m": load_at_entry[2]},
         "quiesce_wait_sec": waited,
+        # the gate's thresholds, recorded so the artifact is
+        # self-describing (r12 verdict #5: BOTH averages must pass)
+        "quiesce_gate": {"1m_max": quiesce_threshold,
+                         "5m_max": quiesce_threshold_5m,
+                         "budget_s": quiesce_budget},
         "loadavg_at_start": {"1m": load_at_start[0],
                              "5m": load_at_start[1],
                              "15m": load_at_start[2],

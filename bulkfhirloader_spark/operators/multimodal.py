@@ -620,3 +620,26 @@ def resize_ppm_thumbnails(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, THUMBNAIL_SCHEMA)
+
+
+def image_exact_dedup(decoded: DataFrame) -> DataFrame:
+    """Exact image dedup over DECODED content fingerprints — the
+    multimodal twin of dedup.exact_duplicates (r13, r12 verdict #6): rows
+    group by (width, height, channels, channel_sums) and each group keeps
+    its smallest media_id as survivor.  Input is decode_image's output;
+    undecodable rows (NULL width — the corrupt-quarantine contract) are
+    filtered FIRST so a corrupt blob can neither form its own NULL-keyed
+    group nor crash the job.
+
+    Scale shape: the payload bytes never reach this operator — the
+    fingerprint rows it shuffles are ~40 bytes each regardless of image
+    size (the same shuffle-hashes-not-bodies argument as text
+    dedup_exact), and the groupBy partial-aggregates map-side.  The
+    fingerprint is DECODED statistics, deliberately: byte-identical
+    re-encodes (comment differences, header whitespace) still collide,
+    which raw-payload sha256 (payload_stats) would miss."""
+    valid = decoded.where(F.col("width").isNotNull())
+    return valid.groupBy("width", "height", "channels", "channel_sums").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

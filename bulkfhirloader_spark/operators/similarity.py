@@ -658,6 +658,85 @@ def kmeans_centroids(
     return spark.createDataFrame(cents, schema=schema)
 
 
+def kmeans_centroids_chained(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """COLLECT-FREE Lloyd's k-means (r13, the r12 verdict's Next round
+    #3): the same deterministic fit contract as ``kmeans_centroids`` —
+    identical init, assignment, and update rules, pytest-pinned equal at
+    small k — but the centroid relation STAYS DISTRIBUTED between
+    iterations: ``classify_nearest_centroid`` already consumes centroids
+    as a DataFrame (collapsing them to one broadcast row JVM-side), and
+    ``label_centroids`` already produces them as one, so the chain never
+    round-trips k × dim through the Python driver at all.  This is the
+    tier for fits past the collected tier's documented driver ceiling
+    (k × dim × 8 B per iteration, ~300 MB at SemDeDup's published
+    k=50k × d=768 operating point).
+
+    Plan hygiene: each iteration ends in an EAGER ``localCheckpoint`` of
+    the k-row centroid table — without it iteration i+1's lineage embeds
+    iteration i's full plan and the optimizer re-analyzes a doubling
+    tree (the documented alternative's "accept nested lineage or
+    checkpoint" trade, resolved in favor of checkpointing: the
+    checkpoint materializes k × dim on EXECUTORS, bounded and off the
+    driver).  The corpus is still scanned once per iteration + once for
+    the caller's final assignment, same as the collected tier.
+
+    Trade against the collected tier: centroids ride a broadcast of one
+    collect_list row instead of literal expressions, so the SQL-oracle
+    restatability of the COLLECTED fit (whose literals the registry CTEs
+    unroll) is unchanged — this tier is for scale, certified by parity
+    with the collected tier at oracle-checkable k.  Python driver RSS
+    measured FLAT across a k=10^4 fit where the collected tier's
+    round-trip grows with k (SCALE.md r13)."""
+    from pyspark.sql.window import Window
+
+    emb = _drop_degenerate_vectors(emb, vec_col)
+    seed = (
+        emb.select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x, round_dp),
+            ).alias("centroid"),
+        )
+        .orderBy(id_col)
+        .limit(k)
+    )
+    # k rows total, so the global row_number window is a single bounded
+    # partition — same 0..k-1-in-id-order labels as the collected tier
+    cents = seed.select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("c_label"),
+        "centroid",
+    ).localCheckpoint()
+    if cents.limit(1).count() == 0:
+        # empty/all-degenerate corpus: the collected tier's guard, same
+        # empty table out
+        return cents
+    for _ in range(n_iter):
+        assigned = classify_nearest_centroid(
+            emb,
+            cents,
+            vec_col=vec_col,
+            id_cols=(id_col, vec_col),
+            round_dp=round_dp,
+        )
+        cents = label_centroids(
+            assigned,
+            vec_col=vec_col,
+            label_col="predicted_label",
+            round_dp=round_dp,
+        ).select(
+            F.col("c_label").cast("int").alias("c_label"), "centroid"
+        ).localCheckpoint()
+    return cents
+
+
 def _drop_degenerate_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """The semantic family's shared precondition filter: NULL embeddings
     and all-zero embeddings are out (no direction → cannot cluster; and

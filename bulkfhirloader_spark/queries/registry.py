@@ -3594,6 +3594,57 @@ def stream_semantic_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("vec_id", "cluster_id").distinct()
 
 
+def stream_semantic_admit_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS stream-side tier of the semantic gate (r13, r12 verdict #2):
+    identical gate to stream_semantic_admit, but the stream side's
+    cluster assignment is one Arrow/dgemm mapInPandas pass instead of the
+    k x dim literal expression tree — the marginal-batch scale path at
+    large k (measured at k=5000 in SCALE.md r13).  The exact-cosine
+    verify is bit-identical to the fold tier (same doubles, same
+    JVM-side norm); only the argmax is numpy, so this row being
+    hash-green against the shared unrolled-Lloyd oracle certifies the
+    dgemm assignment agrees with the fold contract on real data."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_semantic_admission
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, "semantic_admit")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_sem_")
+        emb.where(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding"
+        ).repartition(3).write.mode("overwrite").parquet(_os.path.join(src, "in"))
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    existing = emb.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    cents = similarity.kmeans_centroids(emb, k=8, n_iter=2)
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_sem_blas_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_semantic_admission(
+            stream, existing, cents, threshold=0.4, assign_tier="blas"
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("vec_id", "cluster_id").distinct()
+
+
 _STREAM_SEMANTIC_SQL = _KMEANS_CTE + """
 , o AS (SELECT vec_id, v, cluster_id FROM f WHERE vec_id % 2 = 1),
 ev AS (SELECT vec_id, v, cluster_id FROM f WHERE vec_id % 2 = 0)
@@ -5040,6 +5091,92 @@ FROM s GROUP BY 1, 2
 """
 
 
+def mm_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP end-to-end multimodal pipeline (r13, r12 verdict #6 —
+    composed exactly the way cur_full_pipeline composes curation):
+    synthesize a media corpus WITH planted duplicates and corrupt blobs →
+    decode_image (real PPM parse, features = exact channel sums) →
+    corrupt-quarantine filter → image_exact_dedup by decoded fingerprint
+    (width, height, channels, channel_sums) → survivors, all certified by
+    ONE oracle hash computed straight from the generating formula (the
+    oracle never parses bytes).
+
+    Corpus: every doc_id % 20 == 0 seeds a PPM; every doc_id % 40 == 0
+    additionally yields a byte-identical duplicate under media_id
+    seed + 10^8 (so half the images arrive twice — survivors must keep
+    the SMALLER id with cluster_size 2); every doc_id % 20 == 10
+    contributes a CORRUPT payload ('corrupt-<id>' bytes, never parseable
+    as P6) that must quarantine silently — if a corrupt row leaked past
+    the NULL-width filter it would form a NULL-keyed group and break the
+    hash, and if the parser misread any duplicate even one pixel apart
+    the pair would split into two size-1 groups and break it too.
+
+    Scale: payload bytes cross the Python boundary once (the decode);
+    the dedup shuffles only ~40-byte fingerprint rows (never bodies),
+    partial-aggregated map-side — the same shuffle-hashes-not-bodies
+    shape as text dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.synthetic_ppm_media(ids)
+    dups = multimodal.synthetic_ppm_media(
+        docs.where(F.col("doc_id") % 40 == 0).select(
+            F.col("doc_id").alias("media_id")
+        )
+    ).withColumn("media_id", F.col("media_id") + F.lit(100000000))
+    corrupt = docs.where(F.col("doc_id") % 20 == 10).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("corrupt-"), F.col("doc_id").cast("string")), "utf-8"
+        ).alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.lit("synthetic").alias("source"),
+        ).alias("meta"),
+    )
+    full = media.unionByName(dups).unionByName(corrupt)
+    survivors = multimodal.image_exact_dedup(multimodal.decode_image(full))
+    return survivors.select(
+        "keep_id",
+        "cluster_size",
+        "width",
+        "height",
+        "channels",
+        F.array_join(
+            F.transform("channel_sums", lambda s: s.cast("string")), ","
+        ).alias("sums_csv"),
+    )
+
+
+_MM_FULL_SQL = """
+WITH seeds AS (
+    SELECT doc_id AS media_id, doc_id AS seed
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 100000000, doc_id
+    FROM documents WHERE doc_id % 40 = 0),
+ids AS (SELECT media_id, seed,
+               CAST(8 + seed % 5 AS INTEGER) AS width,
+               CAST(6 + seed % 7 AS INTEGER) AS height
+        FROM seeds),
+px AS (SELECT media_id, width, height, CAST(i % 3 AS INTEGER) AS c,
+              (seed * 7919 + ((i // 3) // width) * 131 +
+               ((i // 3) % width) * 17 + (i % 3) * 29) % 256 AS v
+       FROM ids, unnest(range(CAST(width * height * 3 AS BIGINT))) AS t(i)),
+s AS (SELECT media_id, width, height, c, CAST(sum(v) AS BIGINT) AS sv
+      FROM px GROUP BY 1, 2, 3, 4),
+fp AS (SELECT media_id, width, height,
+              array_to_string(list(CAST(sv AS VARCHAR) ORDER BY c), ',') AS sums_csv
+       FROM s GROUP BY 1, 2, 3)
+SELECT min(media_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       width, height, CAST(3 AS INTEGER) AS channels, sums_csv
+FROM fp GROUP BY width, height, sums_csv
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5992,6 +6129,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         stream_semantic_admit_stored,
         _STREAM_SEMANTIC_SQL,
     ),
+    "stream_semantic_admit_blas": (
+        stream_semantic_admit_blas,
+        _STREAM_SEMANTIC_SQL,
+    ),
     # r12: the bucketed banded-table gate tier (zero static-side Exchange
     # from layout); semantics defined identical, oracle shared
     "stream_near_dup_admit_bucketed": (
@@ -6129,6 +6270,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # the decoded stats from the fixture-generating formula, never parsing
     # bytes, so the hash certifies the parser end-to-end
     "mm_decode_image": (mm_decode_image, _MM_DECODE_SQL),
+    "mm_full_pipeline": (mm_full_pipeline, _MM_FULL_SQL),
     "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
     "mm_decode_wav": (mm_decode_wav, _MM_DECODE_WAV_SQL),
     "mm_wav_frame_energy": (mm_wav_frame_energy, _MM_WAV_ENERGY_SQL),

@@ -548,6 +548,78 @@ def _semantic_assigned(
     return base.withColumn("cluster_id", e["cluster_id"])
 
 
+def _semantic_assigned_blas(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+    sfx: str,
+) -> DataFrame:
+    """BLAS/Arrow twin of _semantic_assigned — the gate's STREAM side at
+    large k and the store writer's large-k tier
+    (r13, r12 verdict Next round #2): one dgemm per Arrow micro-batch
+    instead of a k × dim literal expression tree per row — the fold
+    tier's per-row assignment cost is what made large-k gates
+    marginal-batch-bound (at k=5000 the literal tree is ~80k expression
+    nodes per evaluation site; the py4j CONSTRUCTION alone is minutes,
+    see SCALE.md r13).  mapInPandas is stateless and streaming-legal.
+
+    Parity contract: only the ARGMAX comes from numpy — the emitted
+    vector is the same exact float64 the fold tier casts to, and the l2
+    norm is hoisted JVM-SIDE afterwards (same l2_norm fold), so the anti
+    join's exact-cosine verify is bit-identical to the fold tier's; the
+    assignment itself carries the kmeans_assign_blas caveat (numpy
+    half-even rounding vs the fold's HALF_UP — knife-edge measure-zero,
+    ties break to the smallest cluster id in both).  NULL ids and
+    degenerate vectors are dropped plan-side like the fold tier."""
+    import numpy as np
+    import pandas as pd
+
+    from bulkfhirloader_spark.operators.similarity import (
+        _blas_centroid_broadcast,
+        _drop_degenerate_vectors,
+        l2_norm,
+    )
+
+    bc = _blas_centroid_broadcast(df.sparkSession, cents)
+
+    def assign(batches):
+        cids, Cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            ok = xn > 0
+            if not ok.any():
+                continue
+            X, ids, xn = X[ok], pdf[id_col].to_numpy()[ok], xn[ok]
+            S = np.round((X / xn[:, None]) @ Cn.T, round_dp)
+            best = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    f"id{sfx}": ids.astype(np.int64),
+                    f"v{sfx}": list(X),
+                    "cluster_id": cids[best].astype(np.int32),
+                }
+            )
+
+    out = (
+        _drop_degenerate_vectors(
+            df.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            vec_col,
+        )
+        .where(F.col(id_col).isNotNull())
+        .mapInPandas(
+            assign, f"id{sfx} long, v{sfx} array<double>, cluster_id int"
+        )
+    )
+    return out.withColumn(f"n{sfx}", l2_norm(F.col(f"v{sfx}")))
+
+
 def _centroid_fingerprint(cents: list[tuple[int, list[float]]]) -> str:
     """Deterministic sha256 of a frozen centroid fit — the semantic
     store's geometry analog of the banded store's (num_hashes, bands)
@@ -586,6 +658,7 @@ def semantic_store_write(
     round_dp: int = 6,
     mode: str = "append",
     num_buckets: int | None = None,
+    assign_tier: str = "fold",
 ) -> None:
     """Persist the ASSIGNED static corpus the streaming semantic gate
     reads at 100 TB: ``(cluster_id, id, vec, norm)`` rows plus the frozen
@@ -621,11 +694,28 @@ def semantic_store_write(
     (mode="overwrite" with the new fit), then a gate restart — the same
     deployment loop as the banded store's snapshot semantics.
 
+    ``assign_tier="blas"`` (r13) assigns the corpus with the Arrow/dgemm
+    pass instead of the k × dim literal expression tree — REQUIRED in
+    practice at large k: the fold tree at k=5000 × dim=16 is ~80k py4j
+    expression nodes per evaluation site and the write DNF'd a 590 s
+    budget at a 500k corpus, where the blas write completes in ~70 s
+    (SCALE.md r13).  Same rounded-argmax contract, numpy half-even
+    rounding caveat as everywhere (kmeans_assign_blas); measured zero
+    assignment mismatches at 800k×k=800.  The tier is WRITE-time
+    provenance only — readers and the gate are tier-agnostic — and is
+    NOT part of the store geometry: appends may mix tiers, which is safe
+    exactly to the extent the tiers agree (the knife-edge caveat), the
+    same stance as mixing fold/blas batch assignments.
+
     Append id-uniqueness and single-writer serialization are the
     caller's contract; overwrite writes data first, meta last
     (commit-marker ordering via fsutil.store_meta_lifecycle) and is not
     crash-atomic for concurrent readers — replace a live store at a
     fresh path and swap the pointer."""
+    if assign_tier not in ("fold", "blas"):
+        raise ValueError(
+            f"assign_tier must be 'fold' or 'blas', got {assign_tier!r}"
+        )
     spark = emb.sparkSession
     meta_path = f"{path}/meta.parquet"
     cents_path = f"{path}/centroids.parquet"
@@ -672,7 +762,10 @@ def semantic_store_write(
     # the frozen fit rides the store: written on create/overwrite, never
     # on append (the validator just proved the fit is unchanged)
     write_cents = mode == "overwrite" or not fs_path_exists(spark, cents_path)
-    assigned = _semantic_assigned(emb, cents, id_col, vec_col, round_dp, "").select(
+    assign_fn = (
+        _semantic_assigned_blas if assign_tier == "blas" else _semantic_assigned
+    )
+    assigned = assign_fn(emb, cents, id_col, vec_col, round_dp, "").select(
         "cluster_id",
         F.col("id").cast("long").alias("id"),
         F.col("v").alias("vec"),
@@ -784,6 +877,7 @@ def stream_semantic_admission(
     vec_col: str = "embedding",
     round_dp: int = 6,
     semantic_store: str | None = None,
+    assign_tier: str = "fold",
 ) -> DataFrame:
     """Streaming twin of dedup.semantic_dedup_pairs' admission reading:
     admit arriving embeddings that have NO semantic near-dup
@@ -833,12 +927,31 @@ def stream_semantic_admission(
     store appends and re-fits screen only from the NEXT gate
     construction, never mid-stream (pytest-pinned).
 
+    ``assign_tier="blas"`` (r13) runs the STREAM side's assignment as an
+    Arrow/dgemm mapInPandas pass instead of the k × dim literal
+    expression tree — the marginal-batch floor at large k (the r12
+    verdict's named lever; measured at k=5000 in SCALE.md r13).  The
+    exact-cosine verify stays bit-identical (the vector and its JVM-side
+    norm are the same doubles); only the argmax carries the
+    kmeans_assign_blas half-even-rounding caveat — admissions
+    pytest-pinned identical to the fold tier, which remains the oracle
+    one.  The static side keeps the fold contract by default (stored
+    rows are fold-assigned at write unless the store was written with
+    assign_tier="blas" — the large-k necessity, see
+    semantic_store_write; the derived tier assigns fold) so static
+    assignments match the batch operator exactly wherever fold is
+    feasible.
+
     ONE LIVE SEMANTIC GATE PER SESSION: same deliberate cache-ledger
     memory bound as stream_near_dup_admission (separate ledger — a
     semantic gate does not evict a minhash gate).
     """
     from bulkfhirloader_spark.operators.similarity import cosine_with_norms
 
+    if assign_tier not in ("fold", "blas"):
+        raise ValueError(
+            f"assign_tier must be 'fold' or 'blas', got {assign_tier!r}"
+        )
     bucketed_static = False
     if semantic_store is not None:
         if existing is not None or centroids is not None:
@@ -869,9 +982,10 @@ def stream_semantic_admission(
         static_side = _semantic_assigned(
             existing, cents, id_col, vec_col, round_dp, "_e"
         )
-    stream_side = _semantic_assigned(
-        stream_emb, cents, id_col, vec_col, round_dp, "_s"
+    assign_fn = (
+        _semantic_assigned_blas if assign_tier == "blas" else _semantic_assigned
     )
+    stream_side = assign_fn(stream_emb, cents, id_col, vec_col, round_dp, "_s")
     while _live_static_sem_caches:
         _live_static_sem_caches.pop().unpersist()
     if bucketed_static:

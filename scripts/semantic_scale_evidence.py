@@ -181,7 +181,19 @@ def gate_sweep() -> None:
     test: batch 0 pays the static side's one-time assignment + cache
     fill; later batches join from cached, already-partitioned blocks and
     pay only the (tiny) stream side.  Usage:
-    ``python scripts/semantic_scale_evidence.py gate``."""
+    ``python scripts/semantic_scale_evidence.py gate``.
+
+    r13 knobs (the r12 verdict's two named levers, measured):
+    - ``GATE_STORE=1``  — static side from a pre-written BUCKETED
+      semantic store (semantic_store_write) instead of the per-session
+      assign+cache: batch 0 should collapse to ~a scan.  The store-write
+      cost is reported separately (it amortizes over every restart).
+    - ``GATE_K=5000``   — override k (default n/1000): the fold stream
+      side's literal tree is k x dim expression nodes per row, the
+      blas tier is one dgemm per batch.
+    - ``GATE_TIER=blas`` — stream-side assignment tier.
+    - ``GATE_TIMEOUT_S`` — abort the drain after this budget and report
+      what completed (the fold-at-large-k DNF case)."""
     import shutil
     import tempfile
 
@@ -189,11 +201,17 @@ def gate_sweep() -> None:
 
     from bulkfhirloader_spark.operators import similarity
     from bulkfhirloader_spark.session import get_spark
-    from bulkfhirloader_spark.streaming.joins import stream_semantic_admission
+    from bulkfhirloader_spark.streaming.joins import (
+        semantic_store_write,
+        stream_semantic_admission,
+    )
 
     spark = get_spark(app_name="semantic-gate-scale", shuffle_partitions=32)
     n = int(os.environ.get("GATE_STATIC_N", 500_000))
-    k = n // PER_CLUSTER
+    k = int(os.environ.get("GATE_K", n // PER_CLUSTER))
+    tier = os.environ.get("GATE_TIER", "fold")
+    use_store = os.environ.get("GATE_STORE") == "1"
+    timeout_s = float(os.environ.get("GATE_TIMEOUT_S", "0")) or None
     path = generate(n)
     static = spark.read.parquet(path).repartition(64)
     t0 = time.monotonic()
@@ -208,6 +226,15 @@ def gate_sweep() -> None:
     # ids offset past the corpus
     src = tempfile.mkdtemp(prefix="semgate_")
     try:
+        store_write_s = None
+        store_tier = os.environ.get("GATE_STORE_TIER", "fold")
+        if use_store:
+            t0 = time.monotonic()
+            semantic_store_write(
+                static, f"{src}/semstore", cents, num_buckets=32,
+                assign_tier=store_tier,
+            )
+            store_write_s = time.monotonic() - t0
         base = spark.read.parquet(path).limit(6_000).select(
             (F.col("vec_id") + n).alias("vec_id"), "embedding"
         )
@@ -222,16 +249,32 @@ def gate_sweep() -> None:
             .parquet(f"{src}/in/*")
         )
         t0 = time.monotonic()
+        gate_t0 = time.monotonic()
+        if use_store:
+            gated = stream_semantic_admission(
+                stream, threshold=0.99, semantic_store=f"{src}/semstore",
+                assign_tier=tier,
+            )
+        else:
+            gated = stream_semantic_admission(
+                stream, static, cents, threshold=0.99, assign_tier=tier
+            )
+        gate_build_s = time.monotonic() - gate_t0
         q = (
-            stream_semantic_admission(stream, static, cents, threshold=0.99)
-            .writeStream.format("memory")
+            gated.writeStream.format("memory")
             .queryName("semgate_scale")
             .outputMode("append")
             .option("checkpointLocation", f"{src}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        timed_out = False
+        if timeout_s is not None:
+            timed_out = not q.awaitTermination(timeout_s)
+            if timed_out:
+                q.stop()
+        else:
+            q.awaitTermination()
         drain_s = time.monotonic() - t0
         batches = [
             {
@@ -248,8 +291,16 @@ def gate_sweep() -> None:
                 {
                     "gate_static_n": n,
                     "k": k,
+                    "tier": tier,
+                    "stored_static": use_store,
+                    "store_tier": store_tier if use_store else None,
                     "fit_blas_s": round(fit_s, 1),
+                    "store_write_s": (
+                        round(store_write_s, 1) if store_write_s else None
+                    ),
+                    "gate_build_s": round(gate_build_s, 1),
                     "drain_s": round(drain_s, 1),
+                    "timed_out": timed_out,
                     "batches": batches,
                     "admitted": admitted,
                 }
@@ -259,8 +310,76 @@ def gate_sweep() -> None:
         shutil.rmtree(src, ignore_errors=True)
 
 
+def _driver_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for ln in f:
+            if ln.startswith("VmRSS:"):
+                return round(int(ln.split()[1]) / 1024.0, 1)
+    return -1.0
+
+
+def chained_sweep() -> None:
+    """r13 (r12 verdict #3): the collect-free chained Lloyd tier at
+    k = 10^4 — past the collected tier's per-iteration k x dim x 8 B
+    driver round-trip — with the PYTHON DRIVER's RSS sampled around the
+    fit.  The chained tier's centroid bytes on the driver are
+    structurally ZERO (no collect anywhere on the centroid path — they
+    live as a localCheckpoint on executors); the RSS samples make that
+    visible, and the collected tier runs the same shape for contrast
+    (its per-iteration round-trip is k x dim x 8 = reported).  Usage:
+    ``python scripts/semantic_scale_evidence.py chained``; knobs
+    CHAINED_N (default 50_000), CHAINED_K (default 10_000)."""
+    from bulkfhirloader_spark.operators import similarity
+    from bulkfhirloader_spark.session import get_spark
+
+    spark = get_spark(app_name="semantic-chained-scale", shuffle_partitions=32)
+    n = int(os.environ.get("CHAINED_N", 50_000))
+    k = int(os.environ.get("CHAINED_K", 10_000))
+    path = generate(n)
+    emb = spark.read.parquet(path).repartition(64).persist()
+    emb.count()
+    rss0 = _driver_rss_mb()
+    t0 = time.monotonic()
+    chained = similarity.kmeans_centroids_chained(emb, k=k, n_iter=2)
+    n_cents = chained.count()
+    chained_s = time.monotonic() - t0
+    rss1 = _driver_rss_mb()
+    t0 = time.monotonic()
+    collected = similarity.kmeans_centroids(emb, k=k, n_iter=2)
+    n_cents_c = collected.count()
+    collected_s = time.monotonic() - t0
+    rss2 = _driver_rss_mb()
+    # parity at full k too (not just the pytest's small k): identical fits
+    mism = (
+        chained.exceptAll(collected).count()
+        + collected.exceptAll(chained).count()
+    )
+    print(
+        json.dumps(
+            {
+                "n": n,
+                "k": k,
+                "dim": DIM,
+                "chained_fit_s": round(chained_s, 1),
+                "collected_fit_s": round(collected_s, 1),
+                "fit_mismatches": mism,
+                "clusters_chained": n_cents,
+                "clusters_collected": n_cents_c,
+                "driver_rss_mb": {
+                    "before": rss0,
+                    "after_chained": rss1,
+                    "after_collected": rss2,
+                },
+                "collected_roundtrip_bytes_per_iter": k * DIM * 8,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "gate":
         gate_sweep()
+    elif len(sys.argv) > 1 and sys.argv[1] == "chained":
+        chained_sweep()
     else:
         main()

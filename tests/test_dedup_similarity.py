@@ -1846,3 +1846,42 @@ def test_kmeans_empty_corpus_both_tiers(spark):
     blas = sim.kmeans_centroids(emb, k=2, n_iter=2, assign_tier="blas")
     assert fold.count() == 0 and blas.count() == 0
     assert fold.schema == blas.schema
+
+
+def test_kmeans_chained_matches_collected(two_lobes, spark):
+    """r13 (r12 verdict #3): the collect-free chained Lloyd tier must
+    produce the IDENTICAL fit as the collected tier — same init, same
+    rounded-argmax assignment, same rounded update, same dropped-cluster
+    behavior — it only changes WHERE the centroids live between
+    iterations (executors, not the driver)."""
+    from bulkfhirloader_spark.operators import similarity as sim
+
+    collected = sorted(
+        (r["c_label"], list(r["centroid"]))
+        for r in sim.kmeans_centroids(two_lobes, k=2, n_iter=2).collect()
+    )
+    chained = sorted(
+        (r["c_label"], list(r["centroid"]))
+        for r in sim.kmeans_centroids_chained(two_lobes, k=2, n_iter=2).collect()
+    )
+    assert collected == chained
+
+    # empty-cluster drop parity (the k=3 duplicate-seed fixture)
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0]),
+            (4, [1.0, 0.0]), (5, [0.0, 1.0]), (6, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        (r["c_label"], list(r["centroid"]))
+        for r in sim.kmeans_centroids(emb, k=3, n_iter=2).collect()
+    )
+    b = sorted(
+        (r["c_label"], list(r["centroid"]))
+        for r in sim.kmeans_centroids_chained(emb, k=3, n_iter=2).collect()
+    )
+    assert a == b and len(b) == 2
+
+    # empty-corpus parity with the r12-advice guard
+    degen = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    assert sim.kmeans_centroids_chained(degen, k=2, n_iter=2).count() == 0

@@ -901,3 +901,52 @@ def test_stream_semantic_admission_from_bucketed_store(spark, tmp_path):
     assert rows.count() == 3
     assert _sem_stream_run(spark, tmp_path, "sem_bucketed_t2",
                            semantic_store=store) == [15]
+
+
+def test_stream_semantic_admission_blas_tier_matches_fold(spark, tmp_path):
+    """r13 (r12 verdict #2): the gate's Arrow/dgemm stream-side assignment
+    must admit exactly what the fold tier admits (the kmeans fold-vs-blas
+    parity stance, pinned on separated data) — here over the STORED
+    static tier, the deployment pairing."""
+    from bulkfhirloader_spark.streaming.joins import semantic_store_write
+
+    cents, existing = _sem_fixture(spark)
+    store = str(tmp_path / "semstore")
+    semantic_store_write(existing, store, cents, num_buckets=4)
+    fold = _sem_stream_run(
+        spark, tmp_path, "sem_fold_t", semantic_store=store
+    )
+    blas = _sem_stream_run(
+        spark, tmp_path, "sem_blas_t", semantic_store=store, assign_tier="blas"
+    )
+    assert fold == blas == [13, 15]
+    # derived-static pairing too (stream side is the only tiered side)
+    blas2 = _sem_stream_run(
+        spark, tmp_path, "sem_blas2_t",
+        existing=existing, centroids=cents, assign_tier="blas",
+    )
+    assert blas2 == [13, 15]
+
+
+def test_semantic_store_blas_write_matches_fold(spark, tmp_path):
+    """r13: a store written with assign_tier='blas' must hold row-for-row
+    identical (cluster_id, id, vec, norm) to the fold-written store on
+    separated data — the vector and norm are bit-identical by
+    construction (same cast, same JVM-side l2_norm fold); only the argmax
+    is numpy's, pinned here like every fold-vs-blas pair."""
+    from bulkfhirloader_spark.streaming.joins import (
+        semantic_store_read,
+        semantic_store_write,
+    )
+
+    cents, existing = _sem_fixture(spark)
+    semantic_store_write(existing, str(tmp_path / "fold"), cents)
+    semantic_store_write(
+        existing, str(tmp_path / "blas"), cents, assign_tier="blas"
+    )
+    fold_rows, _, _ = semantic_store_read(spark, str(tmp_path / "fold"))
+    blas_rows, _, _ = semantic_store_read(spark, str(tmp_path / "blas"))
+    key = lambda r: (r["cluster_id"], r["id"], list(r["vec"]), r["norm"])
+    assert sorted(map(key, fold_rows.collect())) == sorted(
+        map(key, blas_rows.collect())
+    )
