@@ -150,29 +150,34 @@ def normalize_text(text: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
 
 
-def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Document fingerprints: md5 of the normalized text (oracle-checkable)
-    plus a 31-bit polynomial rolling hash over the normalized character
-    stream for cheap streaming-style identity.
-
-    The rolling hash folds CHARACTER CODEPOINTS (not engine-specific token
-    hashes), so it is engine-portable: DuckDB restates it exactly with
-    list_reduce over unicode(c), making this column oracle-checkable rather
-    than rows-only.  Arithmetic stays strictly inside int64 under ANSI mode
-    (Spark 4's default): acc < 2^31-1, multiplier ~2^20, codepoint < 2^21 →
-    acc*m + c < 2^52 before the mod.
-    """
-    norm = normalize_text(F.col(text_col))
+def rolling_hash_expr(s: Column) -> Column:
+    """31-bit polynomial rolling hash over a string's characters — the
+    repo's ENGINE-PORTABLE hash: it folds CHARACTER CODEPOINTS (not
+    engine-specific token hashes like xxhash64), so DuckDB restates it
+    exactly with list_reduce over unicode(c) and every column built on it
+    stays value-hash oracle-checkable.  Arithmetic stays strictly inside
+    int64 under ANSI mode (Spark 4's default): acc < 2^31-1, multiplier
+    ~2^20, codepoint < 2^21 → acc*m + c < 2^52 before the mod.  Shared by
+    ``fingerprint`` (whole-document identity) and ``winnow_fingerprints``
+    (per-k-gram hashes)."""
     p = F.lit(2147483647)  # 2^31 - 1 (Mersenne prime)
-    rolling = F.aggregate(
-        F.regexp_extract_all(norm, F.lit("."), 0),
+    return F.aggregate(
+        F.regexp_extract_all(s, F.lit("."), 0),
         F.lit(18652614).cast("long"),  # FNV-1a 32-bit basis mod p
         lambda acc, c: F.pmod(acc * F.lit(1000003) + F.ascii(c), p),
     )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (oracle-checkable)
+    plus the 31-bit polynomial rolling hash (rolling_hash_expr) over the
+    normalized character stream for cheap streaming-style identity.
+    """
+    norm = normalize_text(F.col(text_col))
     return docs.select(
         F.col(id_col),
         F.md5(norm).alias("fp_md5"),
-        rolling.alias("fp_rolling"),
+        rolling_hash_expr(norm).alias("fp_rolling"),
     )
 
 
@@ -652,4 +657,122 @@ def vocab_coverage(
             / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
             6,
         ).alias("oov_rate"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the public algorithm behind code-plagiarism detection and
+    exact-substring corpus dedup): hash every word ``k``-gram, slide a
+    ``window`` of consecutive hashes over each document, and keep each
+    window's MINIMUM hash (rightmost position on ties — the paper's
+    rule, which maximizes fingerprint sharing between overlapping
+    documents).  Returns distinct ``(id_col, fp_hash, pos)`` rows, pos =
+    1-based k-gram position of the selected hash.
+
+    GUARANTEE (the reason to winnow instead of sampling): any shared
+    token run of length >= window + k - 1 between two documents shares
+    at least one selected fingerprint — detection is deterministic, not
+    probabilistic like MinHash — while storage is ~1/window of the full
+    k-gram posting set.  Documents with fewer than ``window`` k-grams
+    degrade to their single global minimum (the short-doc clamp);
+    documents with fewer than ``k`` tokens yield no fingerprints
+    (ngram_array's contract).
+
+    Scale shape: one projection computes grams + the ENGINE-PORTABLE
+    31-bit polynomial hash (rolling_hash_expr — the reason this whole
+    operator is value-hash oracle-checkable where an xxhash64 version
+    would be rows-only), then ONE per-document Exchange+Sort serves the
+    sliding-window min, the row_number, and the per-doc count together
+    (shared window spec).  Output is ~n_grams/window rows per doc;
+    nothing quadratic, no Python.
+    """
+    from pyspark.sql.window import Window as W
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(ngram_array(tokens(F.col(text_col)), k)).alias(
+            "_p0", "_gram"
+        ),
+    )
+    pos = grams.select(
+        F.col(id_col),
+        (F.col("_p0") + 1).cast("int").alias("pos"),
+        rolling_hash_expr(F.col("_gram")).alias("_h"),
+    )
+    frame = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    )
+    ordered = W.partitionBy(id_col).orderBy("pos")
+    whole = W.partitionBy(id_col)
+    sel = pos.select(
+        F.col(id_col),
+        # min(struct(h, -pos)): smallest hash, then LARGEST position —
+        # the paper's rightmost-min tie rule
+        F.min(F.struct(F.col("_h").alias("h"), (-F.col("pos")).alias("np")))
+        .over(frame)
+        .alias("_m"),
+        F.row_number().over(ordered).alias("_rn"),
+        F.count(F.lit(1)).over(whole).alias("_n"),
+    )
+    # full windows only (start <= n - window + 1); short docs clamp the
+    # effective window to n so their one truncated window still selects
+    full = sel.where(
+        F.col("_rn") <= F.col("_n") - F.least(F.lit(window), F.col("_n")) + 1
+    )
+    return full.select(
+        F.col(id_col),
+        F.col("_m.h").alias("fp_hash"),
+        (-F.col("_m.np")).cast("int").alias("pos"),
+    ).distinct()
+
+
+def winnow_candidates(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate overlap pairs from winnowing fingerprints: documents
+    sharing >= ``min_shared`` DISTINCT selected fingerprints, as
+    ``(id_a, id_b, n_shared)`` with id_a < id_b — the propose stage of
+    substring-level dedup (compose with exact verification downstream,
+    the LSH-proposes/exact-verifies pattern every near-dup family here
+    uses).
+
+    ``max_fp_df`` drops fingerprints selected in more than that many
+    documents BEFORE the self-join — the same boilerplate-shingle skew
+    cap as the exact n-gram tier (dedup.ngram_jaccard_pairs): a
+    corpus-wide header k-gram would otherwise propose O(n²) pairs on its
+    own.  Dropped fingerprints only LOWER n_shared — the detection
+    guarantee degrades exactly where text is corpus-boilerplate, which
+    is the intended behavior of a dedup candidate stage."""
+    fps = winnow_fingerprints(
+        docs, k=k, window=window, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col).alias("_id"), "fp_hash").distinct()
+    rare = (
+        fps.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_fp_df)
+        .select("fp_hash")
+    )
+    pruned = fps.join(rare, "fp_hash")
+    a = pruned.select(F.col("_id").alias("id_a"), "fp_hash")
+    b = pruned.select(F.col("_id").alias("id_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )

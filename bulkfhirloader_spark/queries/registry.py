@@ -2478,6 +2478,76 @@ FROM n
 """
 
 
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (text.winnow_fingerprints, r13):
+    per-window minimum of engine-portable 31-bit k-gram hashes, rightmost
+    tie — deterministic detection of any shared token run of length >=
+    window + k - 1 at ~1/window the posting volume.  The oracle restates
+    the WHOLE pipeline (gram build, character-fold hash, full-window
+    enumeration, min-with-rightmost-tie selection) relationally — a
+    window-min disagreement, an off-by-one in the full-window bound, or a
+    tie broken leftward all break the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs, k=3, window=4)
+
+
+_WINNOW_CTE = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(len(t) - 2),
+                                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM toks),
+p AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+             list_reduce(
+                 list_prepend(CAST(18652614 AS BIGINT),
+                              list_transform(regexp_extract_all(u.gram, '.'),
+                                             c -> CAST(unicode(c) AS BIGINT))),
+                 (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+      FROM g, LATERAL (SELECT unnest(grams) AS gram,
+                              generate_subscripts(grams, 1) AS i) u),
+n AS (SELECT doc_id, count(*) AS n FROM p GROUP BY 1),
+starts AS (SELECT p.doc_id, p.pos AS i FROM p JOIN n USING (doc_id)
+           WHERE p.pos <= n.n - least(4, n.n) + 1),
+wmin AS (SELECT s.doc_id, s.i, min(q.h) AS mh
+         FROM starts s JOIN p q
+           ON q.doc_id = s.doc_id AND q.pos BETWEEN s.i AND s.i + 3
+         GROUP BY 1, 2),
+sel AS (SELECT w.doc_id, w.mh AS fp_hash, max(q.pos) AS pos
+        FROM wmin w JOIN p q
+          ON q.doc_id = w.doc_id AND q.pos BETWEEN w.i AND w.i + 3
+             AND q.h = w.mh
+        GROUP BY w.doc_id, w.mh, w.i)
+"""
+
+_TEXT_WINNOW_SQL = _WINNOW_CTE + """
+SELECT DISTINCT doc_id, fp_hash, CAST(pos AS INTEGER) AS pos FROM sel
+"""
+
+
+def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate pairs (text.winnow_candidates, r13): documents
+    sharing >= 2 distinct selected fingerprints after the max-df skew cap
+    — the propose stage of exact-substring dedup, composed on the
+    fingerprint operator the way every near-dup family here composes
+    (propose cheap, verify exact downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_candidates(docs, k=3, window=4, min_shared=2, max_fp_df=10)
+
+
+_DEDUP_WINNOW_SQL = _WINNOW_CTE + """
+, fpd AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+rare AS (SELECT fp_hash FROM fpd GROUP BY 1 HAVING count(*) <= 10),
+pr AS (SELECT doc_id, fp_hash FROM fpd
+       WHERE fp_hash IN (SELECT fp_hash FROM rare))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM pr a JOIN pr b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -6209,6 +6279,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_language_id": (text_language_id, _TEXT_LANGID_SQL),
     "text_fingerprint_md5": (text_fingerprint_md5, _TEXT_FP_SQL),
     "text_fingerprint_rolling": (text_fingerprint_rolling, _TEXT_FP_ROLLING_SQL),
+    "text_winnow_fingerprints": (text_winnow_fingerprints, _TEXT_WINNOW_SQL),
+    "dedup_winnow_candidates": (dedup_winnow_candidates, _DEDUP_WINNOW_SQL),
     "text_token_count_bpe": (text_token_count_bpe, _TEXT_BPE_SQL),
     "text_repetition_stats": (text_repetition_stats, _TEXT_REPETITION_SQL),
     "text_vocab_pair_counts": (text_vocab_pair_counts, _TEXT_VOCAB_PAIRS_SQL),

@@ -357,3 +357,39 @@ def test_vocab_coverage_oov_semantics(spark):
     assert out[1]["n_oov"] == 0 and out[1]["oov_rate"] == 0.0
     assert out[2]["n_oov"] == 2 and abs(out[2]["oov_rate"] - 0.5) < 1e-9
     assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] is None
+
+
+def test_winnow_guarantee_and_short_doc_clamp(spark):
+    """Winnowing contract (Schleimer et al. 2003): any shared token run of
+    length >= window + k - 1 (= 6 at k=3, w=4) shares at least one
+    selected fingerprint; rightmost-min tie rule; short docs (< window
+    k-grams) clamp to their single global minimum; docs with < k tokens
+    yield nothing."""
+    from bulkfhirloader_spark.operators import text as t
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens >= 6
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " near the river bank today"),
+            (2, "completely different preamble words here then " + shared),
+            (3, "alpha beta gamma delta"),   # 2 grams < window -> clamp
+            (4, "just two"),                 # < k tokens -> nothing
+        ],
+        "doc_id long, text string",
+    )
+    fps = t.winnow_fingerprints(docs, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    # the guarantee: 1 and 2 share >= 1 fingerprint
+    assert by_doc[1] & by_doc[2]
+    # short-doc clamp: doc 3 has exactly its global minimum selected
+    assert len(by_doc[3]) == 1
+    # sub-k doc yields nothing
+    assert 4 not in by_doc
+    # selection is ~1/window of the gram stream, never the whole stream
+    n_grams_1 = len(docs.where("doc_id = 1").collect()[0]["text"].split()) - 2
+    assert len(by_doc[1]) < n_grams_1
+    # candidates surface the (1, 2) pair
+    cands = t.winnow_candidates(docs, min_shared=1)
+    assert {(r["id_a"], r["id_b"]) for r in cands.collect()} == {(1, 2)}
