@@ -230,7 +230,9 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def synthetic_ppm_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def synthetic_ppm_media(
+    ids: DataFrame, id_col: str = "media_id", perturb_origin: bool = False
+) -> DataFrame:
     """Deterministic PPM (P6) fixture images as MEDIA_SCHEMA rows — the
     image-shaped testdata generator (no image libs in the container, and
     the driver's parquet tables carry no blobs, so fixtures are
@@ -242,7 +244,13 @@ def synthetic_ppm_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     generate -> encode_ppm -> parse_ppm -> aggregate, the oracle computes
     the same stats straight from the formula; any parser drift breaks the
     hash.  Generation itself is Arrow-batched Python (fixture-making, not
-    a hot operator)."""
+    a hot operator).
+
+    ``perturb_origin=True`` (r13, the near-dup fixture knob) adds 128
+    (mod 256) to channel 0 of the ORIGIN pixel (x=0, y=0) only — a
+    deterministic single-pixel edit that leaves the image a perceptual
+    near-duplicate of its unperturbed twin, restatable in SQL as the same
+    formula + the one conditional term."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,7 +259,10 @@ def synthetic_ppm_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 m = int(mid)
                 w, h = 8 + m % 5, 6 + m % 7
                 rgb = bytes(
-                    (m * 7919 + y * 131 + x * 17 + c * 29) % 256
+                    (
+                        m * 7919 + y * 131 + x * 17 + c * 29
+                        + (128 if perturb_origin and x == 0 and y == 0 and c == 0 else 0)
+                    ) % 256
                     for y in range(h)
                     for x in range(w)
                     for c in range(3)
@@ -642,4 +653,135 @@ def image_exact_dedup(decoded: DataFrame) -> DataFrame:
     return valid.groupBy("width", "height", "channels", "channel_sums").agg(
         F.min("media_id").alias("keep_id"),
         F.count(F.lit(1)).alias("cluster_size"),
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        # the 64-bit perceptual hash as two UNSIGNED 32-bit halves: bit 63
+        # would make a single BIGINT sign-ambiguous across engines, and
+        # split halves keep every value in [0, 2^32) on both
+        T.StructField("hash_hi", T.LongType()),
+        T.StructField("hash_lo", T.LongType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, thumb: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprints for PPM
+    payloads — the standard public baseline for image near-dup detection
+    (8x8 nearest-neighbor downsample -> integer grayscale -> bit per cell
+    = gray > mean): visually-identical re-renders land within a few bits,
+    so Hamming distance over the 64-bit hash is the dedup metric.
+
+    Every step is INTEGER arithmetic so the whole hash is SQL-restatable
+    from the fixture formula (registry conventions): cell (tx, ty)
+    samples source pixel (tx*W // thumb, ty*H // thumb) — exactly
+    resize_ppm_thumbnails' floor mapping — gray = (r + g + b) // 3, mean
+    = sum(gray) // thumb², bit index = ty*thumb + tx (row-major), STRICT
+    ``gray > mean``.  Emitted as two unsigned 32-bit halves (bits 32-63 /
+    0-31) so no engine ever faces a sign-bit BIGINT.  Corrupt payloads
+    yield NULL halves (the quarantine stance).  One Arrow pass; bytes
+    never leave the executor; downstream banding/joins are pure JVM."""
+    n_cells = thumb * thumb
+    if n_cells != 64:
+        raise ValueError("image_ahash packs exactly 64 bits: thumb must be 8")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "hash_hi": [], "hash_lo": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_ppm(bytes(payload or b""))
+                out["media_id"].append(mid)
+                if parsed is None:
+                    out["hash_hi"].append(None)
+                    out["hash_lo"].append(None)
+                    continue
+                w, h, rgb = parsed
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                sy = np.arange(thumb, dtype=np.int64) * h // thumb
+                sx = np.arange(thumb, dtype=np.int64) * w // thumb
+                cells = a[sy][:, sx].astype(np.int64)
+                gray = cells.sum(axis=2) // 3
+                mean = int(gray.sum()) // n_cells
+                bits = (gray > mean).ravel()  # row-major: index = ty*8 + tx
+                lo = sum(1 << i for i in range(32) if bits[i])
+                hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            frame = pd.DataFrame(out)
+            frame["hash_hi"] = frame["hash_hi"].astype("Int64")
+            frame["hash_lo"] = frame["hash_lo"].astype("Int64")
+            yield frame
+
+    return media.select("media_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Perceptual image near-dup pairs over aHash fingerprints:
+    ``(id_a, id_b, hamming)`` for every pair within ``max_hamming`` bits —
+    via the BANDED Hamming join, never all-pairs: the 64-bit hash splits
+    into ``bands`` equal slices, and by pigeonhole any pair with
+    hamming <= bands - 1 agrees EXACTLY on at least one slice, so an
+    equi-join on (band_idx, band_value) proposes a superset of the true
+    pairs and the exact popcount verifies inside the join — the MinHash
+    propose/verify shape with a DETERMINISTIC recall guarantee instead of
+    a probabilistic one (enforced: max_hamming <= bands - 1 or this
+    raises, because recall past the pigeonhole bound would silently
+    drop pairs).
+
+    Scale shape: banding is a pure projection (shift/mask, JVM-side);
+    the equi-join shuffles (band_idx, band_value) keys — hash-uniform by
+    construction, no skew cap needed since identical images collide on
+    ALL bands but identical hashes are exactly the duplicates being
+    hunted; popcount verification is ``bit_count(xor)``, whole-stage
+    codegen.  NULL hashes (corrupt payloads upstream) are dropped."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded Hamming recall is only exact for max_hamming <= "
+            f"bands - 1 (pigeonhole); got max_hamming={max_hamming}, "
+            f"bands={bands} — raise bands or lower the threshold"
+        )
+    if bands != 4:
+        raise ValueError("64-bit aHash bands: only the 4 x 16-bit split is wired")
+    h = hashes.where(
+        F.col("hash_hi").isNotNull() & F.col("hash_lo").isNotNull()
+    ).select("media_id", "hash_hi", "hash_lo")
+    mask = F.lit(0xFFFF)
+    band_arr = F.array(
+        F.col("hash_lo").bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("hash_lo"), 16).bitwiseAND(mask),
+        F.col("hash_hi").bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("hash_hi"), 16).bitwiseAND(mask),
+    )
+    banded = h.select(
+        "media_id", "hash_hi", "hash_lo",
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("hash_hi").alias("_hi_a"),
+        F.col("hash_lo").alias("_lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("hash_hi").alias("_hi_b"),
+        F.col("hash_lo").alias("_lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.bit_count(
+        F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))
+    ) + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -5161,6 +5161,101 @@ FROM s GROUP BY 1, 2
 """
 
 
+def _ahash_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash fixture corpus: every doc_id % 20 == 0 seeds a PPM; every
+    doc_id % 40 == 0 additionally yields a PERTURBED near-duplicate under
+    media_id seed + 10^8 (origin pixel's channel 0 shifted by +128 mod
+    256 — a single-pixel edit, so the pair's perceptual hashes differ by
+    only the origin cell's bit plus whatever borderline cells the ±1 mean
+    shift flips; measured 0-3 bits on the fixture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = multimodal.synthetic_ppm_media(
+        docs.where(F.col("doc_id") % 20 == 0).select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
+    pert = multimodal.synthetic_ppm_media(
+        docs.where(F.col("doc_id") % 40 == 0).select(
+            F.col("doc_id").alias("media_id")
+        ),
+        perturb_origin=True,
+    ).withColumn("media_id", F.col("media_id") + F.lit(100000000))
+    return base.unionByName(pert)
+
+
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes (multimodal.image_ahash, r13): 8x8
+    nearest-neighbor downsample -> integer grayscale -> bit per cell
+    (gray > mean), emitted as two unsigned 32-bit halves.  The oracle
+    re-derives every bit from the generating formula — downsample floor
+    mapping, (r+g+b)//3 gray, floor mean, strict comparison, row-major
+    bit packing — without parsing a byte; one flipped bit anywhere
+    breaks the hash."""
+    return multimodal.image_ahash(_ahash_fixture_media(spark, sf_dir))
+
+
+_AHASH_CTE = """
+WITH seeds AS (
+    SELECT doc_id AS media_id, doc_id AS seed, 0 AS pert
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 100000000, doc_id, 1
+    FROM documents WHERE doc_id % 40 = 0),
+dims AS (SELECT media_id, seed, pert,
+                8 + seed % 5 AS w, 6 + seed % 7 AS h
+         FROM seeds),
+cells AS (SELECT media_id, seed, pert, CAST(t.i AS INTEGER) AS cell,
+                 ((CAST(t.i AS INTEGER) % 8) * w) // 8 AS sx,
+                 ((CAST(t.i AS INTEGER) // 8) * h) // 8 AS sy
+          FROM dims, unnest(range(64)) AS t(i)),
+gray AS (SELECT media_id, cell,
+                (  ((seed*7919 + sy*131 + sx*17
+                     + CASE WHEN pert = 1 AND sx = 0 AND sy = 0
+                            THEN 128 ELSE 0 END) % 256)
+                 + ((seed*7919 + sy*131 + sx*17 + 29) % 256)
+                 + ((seed*7919 + sy*131 + sx*17 + 58) % 256)) // 3 AS g
+         FROM cells),
+m AS (SELECT media_id, sum(g) // 64 AS mean FROM gray GROUP BY 1),
+bits AS (SELECT g.media_id, g.cell
+         FROM gray g JOIN m ON g.media_id = m.media_id
+         WHERE g.g > m.mean),
+hashes AS (SELECT d.media_id,
+       CAST(coalesce(sum(CASE WHEN b.cell >= 32
+                               THEN CAST(1 AS BIGINT) << (b.cell - 32) END), 0)
+            AS BIGINT) AS hash_hi,
+       CAST(coalesce(sum(CASE WHEN b.cell < 32
+                               THEN CAST(1 AS BIGINT) << b.cell END), 0)
+            AS BIGINT) AS hash_lo
+FROM dims d LEFT JOIN bits b ON d.media_id = b.media_id
+GROUP BY 1)
+"""
+
+_MM_AHASH_SQL = _AHASH_CTE + """
+SELECT media_id, hash_hi, hash_lo FROM hashes
+"""
+
+
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (multimodal.image_near_dup_pairs,
+    r13): banded Hamming join over the aHash fixtures — 4 x 16-bit bands
+    propose (pigeonhole: any pair within 3 bits agrees on >= 1 band),
+    exact popcount verifies in-join.  The oracle computes the FULL
+    quadratic pair scan from the formula-derived hashes, so a hash match
+    certifies the pigeonhole banding loses nothing against brute force."""
+    hashes = multimodal.image_ahash(_ahash_fixture_media(spark, sf_dir))
+    return multimodal.image_near_dup_pairs(hashes, max_hamming=3)
+
+
+_MM_NEAR_DUP_SQL = _AHASH_CTE + """
+SELECT id_a, id_b, hamming FROM (
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id)
+WHERE hamming <= 3
+"""
+
+
 def mm_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP end-to-end multimodal pipeline (r13, r12 verdict #6 —
     composed exactly the way cur_full_pipeline composes curation):
@@ -6343,6 +6438,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # bytes, so the hash certifies the parser end-to-end
     "mm_decode_image": (mm_decode_image, _MM_DECODE_SQL),
     "mm_full_pipeline": (mm_full_pipeline, _MM_FULL_SQL),
+    "mm_image_ahash": (mm_image_ahash, _MM_AHASH_SQL),
+    "mm_image_near_dup": (mm_image_near_dup, _MM_NEAR_DUP_SQL),
     "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
     "mm_decode_wav": (mm_decode_wav, _MM_DECODE_WAV_SQL),
     "mm_wav_frame_energy": (mm_wav_frame_energy, _MM_WAV_ENERGY_SQL),

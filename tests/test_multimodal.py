@@ -212,3 +212,48 @@ def test_audio_frame_energy_fanout_exact(spark):
     # non-WAV payloads contribute no frames
     junk = _media(spark, [(99, "plain text")])
     assert multimodal.audio_frame_energy(junk).count() == 0
+
+
+def test_image_ahash_and_banded_hamming_join(spark):
+    """r13 aHash family: a perturbed single-pixel copy lands within 3
+    bits and the banded Hamming join finds it (pigeonhole recall: any
+    pair <= bands-1 bits shares a band); corrupt payloads yield NULL
+    halves and are dropped from the pair stage; the guarantee-violating
+    configuration refuses."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 100, 20)], "media_id long")
+    base = mm.synthetic_ppm_media(ids)
+    pert = mm.synthetic_ppm_media(ids, perturb_origin=True).withColumn(
+        "media_id", F.col("media_id") + F.lit(1000)
+    )
+    corrupt = spark.createDataFrame(
+        [(5000, bytearray(b"not a ppm"), ("application/octet-stream", 9, "x"))],
+        mm.MEDIA_SCHEMA,
+    )
+    hashes = mm.image_ahash(base.unionByName(pert).unionByName(corrupt))
+    rows = {r["media_id"]: (r["hash_hi"], r["hash_lo"]) for r in hashes.collect()}
+    assert rows[5000] == (None, None)  # quarantine
+    # every hash half stays unsigned-32-bit
+    assert all(
+        0 <= v < 2**32 for hv in rows.values() for v in hv if v is not None
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    # each planted twin is found within the bound
+    for i in range(0, 100, 20):
+        assert (i, i + 1000) in pairs and pairs[(i, i + 1000)] <= 3
+    # popcount sanity against a Python recomputation for one pair
+    hi_a, lo_a = rows[0]
+    hi_b, lo_b = rows[1000]
+    assert pairs[(0, 1000)] == bin(hi_a ^ hi_b).count("1") + bin(lo_a ^ lo_b).count("1")
+    # recall past the pigeonhole bound refuses rather than silently missing
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        mm.image_near_dup_pairs(hashes, max_hamming=4)
+    with _pytest.raises(ValueError, match="thumb"):
+        mm.image_ahash(base, thumb=4)
