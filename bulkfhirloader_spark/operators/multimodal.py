@@ -459,7 +459,12 @@ def parse_wav(b: bytes) -> tuple[int, int, bytes] | None:
     return None
 
 
-def synthetic_wav_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def synthetic_wav_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    n_base: int = 64,
+    perturb_first: bool = False,
+) -> DataFrame:
     """Deterministic WAV (RIFF/PCM16 mono) fixture clips as MEDIA_SCHEMA
     rows — the audio-shaped testdata generator (no audio libs in the
     container, and the driver's parquet tables carry no blobs, so fixtures
@@ -469,15 +474,27 @@ def synthetic_wav_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     Pure integer arithmetic, so a SQL oracle can restate the decoded
     statistics WITHOUT parsing bytes — Spark's path is generate ->
     encode_wav -> parse_wav -> aggregate, the oracle computes the same
-    stats straight from the formula; any parser drift breaks the hash."""
+    stats straight from the formula; any parser drift breaks the hash.
+
+    r13 knobs (both restatable in the same formula): ``n_base`` scales
+    clip length (n = n_base + m % 37 — the fingerprint fixtures need
+    >= 65 frames, so they pass 1040); ``perturb_first=True`` adds 1000
+    (inside the mod-65536 wrap) to SAMPLE 0 only — the single-sample
+    edit that makes a clip an audible near-duplicate of its twin."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "payload": [], "meta": []}
             for mid in pdf[id_col]:
                 m = int(mid)
-                n = 64 + m % 37
-                samples = [((m * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+                n = n_base + m % 37
+                samples = [
+                    (
+                        (m * 7919 + i * 104729
+                         + (1000 if perturb_first and i == 0 else 0)) % 65536
+                    ) - 32768
+                    for i in range(n)
+                ]
                 payload = encode_wav(8000, samples)
                 out["media_id"].append(m)
                 out["payload"].append(payload)
@@ -785,3 +802,63 @@ def image_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_fingerprint(media: DataFrame, frame_samples: int = 16) -> DataFrame:
+    """Energy-delta audio fingerprints — the Haitsma-Kalker-style
+    sign-of-derivative hash that is the public baseline for audio
+    near-dup detection: frame the PCM stream (audio_frame_energy's exact
+    integer energies), then bit i = energy[i+1] > energy[i] for the
+    first 64 deltas, packed row-major into the same two unsigned 32-bit
+    halves as image_ahash — so the SAME banded Hamming join
+    (banded_hamming_pairs) serves both modalities.  A re-encode or a
+    few-sample edit perturbs a handful of frame energies, flipping a
+    handful of sign bits; Hamming distance is the dedup metric.
+
+    Every step is integer arithmetic (energies are exact int64 sums, the
+    bits are strict comparisons), so the whole hash is SQL-restatable
+    from the fixture formula.  Clips with fewer than 65 frames leave
+    their missing trailing bits 0 (the short-clip clamp, restatable as a
+    LEFT JOIN on delta existence); corrupt payloads yield NULL halves
+    (quarantine).  One Arrow pass, numpy reduceat energies, JVM-side
+    joins downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "hash_hi": [], "hash_lo": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_wav(bytes(payload or b""))
+                out["media_id"].append(mid)
+                if parsed is None:
+                    out["hash_hi"].append(None)
+                    out["hash_lo"].append(None)
+                    continue
+                _rate, _ch, data = parsed
+                arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if arr.size == 0:
+                    out["hash_hi"].append(0)
+                    out["hash_lo"].append(0)
+                    continue
+                starts = np.arange(0, arr.size, frame_samples)
+                en = np.add.reduceat(arr * arr, starts)
+                deltas = en[1:] > en[:-1]
+                lo = sum(1 << i for i in range(min(32, len(deltas))) if deltas[i])
+                hi = sum(
+                    1 << (i - 32)
+                    for i in range(32, min(64, len(deltas)))
+                    if deltas[i]
+                )
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            frame = pd.DataFrame(out)
+            frame["hash_hi"] = frame["hash_hi"].astype("Int64")
+            frame["hash_lo"] = frame["hash_lo"].astype("Int64")
+            yield frame
+
+    return media.select("media_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+# The banded Hamming join is modality-agnostic — it consumes any
+# (media_id, hash_hi, hash_lo) table (image_ahash, audio_fingerprint).
+# Canonical name; image_near_dup_pairs is the historical one.
+banded_hamming_pairs = image_near_dup_pairs

@@ -5256,6 +5256,94 @@ WHERE hamming <= 3
 """
 
 
+def _audio_fp_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint fixture corpus: every doc_id % 20 == 1 seeds a
+    1040+-sample WAV (>= 65 frames, so all 64 delta bits are real);
+    every doc_id % 40 == 1 additionally yields a PERTURBED near-duplicate
+    under media_id seed + 10^8 (sample 0 shifted by +1000 inside the
+    int16 wrap — a single-sample edit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = multimodal.synthetic_wav_media(
+        docs.where(F.col("doc_id") % 20 == 1).select(
+            F.col("doc_id").alias("media_id")
+        ),
+        n_base=1040,
+    )
+    pert = multimodal.synthetic_wav_media(
+        docs.where(F.col("doc_id") % 40 == 1).select(
+            F.col("doc_id").alias("media_id")
+        ),
+        n_base=1040,
+        perturb_first=True,
+    ).withColumn("media_id", F.col("media_id") + F.lit(100000000))
+    return base.unionByName(pert)
+
+
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-delta audio fingerprints (multimodal.audio_fingerprint,
+    r13): bit i = frame_energy[i+1] > frame_energy[i] over exact int64
+    energies, 64 bits as two unsigned 32-bit halves — the audio twin of
+    mm_image_ahash.  The oracle re-derives every bit from the generating
+    formula (sample synthesis, 16-sample framing, energy sums, strict
+    delta comparisons, bit packing) without parsing a byte."""
+    return multimodal.audio_fingerprint(_audio_fp_fixture_media(spark, sf_dir))
+
+
+_AUDIO_FP_CTE = """
+WITH seeds AS (
+    SELECT doc_id AS media_id, doc_id AS seed, 0 AS pert
+    FROM documents WHERE doc_id % 20 = 1
+    UNION ALL
+    SELECT doc_id + 100000000, doc_id, 1
+    FROM documents WHERE doc_id % 40 = 1),
+ids AS (SELECT media_id, seed, pert,
+               CAST(1040 + seed % 37 AS BIGINT) AS n
+        FROM seeds),
+s AS (SELECT media_id, CAST(i // 16 AS INTEGER) AS f,
+             ((seed * 7919 + i * 104729
+               + CASE WHEN pert = 1 AND i = 0 THEN 1000 ELSE 0 END)
+              % 65536) - 32768 AS v
+      FROM ids, unnest(range(n)) AS t(i)),
+e AS (SELECT media_id, f, sum(v * v) AS en FROM s GROUP BY 1, 2),
+d AS (SELECT a.media_id, a.f AS bit
+      FROM e a JOIN e b ON b.media_id = a.media_id AND b.f = a.f + 1
+      WHERE a.f < 64 AND b.en > a.en),
+hashes AS (SELECT i.media_id,
+       CAST(coalesce(sum(CASE WHEN d.bit >= 32
+                               THEN CAST(1 AS BIGINT) << (d.bit - 32) END), 0)
+            AS BIGINT) AS hash_hi,
+       CAST(coalesce(sum(CASE WHEN d.bit < 32
+                               THEN CAST(1 AS BIGINT) << d.bit END), 0)
+            AS BIGINT) AS hash_lo
+FROM ids i LEFT JOIN d ON i.media_id = d.media_id
+GROUP BY 1)
+"""
+
+_MM_AUDIO_FP_SQL = _AUDIO_FP_CTE + """
+SELECT media_id, hash_hi, hash_lo FROM hashes
+"""
+
+
+def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (r13): the SAME banded Hamming join as the
+    image family (multimodal.banded_hamming_pairs — the join is
+    modality-agnostic by design) over the energy-delta fingerprints; the
+    oracle runs the full quadratic scan, certifying the pigeonhole
+    banding loses nothing."""
+    hashes = multimodal.audio_fingerprint(_audio_fp_fixture_media(spark, sf_dir))
+    return multimodal.banded_hamming_pairs(hashes, max_hamming=3)
+
+
+_MM_AUDIO_ND_SQL = _AUDIO_FP_CTE + """
+SELECT id_a, id_b, hamming FROM (
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id)
+WHERE hamming <= 3
+"""
+
+
 def mm_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP end-to-end multimodal pipeline (r13, r12 verdict #6 —
     composed exactly the way cur_full_pipeline composes curation):
@@ -6440,6 +6528,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mm_full_pipeline": (mm_full_pipeline, _MM_FULL_SQL),
     "mm_image_ahash": (mm_image_ahash, _MM_AHASH_SQL),
     "mm_image_near_dup": (mm_image_near_dup, _MM_NEAR_DUP_SQL),
+    "mm_audio_fingerprint": (mm_audio_fingerprint, _MM_AUDIO_FP_SQL),
+    "mm_audio_near_dup": (mm_audio_near_dup, _MM_AUDIO_ND_SQL),
     "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
     "mm_decode_wav": (mm_decode_wav, _MM_DECODE_WAV_SQL),
     "mm_wav_frame_energy": (mm_wav_frame_energy, _MM_WAV_ENERGY_SQL),

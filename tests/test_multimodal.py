@@ -257,3 +257,43 @@ def test_image_ahash_and_banded_hamming_join(spark):
         mm.image_near_dup_pairs(hashes, max_hamming=4)
     with _pytest.raises(ValueError, match="thumb"):
         mm.image_ahash(base, thumb=4)
+
+
+def test_audio_fingerprint_and_near_dup(spark):
+    """r13 audio fingerprint family: single-sample-perturbed twins land
+    within the Hamming bound and the (modality-agnostic) banded join
+    finds them; clips with < 65 frames leave trailing bits 0; corrupt
+    payloads quarantine as NULL halves."""
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 100, 20)], "media_id long")
+    base = mm.synthetic_wav_media(ids, n_base=1040)
+    pert = mm.synthetic_wav_media(ids, n_base=1040, perturb_first=True).withColumn(
+        "media_id", F.col("media_id") + F.lit(1000)
+    )
+    short = mm.synthetic_wav_media(
+        spark.createDataFrame([(5001,)], "media_id long")  # 64+ samples: 5 frames
+    )
+    corrupt = spark.createDataFrame(
+        [(5000, bytearray(b"not a wav"), ("application/octet-stream", 9, "x"))],
+        mm.MEDIA_SCHEMA,
+    )
+    hashes = mm.audio_fingerprint(
+        base.unionByName(pert).unionByName(short).unionByName(corrupt)
+    )
+    rows = {r["media_id"]: (r["hash_hi"], r["hash_lo"]) for r in hashes.collect()}
+    assert rows[5000] == (None, None)
+    # short clip: ~5 frames -> only the low few delta bits can be set
+    hi, lo = rows[5001]
+    assert hi == 0 and lo < 2**8
+    assert all(
+        0 <= v < 2**32 for hv in rows.values() for v in hv if v is not None
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.banded_hamming_pairs(hashes, max_hamming=3).collect()
+    }
+    for i in range(1, 100, 20):
+        assert (i, i + 1000) in pairs and pairs[(i, i + 1000)] <= 3
