@@ -6,18 +6,20 @@ decode / feature-extraction runs as Arrow-batched pandas iterators
 (mapInPandas), which is the supported way to run per-record Python at
 cluster scale without row-at-a-time serialization.
 
-Decoders: two modalities are decoded FOR REAL by pure-Python parsers
-(r12 — these formats need no codec library, so no stub): PPM (P6, binary
+Decoders: three modalities are decoded FOR REAL by pure-Python parsers
+(these formats need no codec library, so no stub): PPM (P6, binary
 RGB — fixed header + raw pixels) via ``decode_image`` /
-``resize_ppm_thumbnails`` (true nearest-neighbor pixel resize), and WAV
-(RIFF/PCM16) via ``decode_audio`` / ``audio_frame_energy`` (a real RIFF
-chunk walker + int16 sample statistics and per-frame energies).  Formats
-that need a real codec (JPEG/PNG/compressed audio/video) keep the
-deterministic byte-level stand-ins (``_decode_batch`` byte histogram,
-byte-striding resize, chunk "frames") so the Spark-side plumbing —
-schema, batching, partitioning, fan-out — is real and tested; swap the
-per-batch function for PIL/librosa/ffmpeg in production, the
-mapInPandas contract is unchanged.
+``resize_ppm_thumbnails`` / ``image_ahash`` (r12/r13), WAV (RIFF/PCM16)
+via ``decode_audio`` / ``audio_frame_energy`` / ``audio_fingerprint``
+(a real RIFF chunk walker), and Y4M (YUV4MPEG2, raw 4:2:0 planes behind
+a text header) via ``decode_video`` (r13).  Near-dup detection composes
+on the decoders: perceptual hashes (aHash, energy-delta) feed the shared
+``banded_hamming_pairs`` pigeonhole join.  Formats that genuinely need a
+codec (JPEG/PNG/MP3/H.264) keep the deterministic byte-level stand-ins
+(``_decode_batch`` byte histogram, byte-striding resize, chunk "frames")
+so the Spark-side plumbing — schema, batching, partitioning, fan-out —
+is real and tested; swap the per-batch function for PIL/librosa/ffmpeg
+in production, the mapInPandas contract is unchanged.
 """
 
 from __future__ import annotations
@@ -862,3 +864,161 @@ def audio_fingerprint(media: DataFrame, frame_samples: int = 16) -> DataFrame:
 # (media_id, hash_hi, hash_lo) table (image_ahash, audio_fingerprint).
 # Canonical name; image_near_dup_pairs is the historical one.
 banded_hamming_pairs = image_near_dup_pairs
+
+
+# ---------------------------------------------------------------------------
+# Real Y4M (YUV4MPEG2) video decode — pure Python, no codec (r13)
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        # exact integer plane sums (no floats on a hash path)
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("u_sum", T.LongType()),
+        T.StructField("v_sum", T.LongType()),
+    ]
+)
+
+
+def encode_y4m(width: int, height: int, frames: list[tuple[bytes, bytes, bytes]]) -> bytes:
+    """Assemble a YUV4MPEG2 (C420) payload from per-frame (Y, U, V) raw
+    planes — the fixture generator's other half of parse_y4m (round-trip
+    pytest-pinned).  Even dimensions required by 4:2:0 subsampling."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    cw, ch = width // 2, height // 2
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (width, height)]
+    for y, u, v in frames:
+        if len(y) != width * height or len(u) != cw * ch or len(v) != cw * ch:
+            raise ValueError("plane size mismatch")
+        out.append(b"FRAME\n")
+        out.extend((y, u, v))
+    return b"".join(out)
+
+
+def parse_y4m(b: bytes) -> tuple[int, int, list[tuple[bytes, bytes, bytes]]] | None:
+    """Parse a YUV4MPEG2 payload -> (width, height, [(Y, U, V) planes per
+    frame]), or None if malformed.  A real stream walker per the public
+    yuv4mpeg spec: 'YUV4MPEG2' + space-separated W/H/... parameters to
+    newline, then per frame a 'FRAME[ params]\\n' marker followed by the
+    raw 4:2:0 planes.  Only C420 variants (the default) are accepted —
+    an explicit C444/C422 tag refuses (their plane sizes differ)."""
+    if not b.startswith(b"YUV4MPEG2"):
+        return None
+    nl = b.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    for tok in b[9:nl].split(b" "):
+        if tok.startswith(b"W") and tok[1:].isdigit():
+            w = int(tok[1:])
+        elif tok.startswith(b"H") and tok[1:].isdigit():
+            h = int(tok[1:])
+        elif tok.startswith(b"C") and not tok.startswith(b"C420"):
+            return None
+    if not w or not h or w % 2 or h % 2:
+        return None
+    ysize, csize = w * h, (w // 2) * (h // 2)
+    frames: list[tuple[bytes, bytes, bytes]] = []
+    i, n = nl + 1, len(b)
+    while i < n:
+        if not b.startswith(b"FRAME", i):
+            return None
+        fnl = b.find(b"\n", i)
+        if fnl < 0:
+            return None
+        i = fnl + 1
+        if n - i < ysize + 2 * csize:
+            return None  # torn frame
+        y = b[i : i + ysize]
+        u = b[i + ysize : i + ysize + csize]
+        v = b[i + ysize + csize : i + ysize + 2 * csize]
+        frames.append((y, u, v))
+        i += ysize + 2 * csize
+    return w, h, frames
+
+
+def synthetic_y4m_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic Y4M (C420) fixture clips as MEDIA_SCHEMA rows — the
+    video-shaped testdata generator (same protocol as the PPM/WAV
+    fixtures: pure integer formulas so a SQL oracle restates the decoded
+    statistics without parsing bytes).  For media id m:
+      width = 4 + 2*(m % 3), height = 4 + 2*(m % 2), n_frames = 2 + m % 3
+      Y[f][i] = (m*7919 + f*257 + i*31) % 256        (i over w*h)
+      U[f][j] = (m*7919 + f*257 + j*37 + 11) % 256   (j over w/2*h/2)
+      V[f][j] = (m*7919 + f*257 + j*41 + 23) % 256
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "payload": [], "meta": []}
+            for mid in pdf[id_col]:
+                m = int(mid)
+                w, h = 4 + 2 * (m % 3), 4 + 2 * (m % 2)
+                nf = 2 + m % 3
+                cs = (w // 2) * (h // 2)
+                frames = [
+                    (
+                        bytes((m * 7919 + f * 257 + i * 31) % 256 for i in range(w * h)),
+                        bytes((m * 7919 + f * 257 + j * 37 + 11) % 256 for j in range(cs)),
+                        bytes((m * 7919 + f * 257 + j * 41 + 23) % 256 for j in range(cs)),
+                    )
+                    for f in range(nf)
+                ]
+                payload = encode_y4m(w, h, frames)
+                out["media_id"].append(m)
+                out["payload"].append(payload)
+                out["meta"].append(
+                    {"mime": "video/x-yuv4mpeg", "n_bytes": len(payload),
+                     "source": "synthetic"}
+                )
+            yield pd.DataFrame(out)
+
+    return ids.select(F.col(id_col)).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_video(media: DataFrame) -> DataFrame:
+    """REAL video decode for Y4M (YUV4MPEG2/C420) payloads — video joins
+    PPM and WAV as the third genuinely-decoded modality (r13; the format
+    is raw planes behind a text header, so no codec library is needed —
+    sample_frames stays the stub for opaque codecs).  The 1->N fan-out
+    shape: one clip row becomes one row per frame with EXACT integer
+    per-plane pixel sums (hash-stable across engines).  Arrow-batched
+    mapInPandas; bytes never leave the executor; malformed payloads
+    contribute no frames (quarantine-by-absence, like
+    audio_frame_energy)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "width": [], "height": [],
+                "y_sum": [], "u_sum": [], "v_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_y4m(bytes(payload or b""))
+                if parsed is None:
+                    continue
+                w, h, frames = parsed
+                for f, (y, u, v) in enumerate(frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    for k, plane in (("y_sum", y), ("u_sum", u), ("v_sum", v)):
+                        out[k].append(
+                            int(np.frombuffer(plane, dtype=np.uint8)
+                                .sum(dtype=np.int64))
+                        )
+            frame = pd.DataFrame(out)
+            frame["frame_idx"] = frame["frame_idx"].astype("int32")
+            frame["width"] = frame["width"].astype("int32")
+            frame["height"] = frame["height"].astype("int32")
+            for k in ("y_sum", "u_sum", "v_sum"):
+                frame[k] = frame[k].astype("Int64")
+            yield frame
+
+    return media.select("media_id", "payload").mapInPandas(run, VIDEO_FRAMES_SCHEMA)

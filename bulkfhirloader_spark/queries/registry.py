@@ -5344,6 +5344,56 @@ WHERE hamming <= 3
 """
 
 
+def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (r13 — Y4M/YUV4MPEG2 makes video the THIRD
+    genuinely-decoded modality; raw 4:2:0 planes behind a text header
+    need no codec library, the same class as PPM and WAV): deterministic
+    multi-frame clips are synthesized per id
+    (multimodal.synthetic_y4m_media's pinned integer formulas), then
+    decode_video's pure-Python stream walker reads the header + FRAME
+    markers and emits one row per frame with exact per-plane pixel sums.
+    The oracle computes the same statistics straight from the formulas —
+    a walker that misread the header grammar, frame marker params, plane
+    order, or 4:2:0 chroma sizing would diverge."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 20 == 2).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return multimodal.decode_video(multimodal.synthetic_y4m_media(ids))
+
+
+_MM_VIDEO_SQL = """
+WITH ids AS (SELECT doc_id AS media_id,
+                    CAST(4 + 2 * (doc_id % 3) AS INTEGER) AS w,
+                    CAST(4 + 2 * (doc_id % 2) AS INTEGER) AS h,
+                    2 + doc_id % 3 AS nf
+             FROM documents WHERE doc_id % 20 = 2),
+fr AS (SELECT media_id, w, h, CAST(f.i AS INTEGER) AS frame_idx
+       FROM ids, unnest(range(CAST(nf AS BIGINT))) AS f(i)),
+ys AS (SELECT media_id, frame_idx,
+              CAST(sum((media_id * 7919 + frame_idx * 257 + t.i * 31) % 256)
+                   AS BIGINT) AS y_sum
+       FROM fr, unnest(range(CAST(w * h AS BIGINT))) AS t(i)
+       GROUP BY 1, 2),
+us AS (SELECT media_id, frame_idx,
+              CAST(sum((media_id * 7919 + frame_idx * 257 + t.j * 37 + 11) % 256)
+                   AS BIGINT) AS u_sum
+       FROM fr, unnest(range(CAST((w // 2) * (h // 2) AS BIGINT))) AS t(j)
+       GROUP BY 1, 2),
+vs AS (SELECT media_id, frame_idx,
+              CAST(sum((media_id * 7919 + frame_idx * 257 + t.j * 41 + 23) % 256)
+                   AS BIGINT) AS v_sum
+       FROM fr, unnest(range(CAST((w // 2) * (h // 2) AS BIGINT))) AS t(j)
+       GROUP BY 1, 2)
+SELECT f.media_id, f.frame_idx, f.w AS width, f.h AS height,
+       y_sum, u_sum, v_sum
+FROM fr f
+JOIN ys ON ys.media_id = f.media_id AND ys.frame_idx = f.frame_idx
+JOIN us ON us.media_id = f.media_id AND us.frame_idx = f.frame_idx
+JOIN vs ON vs.media_id = f.media_id AND vs.frame_idx = f.frame_idx
+"""
+
+
 def mm_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP end-to-end multimodal pipeline (r13, r12 verdict #6 —
     composed exactly the way cur_full_pipeline composes curation):
@@ -6530,6 +6580,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mm_image_near_dup": (mm_image_near_dup, _MM_NEAR_DUP_SQL),
     "mm_audio_fingerprint": (mm_audio_fingerprint, _MM_AUDIO_FP_SQL),
     "mm_audio_near_dup": (mm_audio_near_dup, _MM_AUDIO_ND_SQL),
+    "mm_decode_video": (mm_decode_video, _MM_VIDEO_SQL),
     "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
     "mm_decode_wav": (mm_decode_wav, _MM_DECODE_WAV_SQL),
     "mm_wav_frame_energy": (mm_wav_frame_energy, _MM_WAV_ENERGY_SQL),

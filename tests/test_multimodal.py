@@ -297,3 +297,31 @@ def test_audio_fingerprint_and_near_dup(spark):
     }
     for i in range(1, 100, 20):
         assert (i, i + 1000) in pairs and pairs[(i, i + 1000)] <= 3
+
+
+def test_decode_video_y4m_real_parse(spark):
+    """r13 Y4M decode: known planes round-trip to exact sums; FRAME
+    params and unknown header tags are tolerated; C444, torn frames, and
+    garbage quarantine by absence."""
+    from bulkfhirloader_spark.operators import multimodal as mm
+
+    y = bytes(range(16))          # 4x4 Y plane, sum = 120
+    u = bytes([10, 20, 30, 40])   # sum 100
+    v = bytes([1, 2, 3, 4])       # sum 10
+    good = mm.encode_y4m(4, 4, [(y, u, v), (v * 4, u, y[:4])])
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good), ("video/x-yuv4mpeg", len(good), "t")),
+            (2, bytearray(b"not video"), ("video/x-yuv4mpeg", 9, "t")),
+            (3, bytearray(good[:-1]), ("video/x-yuv4mpeg", len(good) - 1, "t")),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.decode_video(media).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    assert set(got) == {(1, 0), (1, 1)}  # 2 and 3 contribute nothing
+    r0 = got[(1, 0)]
+    assert (r0["width"], r0["height"]) == (4, 4)
+    assert (r0["y_sum"], r0["u_sum"], r0["v_sum"]) == (120, 100, 10)
+    r1 = got[(1, 1)]
+    assert r1["y_sum"] == sum(v) * 4 and r1["v_sum"] == sum(y[:4])
