@@ -69,6 +69,13 @@ def main() -> None:
         t0 = tm()
         force(text.inverted_index(docs, max_postings=20))
         res["invidx"] = tm() - t0
+        # r13: winnowing — per-gram char-fold hash (projection-shaped,
+        # O(text)) + ONE per-doc window Exchange + a distinct; expected
+        # ~linear like invidx, never quadratic (the candidate join is a
+        # separate op and is df-capped)
+        t0 = tm()
+        force(text.winnow_fingerprints(docs))
+        res["winnow"] = tm() - t0
         print(
             f"{name:6s} " + "  ".join(f"{k}={v:5.1f}s" for k, v in res.items()),
             flush=True,
