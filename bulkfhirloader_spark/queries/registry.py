@@ -3791,6 +3791,118 @@ def stream_semantic_admit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("vec_id", "cluster_id").distinct()
 
 
+def stream_mm_image_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual image admission gate
+    (streaming.joins.stream_image_admission, r13): perturbed
+    single-pixel twins of the static corpus arrive as a 3-file stream
+    alongside genuinely novel images; a twin (hamming <= 3 to its static
+    original) is rejected, novel images are admitted unless naturally
+    within the bound.  The oracle re-derives every aHash bit from the
+    generating formula for BOTH sides and states the gate as NOT EXISTS
+    over the full quadratic Hamming scan — green iff the pigeonhole
+    banding loses nothing across micro-batch boundaries."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_image_admission
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, "mm_image_admit")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_img_")
+        pert = multimodal.synthetic_ppm_media(
+            docs.where(F.col("doc_id") % 40 == 0).select(
+                F.col("doc_id").alias("media_id")
+            ),
+            perturb_origin=True,
+        ).withColumn("media_id", F.col("media_id") + F.lit(100000000))
+        novel = multimodal.synthetic_ppm_media(
+            docs.where(F.col("doc_id") % 40 == 20).select(
+                F.col("doc_id").alias("media_id")
+            )
+        )
+        pert.unionByName(novel).repartition(3).write.mode("overwrite").parquet(
+            _os.path.join(src, "in")
+        )
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    static_hashes = multimodal.image_ahash(
+        multimodal.synthetic_ppm_media(
+            docs.where(F.col("doc_id") % 40 == 0).select(
+                F.col("doc_id").alias("media_id")
+            )
+        )
+    )
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_img_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_image_admission(stream, static_hashes, max_hamming=3)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("media_id").distinct()
+
+
+_STREAM_IMG_SQL = """
+WITH seeds AS (
+    SELECT doc_id AS media_id, doc_id AS seed, 0 AS pert, 0 AS is_stream
+    FROM documents WHERE doc_id % 40 = 0
+    UNION ALL
+    SELECT doc_id + 100000000, doc_id, 1, 1
+    FROM documents WHERE doc_id % 40 = 0
+    UNION ALL
+    SELECT doc_id, doc_id, 0, 1
+    FROM documents WHERE doc_id % 40 = 20),
+dims AS (SELECT media_id, seed, pert, is_stream,
+                8 + seed % 5 AS w, 6 + seed % 7 AS h
+         FROM seeds),
+cells AS (SELECT media_id, seed, pert, CAST(t.i AS INTEGER) AS cell,
+                 ((CAST(t.i AS INTEGER) % 8) * w) // 8 AS sx,
+                 ((CAST(t.i AS INTEGER) // 8) * h) // 8 AS sy
+          FROM dims, unnest(range(64)) AS t(i)),
+gray AS (SELECT media_id, cell,
+                (  ((seed*7919 + sy*131 + sx*17
+                     + CASE WHEN pert = 1 AND sx = 0 AND sy = 0
+                            THEN 128 ELSE 0 END) % 256)
+                 + ((seed*7919 + sy*131 + sx*17 + 29) % 256)
+                 + ((seed*7919 + sy*131 + sx*17 + 58) % 256)) // 3 AS g
+         FROM cells),
+m AS (SELECT media_id, sum(g) // 64 AS mean FROM gray GROUP BY 1),
+bits AS (SELECT g.media_id, g.cell
+         FROM gray g JOIN m ON g.media_id = m.media_id
+         WHERE g.g > m.mean),
+hashes AS (SELECT d.media_id, d.is_stream,
+       CAST(coalesce(sum(CASE WHEN b.cell >= 32
+                               THEN CAST(1 AS BIGINT) << (b.cell - 32) END), 0)
+            AS BIGINT) AS hash_hi,
+       CAST(coalesce(sum(CASE WHEN b.cell < 32
+                               THEN CAST(1 AS BIGINT) << b.cell END), 0)
+            AS BIGINT) AS hash_lo
+FROM dims d LEFT JOIN bits b ON d.media_id = b.media_id
+GROUP BY 1, 2)
+SELECT s.media_id FROM hashes s
+WHERE s.is_stream = 1
+  AND NOT EXISTS (
+      SELECT 1 FROM hashes e
+      WHERE e.is_stream = 0 AND e.media_id != s.media_id
+        AND bit_count(xor(s.hash_hi, e.hash_hi))
+            + bit_count(xor(s.hash_lo, e.hash_lo)) <= 3)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Extension — corpus curation (SURVEY §2.10: split / tf-idf / selection /
 # shard packing)
@@ -6436,6 +6548,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         stream_semantic_admit_blas,
         _STREAM_SEMANTIC_SQL,
     ),
+    "stream_mm_image_admit": (stream_mm_image_admit, _STREAM_IMG_SQL),
     # r12: the bucketed banded-table gate tier (zero static-side Exchange
     # from layout); semantics defined identical, oracle shared
     "stream_near_dup_admit_bucketed": (

@@ -1019,3 +1019,97 @@ def stream_semantic_admission(
 
 # Cache-hygiene ledger for stream_semantic_admission's static side.
 _live_static_sem_caches: list = []
+
+
+def stream_image_admission(
+    stream_media: DataFrame,
+    existing_hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming PERCEPTUAL admission gate — the image-modality twin of
+    stream_near_dup_admission (r13): admit arriving media whose aHash is
+    more than ``max_hamming`` bits from EVERY existing image's hash; a
+    visually-near-duplicate re-render is rejected at ingest.
+
+    Plan shape (the family's shape, third instance): the stream side
+    computes aHash in one Arrow pass (multimodal.image_ahash — legal on
+    a stream, stateless) and explodes to one row per 16-bit band (pure
+    projection); the static side is the already-hashed corpus table
+    (multimodal.image_ahash output — ~24 B/row regardless of image
+    size), banded the same way and cached ALREADY PARTITIONED on the
+    band keys (the gate cache contract, own ledger).  The LEFT ANTI join
+    keys (band_idx, band_val) — by pigeonhole any pair within
+    ``max_hamming <= bands - 1`` bits agrees on >= 1 band, so banding
+    proposes a superset — and carries the exact popcount verify as a
+    join predicate.  A band row survives iff it produced no verified
+    match; media are admitted iff ALL ``bands`` of their rows survive
+    (count == bands, each media's rows live in one micro-batch; run in
+    update mode).  DETERMINISTIC recall (pigeonhole, enforced), unlike
+    the MinHash gate's probabilistic banding.  Corrupt payloads hash to
+    NULL and are dropped — an undecodable blob is quarantined, not
+    admitted (compose payload_stats quarantine upstream if corrupt rows
+    must be routed).  Stateless per batch except the per-media band
+    count."""
+    from bulkfhirloader_spark.operators.multimodal import image_ahash
+
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded Hamming recall is only exact for max_hamming <= "
+            f"bands - 1 (pigeonhole); got max_hamming={max_hamming}, "
+            f"bands={bands}"
+        )
+    if bands != 4:
+        raise ValueError("64-bit aHash bands: only the 4 x 16-bit split is wired")
+
+    mask = F.lit(0xFFFF)
+
+    def banded(hashes: DataFrame, sfx: str) -> DataFrame:
+        arr = F.array(
+            F.col("hash_lo").bitwiseAND(mask),
+            F.shiftrightunsigned(F.col("hash_lo"), 16).bitwiseAND(mask),
+            F.col("hash_hi").bitwiseAND(mask),
+            F.shiftrightunsigned(F.col("hash_hi"), 16).bitwiseAND(mask),
+        )
+        return (
+            hashes.where(
+                F.col("hash_hi").isNotNull() & F.col("hash_lo").isNotNull()
+            )
+            .select(
+                F.col("media_id").alias(f"id{sfx}"),
+                F.col("hash_hi").alias(f"hi{sfx}"),
+                F.col("hash_lo").alias(f"lo{sfx}"),
+                F.posexplode(arr).alias("band_idx", "band_val"),
+            )
+        )
+
+    stream_banded = banded(image_ahash(stream_media), "_s")
+    static_banded = banded(existing_hashes, "_e")
+    while _live_static_img_caches:
+        _live_static_img_caches.pop().unpersist()
+    static_banded = (
+        static_banded.repartition(F.col("band_idx"), F.col("band_val"))
+        .sortWithinPartitions("band_idx", "band_val")
+        .persist()
+    )
+    _live_static_img_caches.append(static_banded)
+    hamming = F.bit_count(
+        F.col("hi_s").bitwiseXOR(F.col("hi_e"))
+    ) + F.bit_count(F.col("lo_s").bitwiseXOR(F.col("lo_e")))
+    cond = (
+        (stream_banded["band_idx"] == static_banded["band_idx"])
+        & (stream_banded["band_val"] == static_banded["band_val"])
+        & (F.col("id_s") != F.col("id_e"))
+        & (hamming <= F.lit(max_hamming))
+    )
+    surviving = stream_banded.join(static_banded, cond, "left_anti")
+    return (
+        surviving.groupBy(F.col("id_s").alias("media_id"))
+        .agg(F.count(F.lit(1)).alias("_n_clean_bands"))
+        .where(F.col("_n_clean_bands") == bands)
+        .select("media_id")
+    )
+
+
+# Cache-hygiene ledger for stream_image_admission's static side.
+_live_static_img_caches: list = []
