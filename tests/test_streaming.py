@@ -950,3 +950,51 @@ def test_semantic_store_blas_write_matches_fold(spark, tmp_path):
     assert sorted(map(key, fold_rows.collect())) == sorted(
         map(key, blas_rows.collect())
     )
+
+
+def test_stream_image_admission_rejects_perceptual_twins(spark, tmp_path):
+    """r13 image gate: a perturbed single-pixel twin arriving in a later
+    micro-batch is rejected against the static hash table; a novel image
+    is admitted; corrupt payloads are never admitted; the
+    guarantee-violating configuration refuses."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+    from bulkfhirloader_spark.streaming.joins import stream_image_admission
+
+    static_ids = spark.createDataFrame([(0,), (20,), (40,)], "media_id long")
+    static_hashes = mm.image_ahash(mm.synthetic_ppm_media(static_ids))
+    # batch 1: perturbed twin of 20 (reject); batch 2: novel 61 (admit,
+    # different formula seed) + corrupt payload (never admitted)
+    twin = mm.synthetic_ppm_media(
+        spark.createDataFrame([(20,)], "media_id long"), perturb_origin=True
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000))
+    novel = mm.synthetic_ppm_media(
+        spark.createDataFrame([(61,)], "media_id long")
+    )
+    corrupt = spark.createDataFrame(
+        [(5000, bytearray(b"nope"), ("application/octet-stream", 4, "x"))],
+        mm.MEDIA_SCHEMA,
+    )
+    twin.coalesce(1).write.parquet(str(tmp_path / "in" / "f0"))
+    novel.unionByName(corrupt).coalesce(1).write.parquet(str(tmp_path / "in" / "f1"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "in" / "*")).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_image_admission(stream, static_hashes, max_hamming=3)
+        .writeStream.format("memory")
+        .queryName("stream_img_admission_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.media_id for r in spark.table("stream_img_admission_t").collect())
+    assert got == [61]
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        stream_image_admission(stream, static_hashes, max_hamming=5)
