@@ -2315,6 +2315,29 @@ SELECT vec_id, cluster_id, score FROM f
 """
 
 
+def emb_kmeans_assign_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT-FREE chained Lloyd fit (similarity.kmeans_centroids_chained,
+    r13 — r12 verdict #3): the same deterministic contract as
+    emb_kmeans_assign with the centroid relation kept DISTRIBUTED between
+    iterations (eager localCheckpoint; zero centroid bytes cross the
+    driver), for fits past the collected tier's k x dim x 8 B/iteration
+    ceiling.  Shares the unrolled-Lloyd oracle — hash-green certifies the
+    chained fit walks the identical centroid sequence on real data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids_chained(emb, k=8, n_iter=2)
+    from bulkfhirloader_spark.operators.similarity import (
+        _drop_degenerate_vectors,
+        classify_nearest_centroid,
+    )
+
+    out = classify_nearest_centroid(
+        _drop_degenerate_vectors(emb, "embedding"), cents, id_cols=("vec_id",)
+    )
+    return out.select(
+        "vec_id", F.col("predicted_label").alias("cluster_id"), "score"
+    )
+
+
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (dedup.semantic_dedup_pairs): near-dup pairs scored only
     WITHIN a k-means cluster — the data-adaptive candidate bound, vs the
@@ -6602,6 +6625,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, _DEDUP_EMB_SQL),
     "dedup_semantic_pairs": (dedup_semantic_pairs, _DEDUP_SEMANTIC_SQL),
     "dedup_semantic_survivors": (dedup_semantic_survivors, _DEDUP_SEMANTIC_SURV_SQL),
+    "emb_kmeans_assign_chained": (emb_kmeans_assign_chained, _EMB_KMEANS_SQL),
     "emb_kmeans_assign": (emb_kmeans_assign, _EMB_KMEANS_SQL),
     "dedup_clusters": (dedup_clusters, _DEDUP_CLUSTERS_SQL),
     "dedup_survivors_quality": (dedup_survivors_quality, _DEDUP_SURV_SQL),
