@@ -233,6 +233,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "q22_dormant_customers",    # 1-row avg-balance threshold
     "emb_knn_classify",         # n_classes-row broadcast centroid table
     "emb_kmeans_assign",        # k-row broadcast centroid table (same shape)
+    "emb_kmeans_assign_chained",  # same k-row broadcast, chained-fit tier
     "dedup_semantic_pairs",     # k-row broadcast centroid table feeds assignment
     "dedup_semantic_survivors", # same fit feeds the composed pipeline
     "ext_bloom_semi_lineitem",  # 1-row broadcast bloom map attach
