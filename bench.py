@@ -60,6 +60,33 @@ HEADLINE = [
 ]
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line —
+    the hypervisor-contention signal loadavg cannot see (r13: two
+    gate-PASSING runs read ~65% over a same-code run because the host's
+    throughput regime flipped; see SCALE.md round-13).  Sampled before
+    and after the run so the artifact records steal%% DURING the
+    measurement, not just the ambient reading."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(ticks_before) -> float | None:
+    """Steal%% across the window since ``ticks_before`` (see _cpu_ticks)."""
+    after = _cpu_ticks()
+    if not ticks_before or not after:
+        return None
+    d_steal = after[0] - ticks_before[0]
+    d_total = after[1] - ticks_before[1]
+    return round(100.0 * d_steal / d_total, 2) if d_total > 0 else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -133,6 +160,7 @@ def main() -> None:
             f"must not be compared round-over-round",
             file=sys.stderr,
         )
+    ticks_at_start = _cpu_ticks()
     spark = get_spark(app_name="bulkfhirloader-bench")
 
     # Warmup: force JVM + codegen + parquet footer reads outside the timings.
@@ -250,6 +278,10 @@ def main() -> None:
         "quiesce_gate": {"1m_max": quiesce_threshold,
                          "5m_max": quiesce_threshold_5m,
                          "budget_s": quiesce_budget},
+        # hypervisor steal DURING the run (r13: the host-regime signal
+        # loadavg misses — see SCALE.md round-13 bench caveat); None when
+        # /proc/stat is unavailable
+        "steal_pct_during_run": _steal_pct(ticks_at_start),
         "loadavg_at_start": {"1m": load_at_start[0],
                              "5m": load_at_start[1],
                              "15m": load_at_start[2],
