@@ -666,6 +666,7 @@ def winnow_fingerprints(
     window: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_positions: bool = True,
 ) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
@@ -693,6 +694,11 @@ def winnow_fingerprints(
     sliding-window min, the row_number, and the per-doc count together
     (shared window spec).  Output is ~n_grams/window rows per doc;
     nothing quadratic, no Python.
+
+    ``with_positions=False`` drops the pos column and dedupes on
+    (id, fp_hash) directly — for consumers that only need the
+    fingerprint SET (the candidate join), saving the second distinct's
+    Exchange of the fingerprint stream.
     """
     from pyspark.sql.window import Window as W
 
@@ -727,6 +733,8 @@ def winnow_fingerprints(
     full = sel.where(
         F.col("_rn") <= F.col("_n") - F.least(F.lit(window), F.col("_n")) + 1
     )
+    if not with_positions:
+        return full.select(F.col(id_col), F.col("_m.h").alias("fp_hash")).distinct()
     return full.select(
         F.col(id_col),
         F.col("_m.h").alias("fp_hash"),
@@ -758,8 +766,9 @@ def winnow_candidates(
     guarantee degrades exactly where text is corpus-boilerplate, which
     is the intended behavior of a dedup candidate stage."""
     fps = winnow_fingerprints(
-        docs, k=k, window=window, id_col=id_col, text_col=text_col
-    ).select(F.col(id_col).alias("_id"), "fp_hash").distinct()
+        docs, k=k, window=window, id_col=id_col, text_col=text_col,
+        with_positions=False,
+    ).select(F.col(id_col).alias("_id"), "fp_hash")
     rare = (
         fps.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("_df"))
