@@ -764,7 +764,12 @@ def winnow_candidates(
     corpus-wide header k-gram would otherwise propose O(n²) pairs on its
     own.  Dropped fingerprints only LOWER n_shared — the detection
     guarantee degrades exactly where text is corpus-boilerplate, which
-    is the intended behavior of a dedup candidate stage."""
+    is the intended behavior of a dedup candidate stage.
+
+    Plan-census note: the self-join's two sides each print the full
+    fingerprint lineage, so PLANS.md counts its Exchanges twice — at
+    execution AQE collapses them (verified: 2 ReusedExchange in the
+    post-exec plan), so the duplicated upstream runs ONCE."""
     fps = winnow_fingerprints(
         docs, k=k, window=window, id_col=id_col, text_col=text_col,
         with_positions=False,
