@@ -693,7 +693,15 @@ def kmeans_centroids_chained(
     unroll) is unchanged — this tier is for scale, certified by parity
     with the collected tier at oracle-checkable k.  Python driver RSS
     measured FLAT across a k=10^4 fit where the collected tier's
-    round-trip grows with k (SCALE.md r13)."""
+    round-trip grows with k (SCALE.md r13).
+
+    Checkpoint hygiene (r13 advice): each iteration's new centroid table
+    materializes EAGERLY, then the PREVIOUS iteration's checkpointed
+    blocks are unpersisted explicitly — without that, a fit leaves
+    n_iter+1 checkpointed k×dim tables on executors until ContextCleaner
+    happens to GC the dropped references (~300 MB leaked per fit at the
+    k=50k × d=768 operating point in long-lived sessions).  Only the
+    final returned table keeps its blocks (callers consume it)."""
     from pyspark.sql.window import Window
 
     emb = _drop_degenerate_vectors(emb, vec_col)
@@ -726,6 +734,7 @@ def kmeans_centroids_chained(
             id_cols=(id_col, vec_col),
             round_dp=round_dp,
         )
+        prev = cents
         cents = label_centroids(
             assigned,
             vec_col=vec_col,
@@ -734,7 +743,27 @@ def kmeans_centroids_chained(
         ).select(
             F.col("c_label").cast("int").alias("c_label"), "centroid"
         ).localCheckpoint()
+        # the new table is materialized (eager checkpoint), so the
+        # previous iteration's blocks are dead weight — free them now
+        _release_local_checkpoint(prev)
     return cents
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the executor blocks behind a locally-checkpointed
+    DataFrame.  ``DataFrame.unpersist`` only talks to the cache manager —
+    checkpoint blocks belong to the internal RDD the plan's LogicalRDD
+    wraps, so they otherwise live until ContextCleaner GCs the dropped
+    reference (verified: getRDDStorageInfo holds the MapPartitionsRDD
+    until this explicit unpersist).  Best-effort across internal-API
+    drift: a plan that is not a LogicalRDD (or a future Spark that
+    renames the accessor) is left for ContextCleaner, never an error.
+    Callers must only release checkpoints whose data is no longer
+    reachable — a released local checkpoint cannot be recomputed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _drop_degenerate_vectors(df: DataFrame, vec_col: str) -> DataFrame:

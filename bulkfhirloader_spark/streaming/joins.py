@@ -530,14 +530,20 @@ def _semantic_assigned(
     FROZEN centroid set as a literal expression
     (similarity.cosine_cluster_exprs — stateless, streaming-legal, exact
     rounding parity with the batch tier).  Output columns: ``id{sfx}``,
-    ``v{sfx}``, ``n{sfx}``, ``cluster_id``."""
+    ``v{sfx}``, ``n{sfx}``, ``cluster_id``.
+
+    NULL ids are dropped plan-side, matching _semantic_assigned_blas
+    (r13 advice): a NULL-id row written into a semantic store would
+    silently never screen anything — the gate's ``id_s != id_e``
+    predicate evaluates NULL → no match in the anti join — and
+    fold-vs-blas store parity would diverge on NULL-id corpora."""
     from bulkfhirloader_spark.operators.similarity import (
         _drop_degenerate_vectors,
         cosine_cluster_exprs,
         l2_norm,
     )
 
-    df = _drop_degenerate_vectors(df, vec_col)
+    df = _drop_degenerate_vectors(df, vec_col).where(F.col(id_col).isNotNull())
     base = df.select(
         F.col(id_col).alias(f"id{sfx}"),
         F.col(vec_col).cast("array<double>").alias(f"v{sfx}"),
@@ -1026,6 +1032,7 @@ def stream_image_admission(
     existing_hashes: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Streaming PERCEPTUAL admission gate — the image-modality twin of
     stream_near_dup_admission (r13): admit arriving media whose aHash is
@@ -1050,7 +1057,24 @@ def stream_image_admission(
     NULL and are dropped — an undecodable blob is quarantined, not
     admitted (compose payload_stats quarantine upstream if corrupt rows
     must be routed).  Stateless per batch except the per-media band
-    count."""
+    count.
+
+    HOT-BAND SKEW (r14, r13 advice): perceptual-hash bands of trivial
+    content (blank/flat images → 0x0000/0xFFFF bands; near-silent audio
+    upstream of the shared join shape) pile into one (band_idx,
+    band_val) bucket, so every stream row touching that band pays
+    O(bucket) comparisons per micro-batch.  ``max_bucket_size`` EXCLUDES
+    static band rows in buckets larger than the cap (the shared
+    _cap_band_buckets contract; the window count rides the cache's
+    (band_idx, band_val) partitioning).  GATE-SPECIFIC TRADE, read
+    before setting it: a capped static row cannot CHALLENGE stream rows
+    through that band, so a stream near-dup whose every shared band is
+    capped is silently ADMITTED — weaker screening, not just lost pairs.
+    The right fix for hot-band content is exact dedup upstream of the
+    static table (image_exact_dedup — byte/pixel-identical content
+    collapses for free, leaving buckets of genuinely-distinct
+    near-threshold hashes that the cap then bounds).  Default None keeps
+    the exact pigeonhole screen."""
     from bulkfhirloader_spark.operators.multimodal import image_ahash
 
     if max_hamming > bands - 1:
@@ -1085,6 +1109,12 @@ def stream_image_admission(
 
     stream_banded = banded(image_ahash(stream_media), "_s")
     static_banded = banded(existing_hashes, "_e")
+    if max_bucket_size is not None:
+        from bulkfhirloader_spark.operators.dedup import _cap_band_buckets
+
+        static_banded = _cap_band_buckets(
+            static_banded, max_bucket_size, keys=("band_idx", "band_val")
+        )
     while _live_static_img_caches:
         _live_static_img_caches.pop().unpersist()
     static_banded = (

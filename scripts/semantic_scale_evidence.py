@@ -295,8 +295,12 @@ def gate_sweep() -> None:
                     "stored_static": use_store,
                     "store_tier": store_tier if use_store else None,
                     "fit_blas_s": round(fit_s, 1),
+                    # `is not None`, not truthiness: a sub-0.05 s write
+                    # rounds to 0.0 and must still read as "ran", not as
+                    # GATE_STORE-off (r13 advice)
                     "store_write_s": (
-                        round(store_write_s, 1) if store_write_s else None
+                        round(store_write_s, 1) if store_write_s is not None
+                        else None
                     ),
                     "gate_build_s": round(gate_build_s, 1),
                     "drain_s": round(drain_s, 1),

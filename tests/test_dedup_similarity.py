@@ -1885,3 +1885,25 @@ def test_kmeans_chained_matches_collected(two_lobes, spark):
         [(1, [0.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
     )
     assert sim.kmeans_centroids_chained(degen, k=2, n_iter=2).count() == 0
+
+
+def test_kmeans_chained_releases_iteration_checkpoints(two_lobes, spark):
+    """r14 (r13 advice): a chained fit must not leave n_iter+1
+    checkpointed k×dim tables on executors — after the fit only the
+    FINAL returned centroid table may hold checkpoint blocks (at the
+    k=50k × d=768 operating point the leak is ~300 MB per fit in
+    long-lived sessions)."""
+    from bulkfhirloader_spark.operators import similarity as sim
+
+    sc = spark.sparkContext
+
+    def stored_rdds():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = stored_rdds()
+    cents = sim.kmeans_centroids_chained(two_lobes, k=2, n_iter=3)
+    cents.count()
+    # seed + 3 iterations = 4 checkpoints taken; all but the last freed
+    assert stored_rdds() <= before + 1
+    sim._release_local_checkpoint(cents)
+    assert stored_rdds() <= before

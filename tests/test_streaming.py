@@ -928,6 +928,30 @@ def test_stream_semantic_admission_blas_tier_matches_fold(spark, tmp_path):
     assert blas2 == [13, 15]
 
 
+def test_semantic_assigned_fold_drops_null_ids_like_blas(spark):
+    """r14 (r13 advice): the fold assignment must filter NULL ids the way
+    the blas tier already does — a NULL-id row written into a semantic
+    store silently never screens anything (the gate's id_s != id_e
+    predicate evaluates NULL → no anti-join match), and fold-vs-blas
+    store parity would diverge on NULL-id corpora."""
+    from bulkfhirloader_spark.streaming.joins import (
+        _semantic_assigned,
+        _semantic_assigned_blas,
+    )
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (None, [0.9, 0.2]), (2, [0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    fold = _semantic_assigned(emb, cents, "vec_id", "embedding", 6, "")
+    blas = _semantic_assigned_blas(emb, cents, "vec_id", "embedding", 6, "")
+    key = lambda r: (r["id"], r["cluster_id"], list(r["v"]), r["n"])
+    f_rows = sorted(map(key, fold.collect()))
+    assert f_rows == sorted(map(key, blas.collect()))
+    assert [r[0] for r in f_rows] == [1, 2]  # the NULL-id row is out
+
+
 def test_semantic_store_blas_write_matches_fold(spark, tmp_path):
     """r13: a store written with assign_tier='blas' must hold row-for-row
     identical (cluster_id, id, vec, norm) to the fold-written store on
