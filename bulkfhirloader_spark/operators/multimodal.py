@@ -738,7 +738,10 @@ def image_ahash(media: DataFrame, thumb: int = 8) -> DataFrame:
 
 
 def image_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Perceptual image near-dup pairs over aHash fingerprints:
     ``(id_a, id_b, hamming)`` for every pair within ``max_hamming`` bits —
@@ -752,12 +755,29 @@ def image_near_dup_pairs(
     raises, because recall past the pigeonhole bound would silently
     drop pairs).
 
+    HOT-BAND SKEW (r14, r13 advice — the docstring previously claimed
+    hash-uniformity made a cap unnecessary; that claim was WRONG for
+    perceptual hashes): aHash bands of smooth/dark/flat images commonly
+    collapse to 0x0000/0xFFFF (every cell below/above the mean), and
+    near-silent audio zero-fills trailing fingerprint bits — one hot
+    (band_idx, band_val) bucket of m members proposes O(m²) candidate
+    pairs BEFORE the popcount verify, exactly the web-scale hazard every
+    other propose stage here caps (dedup._cap_band_buckets, winnowing's
+    max_fp_df).  ``max_bucket_size`` is the same contract: band rows in
+    buckets larger than the cap are EXCLUDED from the join (the window
+    count shares the join's (band_idx, band_val) partitioning — no extra
+    Exchange).  A pair still surfaces via any non-capped shared band; a
+    pair whose EVERY shared band is capped is lost, so the cap trades
+    the pigeonhole recall guarantee on hot-band content for a bounded
+    output — run exact dedup first (image_exact_dedup collapses
+    byte/pixel-identical content for free, the mm_full_pipeline
+    composition) so capped buckets hold only the trivial-content
+    residue.  Default None keeps the exhaustive exact-recall behavior.
+
     Scale shape: banding is a pure projection (shift/mask, JVM-side);
-    the equi-join shuffles (band_idx, band_value) keys — hash-uniform by
-    construction, no skew cap needed since identical images collide on
-    ALL bands but identical hashes are exactly the duplicates being
-    hunted; popcount verification is ``bit_count(xor)``, whole-stage
-    codegen.  NULL hashes (corrupt payloads upstream) are dropped."""
+    the equi-join shuffles ~24 B (band_idx, band_value) keyed rows;
+    popcount verification is ``bit_count(xor)``, whole-stage codegen.
+    NULL hashes (corrupt payloads upstream) are dropped."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"banded Hamming recall is only exact for max_hamming <= "
@@ -780,6 +800,12 @@ def image_near_dup_pairs(
         "media_id", "hash_hi", "hash_lo",
         F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
+    if max_bucket_size is not None:
+        from bulkfhirloader_spark.operators.dedup import _cap_band_buckets
+
+        banded = _cap_band_buckets(
+            banded, max_bucket_size, keys=("band_idx", "band_val")
+        )
     a = banded.select(
         F.col("media_id").alias("id_a"),
         F.col("hash_hi").alias("_hi_a"),
@@ -806,7 +832,9 @@ def image_near_dup_pairs(
     )
 
 
-def audio_fingerprint(media: DataFrame, frame_samples: int = 16) -> DataFrame:
+def audio_fingerprint(
+    media: DataFrame, frame_samples: int = 16, min_frames: int = 2
+) -> DataFrame:
     """Energy-delta audio fingerprints — the Haitsma-Kalker-style
     sign-of-derivative hash that is the public baseline for audio
     near-dup detection: frame the PCM stream (audio_frame_energy's exact
@@ -819,11 +847,22 @@ def audio_fingerprint(media: DataFrame, frame_samples: int = 16) -> DataFrame:
 
     Every step is integer arithmetic (energies are exact int64 sums, the
     bits are strict comparisons), so the whole hash is SQL-restatable
-    from the fixture formula.  Clips with fewer than 65 frames leave
-    their missing trailing bits 0 (the short-clip clamp, restatable as a
-    LEFT JOIN on delta existence); corrupt payloads yield NULL halves
-    (quarantine).  One Arrow pass, numpy reduceat energies, JVM-side
-    joins downstream."""
+    from the fixture formula.  Clips with 65 > frames >= ``min_frames``
+    leave their missing trailing bits 0 (the short-clip clamp,
+    restatable as a LEFT JOIN on delta existence); clips with FEWER than
+    ``min_frames`` frames (default 2 — below one delta there is no
+    fingerprint signal at all) yield NULL halves, the SAME quarantine as
+    corrupt payloads: an all-zero hash for a zero-sample or one-frame
+    clip is a VALID value that collides every silent/short clip at
+    hamming 0 and reports unrelated content as near-dups (r13 advice) —
+    no-signal content is quarantined, not hashed.  One Arrow pass, numpy
+    reduceat energies, JVM-side joins downstream."""
+    if min_frames < 2:
+        raise ValueError(
+            "min_frames must be >= 2: below one energy delta the "
+            "fingerprint carries no signal and every such clip would "
+            "collide at an all-zero hash"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -837,9 +876,10 @@ def audio_fingerprint(media: DataFrame, frame_samples: int = 16) -> DataFrame:
                     continue
                 _rate, _ch, data = parsed
                 arr = np.frombuffer(data, dtype="<i2").astype(np.int64)
-                if arr.size == 0:
-                    out["hash_hi"].append(0)
-                    out["hash_lo"].append(0)
+                n_frames = -(-arr.size // frame_samples)  # ceil
+                if n_frames < min_frames:
+                    out["hash_hi"].append(None)
+                    out["hash_lo"].append(None)
                     continue
                 starts = np.arange(0, arr.size, frame_samples)
                 en = np.add.reduceat(arr * arr, starts)

@@ -299,6 +299,83 @@ def test_audio_fingerprint_and_near_dup(spark):
         assert (i, i + 1000) in pairs and pairs[(i, i + 1000)] <= 3
 
 
+def test_banded_hamming_join_hot_band_cap(spark):
+    """r14 (r13 advice): perceptual hashes are NOT hash-uniform — flat
+    images collapse to 0x0000/0xFFFF bands — so the banded Hamming join
+    needs the same max_bucket_size escape hatch as every other propose
+    stage.  A planted clique of m identical hashes proposes zero pairs
+    under a cap < m; a true near pair sharing any NON-capped band still
+    surfaces; cap < 2 refuses."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+
+    clique = [(i, 0, 0) for i in range(1, 11)]  # 10 identical all-zero hashes
+    twin_a = (100, 0x9ABCDEF0, 0x12345678)
+    twin_b = (101, 0x9ABCDEF0, 0x12345679)  # 1 bit apart, cold buckets
+    # hot band 0 (val 0x1111) shared by 12 docs; 200/201 also share bands
+    # 1-3 (cold, size-2 buckets), 1 bit apart inside band 0
+    hot = [(200 + j, 0x0BAD0000 + j * 65536, 0x00031111) for j in range(12)]
+    hot[1] = (201, hot[0][1], 0x00021111)  # twin of 200 via bands 1-3
+    rows = clique + [twin_a, twin_b] + hot
+    hashes = spark.createDataFrame(
+        rows, "media_id long, hash_hi long, hash_lo long"
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in mm.banded_hamming_pairs(hashes, max_hamming=3).collect()
+    }
+    assert {(i, j) for i in range(1, 11) for j in range(i + 1, 11)} <= uncapped
+    assert (100, 101) in uncapped and (200, 201) in uncapped
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in mm.banded_hamming_pairs(
+            hashes, max_hamming=3, max_bucket_size=8
+        ).collect()
+    }
+    # the m=10 clique (every band bucket size 10 > 8) proposes nothing
+    assert not any(a <= 10 and b <= 10 for a, b in capped)
+    # cold-bucket pair untouched; hot-band pair survives via bands 1-3
+    assert (100, 101) in capped and (200, 201) in capped
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        mm.banded_hamming_pairs(hashes, max_hamming=3, max_bucket_size=1)
+
+
+def test_audio_fingerprint_no_signal_quarantine(spark):
+    """r14 (r13 advice): clips below min_frames carry no fingerprint
+    signal — a zero-sample or one-frame WAV yields NULL halves (the same
+    quarantine as corrupt payloads), never a valid all-zero hash that
+    would collide every silent/short clip at hamming 0."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+
+    empty = mm.encode_wav(8000, [])
+    one_frame = mm.encode_wav(8000, list(range(10)))  # 10 samples -> 1 frame
+    two_frames = mm.encode_wav(8000, list(range(20)))  # 20 samples -> 2 frames
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(empty), ("audio/wav", len(empty), "t")),
+            (2, bytearray(one_frame), ("audio/wav", len(one_frame), "t")),
+            (3, bytearray(two_frames), ("audio/wav", len(two_frames), "t")),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in mm.audio_fingerprint(media).collect()
+    }
+    assert rows[1] == (None, None)  # zero samples: no signal
+    assert rows[2] == (None, None)  # one frame: zero deltas, no signal
+    assert rows[3] != (None, None)  # >= min_frames: a real (short) hash
+    # quarantined rows are dropped from the pair stage like corrupt ones
+    assert mm.banded_hamming_pairs(
+        mm.audio_fingerprint(media), max_hamming=3
+    ).where("id_a in (1, 2) or id_b in (1, 2)").count() == 0
+    with _pytest.raises(ValueError, match="min_frames"):
+        mm.audio_fingerprint(media, min_frames=1)
+
+
 def test_decode_video_y4m_real_parse(spark):
     """r13 Y4M decode: known planes round-trip to exact sums; FRAME
     params and unknown header tags are tolerated; C444, torn frames, and
