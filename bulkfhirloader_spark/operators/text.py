@@ -667,6 +667,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_positions: bool = True,
+    hash_tier: str = "fold",
 ) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
@@ -687,13 +688,33 @@ def winnow_fingerprints(
     documents with fewer than ``k`` tokens yield no fingerprints
     (ngram_array's contract).
 
-    Scale shape: one projection computes grams + the ENGINE-PORTABLE
-    31-bit polynomial hash (rolling_hash_expr — the reason this whole
-    operator is value-hash oracle-checkable where an xxhash64 version
-    would be rows-only), then ONE per-document Exchange+Sort serves the
-    sliding-window min, the row_number, and the per-doc count together
-    (shared window spec).  Output is ~n_grams/window rows per doc;
-    nothing quadratic, no Python.
+    Scale shape: one projection computes grams + the per-gram hash, then
+    ONE per-document Exchange+Sort serves the sliding-window min, the
+    row_number, and the per-doc count together (shared window spec).
+    Output is ~n_grams/window rows per doc; nothing quadratic, no
+    Python.
+
+    ``hash_tier`` picks the per-gram hash (r14, r13 verdict #1 — the
+    fold was the repo's last measured interpreted hot loop, 49.8 s of a
+    500k-doc winnow sweep):
+
+    - ``"fold"`` (default): the ENGINE-PORTABLE 31-bit polynomial
+      character fold (rolling_hash_expr) — DuckDB restates it exactly,
+      so this tier is value-hash oracle-checkable; it is also an
+      interpreted HOF (O(text × k) lambda evaluations), the oracle
+      tier, not the deployment one.
+    - ``"xxhash64"``: Spark's built-in 64-bit hash over the gram string
+      — whole-stage codegen, zero interpreted nodes (measured ~5×
+      faster at 500k docs, SCALE.md r14).  Fingerprint VALUES are
+      engine-specific, so this tier is certified by CANDIDATE-PAIR
+      parity with the fold tier (identical pair sets on planted
+      overlaps, pytest-pinned), the exact fold/blas split the k-means
+      family uses.  The winnowing guarantee is hash-agnostic: any
+      shared run >= window + k - 1 shares a selected fingerprint under
+      EITHER hash (the selected positions differ; the detection does
+      not).  Tie rule parity note: xxhash64 is signed 64-bit, and
+      min-with-rightmost-tie needs only a total order, which signed
+      comparison provides.
 
     ``with_positions=False`` drops the pos column and dedupes on
     (id, fp_hash) directly — for consumers that only need the
@@ -702,6 +723,13 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window as W
 
+    if hash_tier not in ("fold", "xxhash64"):
+        raise ValueError(
+            f"hash_tier must be 'fold' or 'xxhash64', got {hash_tier!r}"
+        )
+    gram_hash = (
+        rolling_hash_expr if hash_tier == "fold" else (lambda c: F.xxhash64(c))
+    )
     grams = docs.select(
         F.col(id_col),
         F.posexplode(ngram_array(tokens(F.col(text_col)), k)).alias(
@@ -711,7 +739,7 @@ def winnow_fingerprints(
     pos = grams.select(
         F.col(id_col),
         (F.col("_p0") + 1).cast("int").alias("pos"),
-        rolling_hash_expr(F.col("_gram")).alias("_h"),
+        gram_hash(F.col("_gram")).alias("_h"),
     )
     frame = (
         W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, window - 1)
@@ -750,6 +778,7 @@ def winnow_candidates(
     max_fp_df: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_tier: str = "fold",
 ) -> DataFrame:
     """Candidate overlap pairs from winnowing fingerprints: documents
     sharing >= ``min_shared`` DISTINCT selected fingerprints, as
@@ -766,13 +795,17 @@ def winnow_candidates(
     guarantee degrades exactly where text is corpus-boilerplate, which
     is the intended behavior of a dedup candidate stage.
 
+    ``hash_tier`` selects the per-gram hash (see winnow_fingerprints —
+    ``"xxhash64"`` is the codegen deployment tier, certified by
+    candidate-pair parity with the default oracle ``"fold"``).
+
     Plan-census note: the self-join's two sides each print the full
     fingerprint lineage, so PLANS.md counts its Exchanges twice — at
     execution AQE collapses them (verified: 2 ReusedExchange in the
     post-exec plan), so the duplicated upstream runs ONCE."""
     fps = winnow_fingerprints(
         docs, k=k, window=window, id_col=id_col, text_col=text_col,
-        with_positions=False,
+        with_positions=False, hash_tier=hash_tier,
     ).select(F.col(id_col).alias("_id"), "fp_hash")
     rare = (
         fps.groupBy("fp_hash")
@@ -789,4 +822,109 @@ def winnow_candidates(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_verified(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 10,
+    min_run_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_tier: str = "fold",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT shared-run verification over winnowing candidates (r14, r13
+    verdict #2 — this completes the family: every other near-dup family
+    composes propose → exact verify, winnowing stopped at candidates):
+    for each candidate pair, join the two documents' ACTUAL k-grams (the
+    strings, not their hashes — a 31-bit fold collision cannot survive
+    this stage) positionally and measure the LONGEST SHARED TOKEN RUN
+    via the classic diagonal gaps-and-islands: a match at (pos_a, pos_b)
+    lies on diagonal pos_a - pos_b, and consecutive pos_a values on one
+    diagonal are one contiguous shared k-gram run of length L covering
+    L + k - 1 tokens.  Output: ``(id_a, id_b, n_matches, max_run_grams,
+    max_run_tokens)`` for pairs with ``max_run_tokens >=
+    min_run_tokens`` (default window + k - 1 — exactly the overlap
+    length the winnowing guarantee detects deterministically, so
+    propose-recall and verify-precision meet at the same boundary).
+
+    Scale shape (the LSH-proposes/exact-verifies pattern,
+    ngram_jaccard_pairs' candidate mode): the candidate set is
+    lazily checkpointed once (it is referenced by the wanted-id set and
+    the pair attach), grams are exploded ONLY for documents named in
+    some pair (broadcast semi join — the corpus never shuffles), the
+    positional match is a pair-and-gram equi join over candidate docs
+    only, and the islands need ONE window (row_number per pair-diagonal)
+    whose partitioning the run-length aggregation then reuses (subset
+    keys).  ``candidates`` overrides the propose stage (pass a cheaper
+    or stricter pair set); ``hash_tier`` feeds through to the in-call
+    propose (the verify itself is hash-free, so both tiers verify
+    identically — that is the point of verifying on strings)."""
+    from pyspark.sql.window import Window as W
+
+    if min_run_tokens is None:
+        min_run_tokens = window + k - 1
+    if candidates is None:
+        candidates = winnow_candidates(
+            docs, k=k, window=window, min_shared=min_shared,
+            max_fp_df=max_fp_df, id_col=id_col, text_col=text_col,
+            hash_tier=hash_tier,
+        )
+    cand = (
+        candidates.select("id_a", "id_b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    wanted = cand.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    grams = (
+        docs.join(F.broadcast(wanted), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.posexplode(ngram_array(tokens(F.col(text_col)), k)).alias(
+                "_p0", "_gram"
+            ),
+        )
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_gram")
+    )
+    matches = (
+        cand.join(
+            grams.select(
+                F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "_gram"
+            ),
+            "id_a",
+        )
+        .join(
+            grams.select(
+                F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "_gram"
+            ),
+            ["id_b", "_gram"],
+        )
+        .select("id_a", "id_b", "pos_a", "pos_b")
+    )
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    islands = matches.select("id_a", "id_b", diag, "pos_a").select(
+        "id_a", "id_b", "diag",
+        (F.col("pos_a") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = islands.groupBy("id_a", "id_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_matches"),
+            F.max("run_len").cast("long").alias("max_run_grams"),
+        )
+        .withColumn(
+            "max_run_tokens", (F.col("max_run_grams") + F.lit(k - 1)).cast("long")
+        )
+        .where(F.col("max_run_tokens") >= min_run_tokens)
     )

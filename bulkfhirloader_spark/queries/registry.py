@@ -2571,6 +2571,85 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+def dedup_winnow_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow propose → EXACT verify (text.winnow_verified, r14 — r13
+    verdict #2, completing the family): candidate pairs re-join their
+    ACTUAL k-gram strings positionally and the diagonal gaps-and-islands
+    measures the longest shared token run; pairs survive at
+    max_run_tokens >= window + k - 1 = 6, exactly the overlap length the
+    propose stage detects deterministically.  The oracle restates the
+    WHOLE pipeline — fingerprints, df cap, candidate join, gram match,
+    islands — so one hash certifies propose and verify together."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_verified(docs, k=3, window=4, min_shared=2, max_fp_df=10)
+
+
+_WINNOW_VERIFY_TAIL = """
+, fpd AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+rare AS (SELECT fp_hash FROM fpd GROUP BY 1 HAVING count(*) <= 10),
+pr AS (SELECT doc_id, fp_hash FROM fpd
+       WHERE fp_hash IN (SELECT fp_hash FROM rare)),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pr a JOIN pr b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+gr AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos, u.gram
+       FROM g, LATERAL (SELECT unnest(grams) AS gram,
+                               generate_subscripts(grams, 1) AS i) u),
+m AS (SELECT c.id_a, c.id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM cand c
+      JOIN gr a ON a.doc_id = c.id_a
+      JOIN gr b ON b.doc_id = c.id_b AND b.gram = a.gram),
+isl AS (SELECT id_a, id_b, pos_a - pos_b AS diag,
+               pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                                          ORDER BY pos_a) AS grp
+        FROM m),
+runs AS (SELECT id_a, id_b, count(*) AS run_len
+         FROM isl GROUP BY id_a, id_b, diag, grp)
+"""
+
+_DEDUP_WINNOW_VERIFIED_SQL = _WINNOW_CTE + _WINNOW_VERIFY_TAIL + """
+SELECT id_a, id_b,
+       CAST(sum(run_len) AS BIGINT) AS n_matches,
+       CAST(max(run_len) AS BIGINT) AS max_run_grams,
+       CAST(max(run_len) + 2 AS BIGINT) AS max_run_tokens
+FROM runs GROUP BY 1, 2
+HAVING max(run_len) + 2 >= 6
+"""
+
+
+def dedup_winnow_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the WINNOWING pipeline, composed exactly like its MinHash
+    and semantic siblings (r14): propose → exact shared-run verify →
+    connected components → one row per duplicate group (size + surviving
+    min id).  The oracle chains the winnow CTEs into the same
+    recursive-CTE transitive closure the other families use — one hash
+    certifies fingerprint selection, candidate banding, exact run
+    verification, and the min-label propagation together."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text.winnow_verified(docs, k=3, window=4, min_shared=2, max_fp_df=10)
+    return dedup.duplicate_clusters(pairs)
+
+
+_DEDUP_WINNOW_SURV_SQL = (
+    _WINNOW_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _WINNOW_VERIFY_TAIL
+    + """
+, vp AS (SELECT id_a, id_b FROM runs GROUP BY 1, 2
+         HAVING max(run_len) + 2 >= 6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+          UNION SELECT id_b, id_a FROM vp),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r2.src, e.dst FROM reach r2 JOIN edges e ON r2.dst = e.src),
+labels AS (SELECT src AS node, least(src, min(dst)) AS component
+           FROM reach GROUP BY src)
+SELECT component, count(*) AS cluster_size, min(node) AS keep_id
+FROM labels GROUP BY component
+"""
+)
+
+
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -5479,6 +5558,76 @@ WHERE hamming <= 3
 """
 
 
+def mm_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming join with the hot-band skew cap ENGAGED (r14, r13
+    advice: perceptual hashes are not hash-uniform — flat images collapse
+    to 0x0000/0xFFFF bands, so the join needs the same max_bucket_size
+    escape hatch as every other propose stage).  The fixture plants a
+    CLIQUE of all-zero hashes (doc_id % 50 == 3 — the flat-image case:
+    10+ members at sf0.01, every band bucket over the cap of 8, so the
+    clique proposes ZERO pairs) beside formula-mixed hashes with planted
+    1-bit twins (doc_id % 100 == 73 twins doc_id - 50) that survive in
+    cold buckets.  The oracle restates the CAP ITSELF relationally —
+    band split, per-(band_idx, band_val) frequency window, exclusion,
+    join, popcount — so the hash certifies exactly which rows the cap
+    excludes, not just the surviving pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mix_lo = lambda x: (x * F.lit(2654435761)) % F.lit(4294967296)
+    mix_hi = lambda x: (x * F.lit(48271) + F.lit(11)) % F.lit(4294967296)
+    hashes = docs.where(d % 10 == 3).select(
+        d.alias("media_id"),
+        F.when(d % 50 == 3, F.lit(0).cast("long"))
+        .when(d % 100 == 73, mix_lo(d - 50).bitwiseXOR(F.lit(1)))
+        .otherwise(mix_lo(d))
+        .alias("hash_lo"),
+        F.when(d % 50 == 3, F.lit(0).cast("long"))
+        .when(d % 100 == 73, mix_hi(d - 50))
+        .otherwise(mix_hi(d))
+        .alias("hash_hi"),
+    )
+    return multimodal.banded_hamming_pairs(
+        hashes, max_hamming=3, max_bucket_size=8
+    )
+
+
+_MM_ND_CAPPED_SQL = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 50 = 3 THEN 0
+              WHEN doc_id % 100 = 73
+                THEN xor(((doc_id - 50) * 2654435761) % 4294967296,
+                         CAST(1 AS BIGINT))
+              ELSE (doc_id * 2654435761) % 4294967296 END AS hash_lo,
+         CASE WHEN doc_id % 50 = 3 THEN 0
+              WHEN doc_id % 100 = 73
+                THEN ((doc_id - 50) * 48271 + 11) % 4294967296
+              ELSE (doc_id * 48271 + 11) % 4294967296 END AS hash_hi
+  FROM documents WHERE doc_id % 10 = 3),
+b AS (
+  SELECT media_id, hash_hi, hash_lo,
+         0 AS band_idx, hash_lo % 65536 AS band_val FROM h
+  UNION ALL
+  SELECT media_id, hash_hi, hash_lo, 1, (hash_lo // 65536) % 65536 FROM h
+  UNION ALL
+  SELECT media_id, hash_hi, hash_lo, 2, hash_hi % 65536 FROM h
+  UNION ALL
+  SELECT media_id, hash_hi, hash_lo, 3, (hash_hi // 65536) % 65536 FROM h),
+capped AS (
+  SELECT media_id, hash_hi, hash_lo, band_idx, band_val FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bn FROM b)
+  WHERE bn <= 8)
+SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+       CAST(bit_count(xor(a.hash_hi, c.hash_hi))
+            + bit_count(xor(a.hash_lo, c.hash_lo)) AS INTEGER) AS hamming
+FROM capped a JOIN capped c
+  ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+ AND a.media_id < c.media_id
+WHERE bit_count(xor(a.hash_hi, c.hash_hi))
+      + bit_count(xor(a.hash_lo, c.hash_lo)) <= 3
+"""
+
+
 def mm_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode (r13 — Y4M/YUV4MPEG2 makes video the THIRD
     genuinely-decoded modality; raw 4:2:0 planes behind a text header
@@ -6651,6 +6800,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint_rolling": (text_fingerprint_rolling, _TEXT_FP_ROLLING_SQL),
     "text_winnow_fingerprints": (text_winnow_fingerprints, _TEXT_WINNOW_SQL),
     "dedup_winnow_candidates": (dedup_winnow_candidates, _DEDUP_WINNOW_SQL),
+    # r14: the verify + survivors composition every other near-dup family
+    # already had (r13 verdict #2) — oracles restate propose AND verify
+    "dedup_winnow_verified": (dedup_winnow_verified, _DEDUP_WINNOW_VERIFIED_SQL),
+    "dedup_winnow_survivors": (dedup_winnow_survivors, _DEDUP_WINNOW_SURV_SQL),
     "text_token_count_bpe": (text_token_count_bpe, _TEXT_BPE_SQL),
     "text_repetition_stats": (text_repetition_stats, _TEXT_REPETITION_SQL),
     "text_vocab_pair_counts": (text_vocab_pair_counts, _TEXT_VOCAB_PAIRS_SQL),
@@ -6717,6 +6870,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mm_image_near_dup": (mm_image_near_dup, _MM_NEAR_DUP_SQL),
     "mm_audio_fingerprint": (mm_audio_fingerprint, _MM_AUDIO_FP_SQL),
     "mm_audio_near_dup": (mm_audio_near_dup, _MM_AUDIO_ND_SQL),
+    # r14: the hot-band skew cap engaged — the oracle restates the cap
+    # itself (band frequency window + exclusion), not just the survivors
+    "mm_near_dup_capped": (mm_near_dup_capped, _MM_ND_CAPPED_SQL),
     "mm_decode_video": (mm_decode_video, _MM_VIDEO_SQL),
     "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
     "mm_decode_wav": (mm_decode_wav, _MM_DECODE_WAV_SQL),

@@ -393,3 +393,92 @@ def test_winnow_guarantee_and_short_doc_clamp(spark):
     # candidates surface the (1, 2) pair
     cands = t.winnow_candidates(docs, min_shared=1)
     assert {(r["id_a"], r["id_b"]) for r in cands.collect()} == {(1, 2)}
+
+
+def test_winnow_xxhash64_tier_pair_parity(spark):
+    """r14 (r13 verdict #1): the codegen xxhash64 hash tier must find the
+    SAME candidate pairs as the oracle fold tier on planted overlaps —
+    fingerprint values differ by construction (engine hash vs portable
+    fold), so parity is at the PAIR SET, the level the winnowing
+    guarantee actually speaks at: any shared run >= window + k - 1
+    shares a selected fingerprint under either hash.  Corpus design
+    makes the pair set hash-independent: true pairs share runs >= 6
+    tokens, non-pairs share ZERO k-grams (disjoint vocabularies)."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import text as t
+
+    run_a = "aa bb cc dd ee ff gg hh"            # 8 tokens >= 6
+    run_b = "k1 k2 k3 k4 k5 k6 k7"               # 7 tokens >= 6
+    docs = spark.createDataFrame(
+        [
+            (1, run_a + " xx yy zz"),
+            (2, "p1 p2 p3 p4 " + run_a),
+            (3, run_b),
+            (4, "q1 q2 q3 " + run_b + " q4 q5"),
+            (5, "m1 m2 m3 m4 m5 m6 m7 m8 m9"),   # overlaps nothing
+            (6, "n1 n2 n3 n4 n5 n6 n7 n8"),      # overlaps nothing
+        ],
+        "doc_id long, text string",
+    )
+    want = {(1, 2), (3, 4)}
+    for tier in ("fold", "xxhash64"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in t.winnow_candidates(
+                docs, min_shared=1, hash_tier=tier
+            ).collect()
+        }
+        assert got == want, tier
+    # fingerprint sets themselves are tier-specific (values differ) but
+    # the per-doc selection VOLUME contract (~1/window) holds on both
+    fold_n = t.winnow_fingerprints(docs, hash_tier="fold").count()
+    xxh_n = t.winnow_fingerprints(docs, hash_tier="xxhash64").count()
+    assert fold_n > 0 and xxh_n > 0
+    with _pytest.raises(ValueError, match="hash_tier"):
+        t.winnow_fingerprints(docs, hash_tier="md5")
+
+
+def test_winnow_verified_measures_exact_shared_runs(spark):
+    """r14 (r13 verdict #2): the verify stage joins ACTUAL k-gram strings
+    positionally and the diagonal gaps-and-islands yields the exact
+    longest-shared-run length — a planted 8-token run measures 8 tokens
+    (6 grams at k=3), split runs measure their longest piece, pairs
+    below min_run_tokens drop, and the verify is hash-free (identical
+    verified pairs under both propose hash tiers)."""
+    from bulkfhirloader_spark.operators import text as t
+
+    run8 = "w1 w2 w3 w4 w5 w6 w7 w8"                  # 8 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, run8 + " xx yy zz"),
+            (2, "p1 p2 p3 " + run8),
+            # 5-token shared run (3 grams): proposable at min_shared=1
+            # but BELOW the 6-token verify default -> must drop
+            (3, "s1 s2 s3 s4 s5 aa bb cc"),
+            (4, "qq rr s1 s2 s3 s4 s5"),
+        ],
+        "doc_id long, text string",
+    )
+    for tier in ("fold", "xxhash64"):
+        out = {
+            (r["id_a"], r["id_b"]): r
+            for r in t.winnow_verified(
+                docs, min_shared=1, hash_tier=tier
+            ).collect()
+        }
+        assert set(out) == {(1, 2)}, tier
+        r = out[(1, 2)]
+        assert r["max_run_grams"] == 6 and r["max_run_tokens"] == 8
+        assert r["n_matches"] == 6
+    # candidates override: verify an explicit pair set, skip propose
+    cand = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+    got = t.winnow_verified(docs, candidates=cand, min_run_tokens=5).collect()
+    assert len(got) == 1 and got[0]["max_run_tokens"] == 5
+    # survivors compose downstream like every other family
+    from bulkfhirloader_spark.operators import dedup as dd
+
+    surv = dd.duplicate_clusters(t.winnow_verified(docs, min_shared=1))
+    rows = surv.collect()
+    assert len(rows) == 1
+    assert rows[0]["keep_id"] == 1 and rows[0]["cluster_size"] == 2
