@@ -982,7 +982,9 @@ def parse_y4m(b: bytes) -> tuple[int, int, list[tuple[bytes, bytes, bytes]]] | N
     return w, h, frames
 
 
-def synthetic_y4m_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def synthetic_y4m_media(
+    ids: DataFrame, id_col: str = "media_id", perturb_origin: bool = False
+) -> DataFrame:
     """Deterministic Y4M (C420) fixture clips as MEDIA_SCHEMA rows — the
     video-shaped testdata generator (same protocol as the PPM/WAV
     fixtures: pure integer formulas so a SQL oracle restates the decoded
@@ -991,7 +993,12 @@ def synthetic_y4m_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
       Y[f][i] = (m*7919 + f*257 + i*31) % 256        (i over w*h)
       U[f][j] = (m*7919 + f*257 + j*37 + 11) % 256   (j over w/2*h/2)
       V[f][j] = (m*7919 + f*257 + j*41 + 23) % 256
-    """
+
+    ``perturb_origin=True`` (r14, the near-dup fixture knob — the video
+    twin of synthetic_ppm_media's) adds 128 (mod 256) to Y[0][0] only —
+    frame 0's origin luma sample — a deterministic single-sample edit
+    that leaves the clip a perceptual near-duplicate of its unperturbed
+    twin, restatable in SQL as the same formula + one conditional term."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1003,7 +1010,14 @@ def synthetic_y4m_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 cs = (w // 2) * (h // 2)
                 frames = [
                     (
-                        bytes((m * 7919 + f * 257 + i * 31) % 256 for i in range(w * h)),
+                        bytes(
+                            (
+                                m * 7919 + f * 257 + i * 31
+                                + (128 if perturb_origin and f == 0 and i == 0
+                                   else 0)
+                            ) % 256
+                            for i in range(w * h)
+                        ),
                         bytes((m * 7919 + f * 257 + j * 37 + 11) % 256 for j in range(cs)),
                         bytes((m * 7919 + f * 257 + j * 41 + 23) % 256 for j in range(cs)),
                     )
@@ -1062,3 +1076,154 @@ def decode_video(media: DataFrame) -> DataFrame:
             yield frame
 
     return media.select("media_id", "payload").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+VIDEO_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("hash_hi", T.LongType()),
+        T.StructField("hash_lo", T.LongType()),
+    ]
+)
+
+
+def video_frame_ahash(media: DataFrame, thumb: int = 8) -> DataFrame:
+    """Per-frame perceptual fingerprints for Y4M clips (r14, r13 verdict
+    #4 — video was the only decoded modality without one): each decoded
+    frame's LUMA plane is already the grayscale image aHash wants, so
+    the hash is image_ahash's exact recipe minus the RGB→gray step —
+    8x8 nearest-neighbor downsample of the Y plane (cell (tx, ty)
+    samples Y[(ty*H // 8)*W + tx*W // 8]), integer mean = sum // 64, bit
+    = STRICT y > mean, row-major packing into the same two unsigned
+    32-bit halves as the image/audio hashes.  Output is one row per
+    (media_id, frame_idx): the 1->N fan-out shape of decode_video, so
+    malformed payloads contribute no rows (quarantine-by-absence, the
+    video family's convention) rather than NULL rows.
+
+    Every step is integer arithmetic — SQL-restatable straight from the
+    fixture formula without parsing a byte.  One Arrow pass; payload
+    bytes never leave the executor; downstream banding/joins are pure
+    JVM (video_near_dup_pairs)."""
+    n_cells = thumb * thumb
+    if n_cells != 64:
+        raise ValueError("video_frame_ahash packs exactly 64 bits: thumb must be 8")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "hash_hi": [], "hash_lo": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = parse_y4m(bytes(payload or b""))
+                if parsed is None:
+                    continue
+                w, h, frames = parsed
+                sy = np.arange(thumb, dtype=np.int64) * h // thumb
+                sx = np.arange(thumb, dtype=np.int64) * w // thumb
+                for f, (y, _u, _v) in enumerate(frames):
+                    a = np.frombuffer(y, dtype=np.uint8).reshape(h, w)
+                    gray = a[sy][:, sx].astype(np.int64)
+                    mean = int(gray.sum()) // n_cells
+                    bits = (gray > mean).ravel()  # row-major: ty*8 + tx
+                    lo = sum(1 << i for i in range(32) if bits[i])
+                    hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["hash_hi"].append(hi)
+                    out["hash_lo"].append(lo)
+            frame = pd.DataFrame(out)
+            frame["frame_idx"] = frame["frame_idx"].astype("int32")
+            for c in ("hash_hi", "hash_lo"):
+                frame[c] = frame[c].astype("Int64")
+            yield frame
+
+    return media.select("media_id", "payload").mapInPandas(run, VIDEO_AHASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    min_close_frames: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Perceptual video near-dup pairs over per-frame aHashes (r14):
+    ``(id_a, id_b, n_close_frames)`` — the count of ALIGNED frame pairs
+    (same frame_idx) within ``max_hamming`` bits, for clip pairs with at
+    least ``min_close_frames`` of them.  Aligned-frame pairing is the
+    deterministic baseline for re-encodes/re-renders of the same cut
+    (time-shifted edits need an any-frame variant — compose the banded
+    join without frame_idx in the key if that recall matters more than
+    the fan-out).
+
+    Scale shape: the SAME banded Hamming propose/verify as the
+    image/audio families with frame_idx prepended to the join key — by
+    pigeonhole a frame pair within bands-1 bits agrees exactly on >= 1
+    of its 4 x 16-bit slices, so the equi-join on (frame_idx, band_idx,
+    band_val) proposes a superset per aligned frame and ``bit_count
+    (xor)`` verifies in-join (enforced max_hamming <= bands - 1, exact
+    recall per frame); the clip-level count is one partial-aggregated
+    groupBy over the ~16 B verified frame-pair rows.  Frame hashes are
+    ~24 B/row regardless of resolution — clip bodies never join.
+    ``max_bucket_size`` is the hot-band skew cap (shared contract, r13
+    advice: flat/black frames collapse to one band value; capped frame
+    rows propose nothing, trading recall on trivial-content frames for
+    a bounded output)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded Hamming recall is only exact for max_hamming <= "
+            f"bands - 1 (pigeonhole); got max_hamming={max_hamming}, "
+            f"bands={bands} — raise bands or lower the threshold"
+        )
+    if bands != 4:
+        raise ValueError("64-bit aHash bands: only the 4 x 16-bit split is wired")
+    if min_close_frames < 1:
+        raise ValueError("min_close_frames must be >= 1")
+    h = frame_hashes.where(
+        F.col("hash_hi").isNotNull() & F.col("hash_lo").isNotNull()
+    ).select("media_id", "frame_idx", "hash_hi", "hash_lo")
+    mask = F.lit(0xFFFF)
+    band_arr = F.array(
+        F.col("hash_lo").bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("hash_lo"), 16).bitwiseAND(mask),
+        F.col("hash_hi").bitwiseAND(mask),
+        F.shiftrightunsigned(F.col("hash_hi"), 16).bitwiseAND(mask),
+    )
+    banded = h.select(
+        "media_id", "frame_idx", "hash_hi", "hash_lo",
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
+    if max_bucket_size is not None:
+        from bulkfhirloader_spark.operators.dedup import _cap_band_buckets
+
+        banded = _cap_band_buckets(
+            banded, max_bucket_size, keys=("frame_idx", "band_idx", "band_val")
+        )
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        F.col("hash_hi").alias("_hi_a"),
+        F.col("hash_lo").alias("_lo_a"),
+        "frame_idx", "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("hash_hi").alias("_hi_b"),
+        F.col("hash_lo").alias("_lo_b"),
+        "frame_idx", "band_idx", "band_val",
+    )
+    hamming = F.bit_count(
+        F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))
+    ) + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+    close_frames = (
+        a.join(b, ["frame_idx", "band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(hamming <= max_hamming)
+        .select("id_a", "id_b", "frame_idx")
+        .distinct()
+    )
+    return (
+        close_frames.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_close_frames"))
+        .where(F.col("n_close_frames") >= min_close_frames)
+    )

@@ -5678,6 +5678,108 @@ JOIN vs ON vs.media_id = f.media_id AND vs.frame_idx = f.frame_idx
 """
 
 
+def _video_fp_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-fingerprint fixture corpus: every doc_id % 20 == 2 seeds a
+    Y4M clip (the mm_decode_video slice); every doc_id % 40 == 2
+    additionally yields a PERTURBED near-duplicate under media_id
+    seed + 10^8 (frame 0's origin luma sample shifted by +128 mod 256 —
+    a single-sample edit, so the twins' frame-0 hashes differ by a few
+    borderline-mean bits and every later frame is hash-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = multimodal.synthetic_y4m_media(
+        docs.where(F.col("doc_id") % 20 == 2).select(
+            F.col("doc_id").alias("media_id")
+        )
+    )
+    pert = multimodal.synthetic_y4m_media(
+        docs.where(F.col("doc_id") % 40 == 2).select(
+            F.col("doc_id").alias("media_id")
+        ),
+        perturb_origin=True,
+    ).withColumn("media_id", F.col("media_id") + F.lit(100000000))
+    return base.unionByName(pert)
+
+
+def mm_video_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video fingerprints (multimodal.video_frame_ahash, r14 —
+    r13 verdict #4, closing the fingerprint×modality matrix): aHash over
+    each decoded frame's LUMA plane (already grayscale — image_ahash's
+    recipe minus RGB→gray).  The oracle re-derives every bit from the
+    Y4M generating formula — frame fan-out, 8x8 floor downsample of the
+    Y plane, floor mean, strict comparison, row-major packing — without
+    parsing a byte."""
+    return multimodal.video_frame_ahash(_video_fp_fixture_media(spark, sf_dir))
+
+
+_VIDEO_AHASH_CTE = """
+WITH seeds AS (
+    SELECT doc_id AS media_id, doc_id AS seed, 0 AS pert
+    FROM documents WHERE doc_id % 20 = 2
+    UNION ALL
+    SELECT doc_id + 100000000, doc_id, 1
+    FROM documents WHERE doc_id % 40 = 2),
+dims AS (SELECT media_id, seed, pert,
+                4 + 2 * (seed % 3) AS w, 4 + 2 * (seed % 2) AS h,
+                2 + seed % 3 AS nf
+         FROM seeds),
+fr AS (SELECT media_id, seed, pert, w, h, CAST(f.i AS INTEGER) AS frame_idx
+       FROM dims, unnest(range(CAST(nf AS BIGINT))) AS f(i)),
+cells AS (SELECT media_id, seed, pert, frame_idx, CAST(t.i AS INTEGER) AS cell,
+                 ((CAST(t.i AS INTEGER) // 8) * h // 8) * w
+                 + ((CAST(t.i AS INTEGER) % 8) * w // 8) AS pix
+          FROM fr, unnest(range(64)) AS t(i)),
+gray AS (SELECT media_id, frame_idx, cell,
+                (seed * 7919 + frame_idx * 257 + pix * 31
+                 + CASE WHEN pert = 1 AND frame_idx = 0 AND pix = 0
+                        THEN 128 ELSE 0 END) % 256 AS g
+         FROM cells),
+mn AS (SELECT media_id, frame_idx, sum(g) // 64 AS mean
+       FROM gray GROUP BY 1, 2),
+bits AS (SELECT g.media_id, g.frame_idx, g.cell
+         FROM gray g JOIN mn
+           ON g.media_id = mn.media_id AND g.frame_idx = mn.frame_idx
+         WHERE g.g > mn.mean),
+hashes AS (SELECT f2.media_id, f2.frame_idx,
+       CAST(coalesce(sum(CASE WHEN b.cell >= 32
+                               THEN CAST(1 AS BIGINT) << (b.cell - 32) END), 0)
+            AS BIGINT) AS hash_hi,
+       CAST(coalesce(sum(CASE WHEN b.cell < 32
+                               THEN CAST(1 AS BIGINT) << b.cell END), 0)
+            AS BIGINT) AS hash_lo
+FROM fr f2 LEFT JOIN bits b
+  ON f2.media_id = b.media_id AND f2.frame_idx = b.frame_idx
+GROUP BY 1, 2)
+"""
+
+_MM_VIDEO_AHASH_SQL = _VIDEO_AHASH_CTE + """
+SELECT media_id, frame_idx, hash_hi, hash_lo FROM hashes
+"""
+
+
+def mm_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (r14): per-frame banded Hamming propose +
+    popcount verify with frame_idx prepended to the join key, then a
+    clip-level aligned-close-frame count.  The oracle runs the FULL
+    quadratic aligned-frame scan from the formula-derived hashes, so a
+    hash match certifies the per-frame pigeonhole banding loses nothing
+    against brute force."""
+    hashes = multimodal.video_frame_ahash(_video_fp_fixture_media(spark, sf_dir))
+    return multimodal.video_near_dup_pairs(
+        hashes, max_hamming=3, min_close_frames=1
+    )
+
+
+_MM_VIDEO_ND_SQL = _VIDEO_AHASH_CTE + """
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_close_frames FROM (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.frame_idx
+    FROM hashes a JOIN hashes b
+      ON a.frame_idx = b.frame_idx AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3)
+GROUP BY 1, 2
+"""
+
+
 def mm_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP end-to-end multimodal pipeline (r13, r12 verdict #6 —
     composed exactly the way cur_full_pipeline composes curation):
@@ -6874,6 +6976,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # itself (band frequency window + exclusion), not just the survivors
     "mm_near_dup_capped": (mm_near_dup_capped, _MM_ND_CAPPED_SQL),
     "mm_decode_video": (mm_decode_video, _MM_VIDEO_SQL),
+    # r14: per-frame luma aHash + aligned-frame banded Hamming near-dup —
+    # video closes the fingerprint x modality matrix (oracle is the full
+    # quadratic aligned-frame scan from the generating formula)
+    "mm_video_ahash": (mm_video_ahash, _MM_VIDEO_AHASH_SQL),
+    "mm_video_near_dup": (mm_video_near_dup, _MM_VIDEO_ND_SQL),
     "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
     "mm_decode_wav": (mm_decode_wav, _MM_DECODE_WAV_SQL),
     "mm_wav_frame_energy": (mm_wav_frame_energy, _MM_WAV_ENERGY_SQL),

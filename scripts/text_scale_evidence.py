@@ -76,6 +76,12 @@ def main() -> None:
         t0 = tm()
         force(text.winnow_fingerprints(docs))
         res["winnow"] = tm() - t0
+        # r14: the xxhash64 deployment tier — same plan shape, the
+        # interpreted char-fold HOF replaced by one codegen hash call;
+        # the fold-vs-xxh ratio IS the interpreted-hot-loop cost
+        t0 = tm()
+        force(text.winnow_fingerprints(docs, hash_tier="xxhash64"))
+        res["winnow_xxh"] = tm() - t0
         print(
             f"{name:6s} " + "  ".join(f"{k}={v:5.1f}s" for k, v in res.items()),
             flush=True,

@@ -376,6 +376,62 @@ def test_audio_fingerprint_no_signal_quarantine(spark):
         mm.audio_fingerprint(media, min_frames=1)
 
 
+def test_video_frame_ahash_and_near_dup(spark):
+    """r14 video fingerprints: a frame-0 single-sample perturbed twin
+    keeps every later frame hash-identical and lands within the Hamming
+    bound on frame 0; malformed payloads contribute no rows
+    (quarantine-by-absence, the video family's convention); aligned
+    pairing counts close frames; config guards refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in range(2, 100, 20)], "media_id long")
+    base = mm.synthetic_y4m_media(ids)
+    pert = mm.synthetic_y4m_media(ids, perturb_origin=True).withColumn(
+        "media_id", F.col("media_id") + F.lit(1000)
+    )
+    corrupt = spark.createDataFrame(
+        [(5000, bytearray(b"not video"), ("video/x-yuv4mpeg", 9, "x"))],
+        mm.MEDIA_SCHEMA,
+    )
+    hashes = mm.video_frame_ahash(base.unionByName(pert).unionByName(corrupt))
+    rows = {
+        (r["media_id"], r["frame_idx"]): (r["hash_hi"], r["hash_lo"])
+        for r in hashes.collect()
+    }
+    assert not any(mid == 5000 for mid, _ in rows)  # absence quarantine
+    assert all(0 <= v < 2**32 for hv in rows.values() for v in hv)
+    for i in range(2, 100, 20):
+        nf = 2 + i % 3
+        # non-perturbed frames are hash-identical across the twins
+        for f in range(1, nf):
+            assert rows[(i, f)] == rows[(i + 1000, f)]
+        # frame 0: the fixture frames are 4-8 px wide, so the 8x8 thumb
+        # UPSAMPLES — the origin sample feeds up to 4 cells, plus
+        # mean-borderline flips: a dozen bits at most, not zero
+        (ha, la), (hb, lb) = rows[(i, 0)], rows[(i + 1000, 0)]
+        assert 0 < bin(ha ^ hb).count("1") + bin(la ^ lb).count("1") <= 12
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_close_frames"]
+        for r in mm.video_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    for i in range(2, 100, 20):
+        # frames 1.. are identical (hamming 0); frame 0 may exceed the
+        # bound on these tiny upsampled fixtures
+        assert pairs[(i, i + 1000)] >= 2 + i % 3 - 1
+    # min_close_frames raises the clip-level bar
+    strict = mm.video_near_dup_pairs(hashes, max_hamming=3, min_close_frames=3)
+    assert all(r["n_close_frames"] >= 3 for r in strict.collect())
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        mm.video_near_dup_pairs(hashes, max_hamming=4)
+    with _pytest.raises(ValueError, match="min_close_frames"):
+        mm.video_near_dup_pairs(hashes, min_close_frames=0)
+    with _pytest.raises(ValueError, match="thumb"):
+        mm.video_frame_ahash(base, thumb=4)
+
+
 def test_decode_video_y4m_real_parse(spark):
     """r13 Y4M decode: known planes round-trip to exact sums; FRAME
     params and unknown header tags are tolerated; C444, torn frames, and
