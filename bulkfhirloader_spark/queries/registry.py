@@ -3958,6 +3958,81 @@ def stream_mm_image_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("media_id").distinct()
 
 
+def stream_mm_image_admit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-tier streaming image gate (r14, r13 verdict #5 — the
+    banded/semantic stores' pattern applied to the third gate): the
+    static side is the BUCKETED perceptual-hash store — (id, band_key,
+    hash_hi, hash_lo) written bucketBy(band_key) — so a gate restart
+    pays only a scan (zero static-side Exchange, plan-asserted in
+    tests/test_plans.py) instead of a per-session re-band + cache fill.
+    The gate re-attaches the catalog table itself
+    (register_image_hash_table) — the restart path a deployment takes.
+    Admissions are defined identical to the derived twin, so the oracle
+    SQL is shared (_STREAM_IMG_SQL)."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import (
+        image_hash_store_write,
+        stream_image_admission,
+    )
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, "mm_image_admit_stored")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_img_store_")
+        pert = multimodal.synthetic_ppm_media(
+            docs.where(F.col("doc_id") % 40 == 0).select(
+                F.col("doc_id").alias("media_id")
+            ),
+            perturb_origin=True,
+        ).withColumn("media_id", F.col("media_id") + F.lit(100000000))
+        novel = multimodal.synthetic_ppm_media(
+            docs.where(F.col("doc_id") % 40 == 20).select(
+                F.col("doc_id").alias("media_id")
+            )
+        )
+        pert.unionByName(novel).repartition(3).write.mode("overwrite").parquet(
+            _os.path.join(src, "in")
+        )
+        image_hash_store_write(
+            multimodal.image_ahash(
+                multimodal.synthetic_ppm_media(
+                    docs.where(F.col("doc_id") % 40 == 0).select(
+                        F.col("doc_id").alias("media_id")
+                    )
+                )
+            ),
+            _os.path.join(src, "imgstore"),
+            num_buckets=8,
+        )
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_img_stored_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_image_admission(
+            stream, max_hamming=3, hash_store=_os.path.join(src, "imgstore")
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("media_id").distinct()
+
+
 _STREAM_IMG_SQL = """
 WITH seeds AS (
     SELECT doc_id AS media_id, doc_id AS seed, 0 AS pert, 0 AS is_stream
@@ -6823,6 +6898,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _STREAM_SEMANTIC_SQL,
     ),
     "stream_mm_image_admit": (stream_mm_image_admit, _STREAM_IMG_SQL),
+    # r14: the bucketed perceptual-hash store gate tier (zero static-side
+    # Exchange from layout); semantics defined identical, oracle shared
+    "stream_mm_image_admit_stored": (stream_mm_image_admit_stored, _STREAM_IMG_SQL),
     # r12: the bucketed banded-table gate tier (zero static-side Exchange
     # from layout); semantics defined identical, oracle shared
     "stream_near_dup_admit_bucketed": (

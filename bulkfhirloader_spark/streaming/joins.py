@@ -1027,12 +1027,178 @@ def stream_semantic_admission(
 _live_static_sem_caches: list = []
 
 
+def _image_hash_table_name(path: str) -> str:
+    """Catalog-name seed for the bucketed perceptual-hash store at
+    ``path``."""
+    return bucketed_table_name("bfls_imghash", path)
+
+
+def _band_key_array(hi, lo):
+    """The 64-bit perceptual hash's four 16-bit slices as ONE composite
+    key each: ``band_key = band_idx * 65536 + band_val`` — a bijection of
+    the (band_idx, band_val) pair into a single long, so the store can
+    bucket on one column and the gate join on one key (pigeonhole
+    semantics identical: equal key ⟺ same slice index AND same slice
+    value)."""
+    mask = F.lit(0xFFFF)
+    return F.array(
+        lo.bitwiseAND(mask),
+        F.shiftrightunsigned(lo, 16).bitwiseAND(mask) + F.lit(65536),
+        hi.bitwiseAND(mask) + F.lit(131072),
+        F.shiftrightunsigned(hi, 16).bitwiseAND(mask) + F.lit(196608),
+    )
+
+
+def _validate_image_hash_meta(rows, meta_path, bands) -> None:
+    if len(rows) != 1:
+        raise ValueError(f"corrupt image-hash store meta at {meta_path}: {rows}")
+    if rows[0]["bands"] != bands:
+        raise ValueError(
+            f"image-hash store geometry mismatch at {meta_path}: store has "
+            f"bands={rows[0]['bands']}, caller asked {bands} — mismatched "
+            f"band splits never collide, so the gate would silently admit "
+            f"every duplicate"
+        )
+
+
+def image_hash_store_write(
+    hashes: DataFrame,
+    path: str,
+    bands: int = 4,
+    mode: str = "append",
+    num_buckets: int | None = None,
+) -> None:
+    """Persist the BANDED perceptual-hash table the image gate's static
+    side reads at 100 TB (r14, r13 verdict #5 — the
+    banded_signature_store_write pattern applied to its perceptual twin,
+    completing the stored-tier family symmetry): ``(id, band_key,
+    hash_hi, hash_lo)`` rows, 4 per hash (~96 B/image total), appended
+    per admitted batch.  Before this store existed the gate re-banded +
+    cached the static hash table PER SESSION; the store pays the banding
+    once at write time and a restart pays only a scan.
+
+    Layout: ``<path>/meta.parquet`` (one row: bands, nullable
+    num_buckets/bucket_table) and ``<path>/bands``.  With
+    ``num_buckets=<n>`` the rows are written as an EXTERNAL BUCKETED
+    TABLE (``bucketBy(n, "band_key")``, per-bucket sorted) whose LAYOUT
+    satisfies the gate join's static-side distribution — zero
+    static-side Exchange from a fresh catalog (plan-asserted), the
+    restart-friendly tier.  Plain/bucketed mixing is refused in both
+    directions; geometry (bands) is validated hard on append and read;
+    NULL hashes (corrupt payloads) are dropped at write — quarantined
+    content cannot screen anything.  Append id-uniqueness, overwrite
+    commit-marker ordering, and snapshot semantics are the banded
+    store's contracts verbatim."""
+    if bands != 4:
+        raise ValueError("64-bit aHash bands: only the 4 x 16-bit split is wired")
+    spark = hashes.sparkSession
+    meta_path = f"{path}/meta.parquet"
+    bucket_table = _image_hash_table_name(path) if num_buckets is not None else None
+    resolved: dict = {}
+
+    def _validate(rows) -> None:
+        _validate_image_hash_meta(rows, meta_path, bands)
+        got_buckets, got_table = _meta_bucket_spec(rows[0])
+        if got_buckets != num_buckets:
+            raise ValueError(
+                f"image-hash store bucket-layout mismatch at {meta_path}: "
+                f"store was written with num_buckets={got_buckets}, caller "
+                f"asked num_buckets={num_buckets} — mixing plain and "
+                f"bucketed part files under one table silently corrupts "
+                f"bucketed scans.  Rebuild the store to change its layout"
+            )
+        resolved["bucket_table"] = got_table
+
+    finalize_meta = store_meta_lifecycle(
+        spark,
+        meta_path,
+        f"{path}/bands",
+        "bands int, num_buckets int, bucket_table string",
+        (bands, num_buckets, bucket_table),
+        _validate,
+        mode,
+    )
+    bucket_table = resolved.get("bucket_table", bucket_table)
+    banded = (
+        hashes.where(F.col("hash_hi").isNotNull() & F.col("hash_lo").isNotNull())
+        .select(
+            F.col("media_id").alias("id"),
+            F.col("hash_hi"),
+            F.col("hash_lo"),
+            F.explode(
+                _band_key_array(F.col("hash_hi"), F.col("hash_lo"))
+            ).alias("band_key"),
+        )
+        .select("id", "band_key", "hash_hi", "hash_lo")
+    )
+    if num_buckets is None:
+        banded.write.mode(mode).parquet(f"{path}/bands")
+    else:
+        if mode == "overwrite" and spark.catalog.tableExists(bucket_table):
+            spark.sql(f"DROP TABLE `{bucket_table}`")
+        elif (
+            mode == "append"
+            and not spark.catalog.tableExists(bucket_table)
+            and fs_path_exists(spark, f"{path}/bands")
+        ):
+            register_image_hash_table(spark, path)
+        # repartition on the bucket expression first (see the banded
+        # writer): otherwise a bucketed write emits one file per
+        # (task, bucket) pair per append
+        w = (
+            banded.repartition(num_buckets, F.col("band_key"))
+            .write.format("parquet")
+            .mode(mode)
+            .bucketBy(num_buckets, "band_key")
+            .sortBy("band_key")
+            .option("path", f"{path}/bands")
+        )
+        w.saveAsTable(bucket_table)
+    finalize_meta()
+
+
+def register_image_hash_table(spark, path: str) -> str:
+    """Re-attach the bucketed perceptual-hash table at ``path`` to THIS
+    session's catalog without rewriting any data (exact twin of
+    register_banded_table).  Raises on a plain (non-bucketed) store."""
+    meta_path = f"{path}/meta.parquet"
+    rows = spark.read.parquet(meta_path).collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt image-hash store meta at {meta_path}: {rows}")
+    num_buckets, table = _meta_bucket_spec(rows[0])
+    if num_buckets is None or table is None:
+        raise ValueError(
+            f"image-hash store at {path} is a plain (non-bucketed) store — "
+            f"there is no table to register; read it with "
+            f"image_hash_store_read or rebuild it with num_buckets=<n>"
+        )
+    return register_external_bucketed_table(
+        spark, table, f"{path}/bands", "band_key", num_buckets, ["band_key"]
+    )
+
+
+def image_hash_store_read(spark, path: str, bands: int = 4):
+    """(rows, is_bucketed) for the perceptual-hash store at ``path`` —
+    rows are the (id, band_key, hash_hi, hash_lo) DataFrame,
+    geometry-validated hard.  A bucketed store is read through its
+    catalog table (auto-re-attached), which is what carries the bucket
+    layout into the plan."""
+    meta_path = f"{path}/meta.parquet"
+    rows = spark.read.parquet(meta_path).collect()
+    _validate_image_hash_meta(rows, meta_path, bands)
+    num_buckets, _table = _meta_bucket_spec(rows[0])
+    if num_buckets is not None:
+        return spark.table(register_image_hash_table(spark, path)), True
+    return spark.read.parquet(f"{path}/bands"), False
+
+
 def stream_image_admission(
     stream_media: DataFrame,
-    existing_hashes: DataFrame,
+    existing_hashes: DataFrame | None = None,
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    hash_store: str | None = None,
 ) -> DataFrame:
     """Streaming PERCEPTUAL admission gate — the image-modality twin of
     stream_near_dup_admission (r13): admit arriving media whose aHash is
@@ -1074,7 +1240,22 @@ def stream_image_admission(
     static table (image_exact_dedup — byte/pixel-identical content
     collapses for free, leaving buckets of genuinely-distinct
     near-threshold hashes that the cap then bounds).  Default None keeps
-    the exact pigeonhole screen."""
+    the exact pigeonhole screen.
+
+    STORED TIER (r14, r13 verdict #5 — the banded/semantic stores'
+    pattern applied to the third gate): pass ``hash_store=<path>``
+    (built via image_hash_store_write) and the static side is a scan of
+    the PRE-BANDED (id, band_key, hash_hi, hash_lo) store instead of a
+    per-session re-band + cache fill (``existing_hashes`` must then be
+    omitted).  A store written with ``num_buckets=`` satisfies the anti
+    join's static-side distribution from LAYOUT — zero static-side
+    Exchange from a fresh catalog (plan-asserted in tests/test_plans.py)
+    and a gate restart pays only a scan.  The stored tier joins on the
+    composite ``band_key = band_idx * 65536 + band_val`` (a bijection of
+    the pair, so pigeonhole semantics are identical — one bucketable
+    column).  SNAPSHOT semantics: the file listing is captured at gate
+    construction; store appends screen only from the NEXT gate
+    construction, never mid-stream (the family contract)."""
     from bulkfhirloader_spark.operators.multimodal import image_ahash
 
     if max_hamming > bands - 1:
@@ -1088,50 +1269,86 @@ def stream_image_admission(
 
     mask = F.lit(0xFFFF)
 
-    def banded(hashes: DataFrame, sfx: str) -> DataFrame:
+    def banded(hashes: DataFrame, sfx: str, by_key: bool) -> DataFrame:
+        h = hashes.where(
+            F.col("hash_hi").isNotNull() & F.col("hash_lo").isNotNull()
+        )
+        if by_key:
+            return h.select(
+                F.col("media_id").alias(f"id{sfx}"),
+                F.col("hash_hi").alias(f"hi{sfx}"),
+                F.col("hash_lo").alias(f"lo{sfx}"),
+                F.explode(
+                    _band_key_array(F.col("hash_hi"), F.col("hash_lo"))
+                ).alias("band_key"),
+            )
         arr = F.array(
             F.col("hash_lo").bitwiseAND(mask),
             F.shiftrightunsigned(F.col("hash_lo"), 16).bitwiseAND(mask),
             F.col("hash_hi").bitwiseAND(mask),
             F.shiftrightunsigned(F.col("hash_hi"), 16).bitwiseAND(mask),
         )
-        return (
-            hashes.where(
-                F.col("hash_hi").isNotNull() & F.col("hash_lo").isNotNull()
-            )
-            .select(
-                F.col("media_id").alias(f"id{sfx}"),
-                F.col("hash_hi").alias(f"hi{sfx}"),
-                F.col("hash_lo").alias(f"lo{sfx}"),
-                F.posexplode(arr).alias("band_idx", "band_val"),
-            )
+        return h.select(
+            F.col("media_id").alias(f"id{sfx}"),
+            F.col("hash_hi").alias(f"hi{sfx}"),
+            F.col("hash_lo").alias(f"lo{sfx}"),
+            F.posexplode(arr).alias("band_idx", "band_val"),
         )
 
-    stream_banded = banded(image_ahash(stream_media), "_s")
-    static_banded = banded(existing_hashes, "_e")
+    bucketed_static = False
+    if hash_store is not None:
+        if existing_hashes is not None:
+            raise ValueError(
+                "hash_store carries the banded static corpus — pass either "
+                "the store path or existing_hashes, not both"
+            )
+        store_rows, bucketed_static = image_hash_store_read(
+            stream_media.sparkSession, hash_store, bands
+        )
+        static_banded = store_rows.select(
+            F.col("id").alias("id_e"),
+            F.col("hash_hi").alias("hi_e"),
+            F.col("hash_lo").alias("lo_e"),
+            "band_key",
+        )
+        keys = ("band_key",)
+    elif existing_hashes is None:
+        raise ValueError(
+            "stream_image_admission needs either existing_hashes or a "
+            "`hash_store=` path"
+        )
+    else:
+        static_banded = banded(existing_hashes, "_e", by_key=False)
+        keys = ("band_idx", "band_val")
+    stream_banded = banded(image_ahash(stream_media), "_s", by_key=len(keys) == 1)
     if max_bucket_size is not None:
         from bulkfhirloader_spark.operators.dedup import _cap_band_buckets
 
-        static_banded = _cap_band_buckets(
-            static_banded, max_bucket_size, keys=("band_idx", "band_val")
-        )
+        static_banded = _cap_band_buckets(static_banded, max_bucket_size, keys=keys)
     while _live_static_img_caches:
         _live_static_img_caches.pop().unpersist()
-    static_banded = (
-        static_banded.repartition(F.col("band_idx"), F.col("band_val"))
-        .sortWithinPartitions("band_idx", "band_val")
-        .persist()
-    )
+    if bucketed_static and max_bucket_size is None:
+        # the bucketBy(band_key) layout already satisfies the join's
+        # static-side distribution — persist only serves repeat
+        # micro-batches from cached blocks (InMemoryRelation preserves
+        # the bucketed child's partitioning); batch 0 pays only a scan
+        static_banded = static_banded.persist()
+    else:
+        static_banded = (
+            static_banded.repartition(*[F.col(c) for c in keys])
+            .sortWithinPartitions(*keys)
+            .persist()
+        )
     _live_static_img_caches.append(static_banded)
     hamming = F.bit_count(
         F.col("hi_s").bitwiseXOR(F.col("hi_e"))
     ) + F.bit_count(F.col("lo_s").bitwiseXOR(F.col("lo_e")))
     cond = (
-        (stream_banded["band_idx"] == static_banded["band_idx"])
-        & (stream_banded["band_val"] == static_banded["band_val"])
-        & (F.col("id_s") != F.col("id_e"))
+        (F.col("id_s") != F.col("id_e"))
         & (hamming <= F.lit(max_hamming))
     )
+    for c in keys:
+        cond = (stream_banded[c] == static_banded[c]) & cond
     surviving = stream_banded.join(static_banded, cond, "left_anti")
     return (
         surviving.groupBy(F.col("id_s").alias("media_id"))

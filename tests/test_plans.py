@@ -661,3 +661,87 @@ def test_streaming_semantic_gate_stored_static_side_has_zero_exchange(
     assert exchange_attrs.isdisjoint(static_attrs), plan
     assert all("ENSURE_REQUIREMENTS" in ln for ln in exchange_lines), plan
     assert "REPARTITION_BY_COL" not in plan, plan
+
+
+def test_streaming_image_gate_stored_static_side_has_zero_exchange(
+    spark, tmp_path
+):
+    """r14 (r13 verdict #5 — third instance of the stored-gate plan
+    contract): an image gate built over a BUCKETED perceptual-hash store
+    satisfies the anti join's static-side distribution from LAYOUT — the
+    micro-batch plan from a fresh catalog (table dropped, re-attached by
+    the gate itself — the restart case) has ZERO static-side Exchange:
+    the only band_key Exchange in the whole plan is the stream side's
+    ENSURE_REQUIREMENTS shuffle, the static scan is Bucketed: true, and
+    there is no REPARTITION_BY_COL cache-fill lineage at all."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+    from bulkfhirloader_spark.streaming.joins import (
+        _image_hash_table_name,
+        image_hash_store_write,
+        stream_image_admission,
+    )
+
+    static_ids = spark.createDataFrame(
+        [(i,) for i in range(0, 40, 4)], "media_id long"
+    )
+    static_hashes = mm.image_ahash(mm.synthetic_ppm_media(static_ids))
+    src = str(tmp_path)
+    store = f"{src}/imgstore"
+    image_hash_store_write(static_hashes, store, num_buckets=8)
+    # simulate the cluster restart the layout exists for
+    spark.sql(f"DROP TABLE `{_image_hash_table_name(store)}`")
+
+    mm.synthetic_ppm_media(
+        spark.createDataFrame([(i,) for i in range(1, 40, 4)], "media_id long")
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000)).repartition(
+        2
+    ).write.parquet(f"{src}/in")
+    schema = spark.read.parquet(f"{src}/in").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/in")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = stream_image_admission(stream, hash_store=store)
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("plan_img_gate_stored")
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(src, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan, plan
+    import re as _re
+
+    static_attrs = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "InMemoryRelation [" in ln
+        for m in [_re.search(r"band_key#(\d+)", ln)]
+        if m
+    }
+    exchange_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(band_key" in ln
+    ]
+    exchange_attrs = {
+        _re.search(r"Exchange hashpartitioning\(band_key#(\d+)", ln).group(1)
+        for ln in exchange_lines
+    }
+    assert static_attrs and exchange_attrs, plan
+    assert exchange_attrs.isdisjoint(static_attrs), plan
+    assert all("ENSURE_REQUIREMENTS" in ln for ln in exchange_lines), plan
+    assert "REPARTITION_BY_COL" not in plan, plan

@@ -1022,3 +1022,76 @@ def test_stream_image_admission_rejects_perceptual_twins(spark, tmp_path):
     assert got == [61]
     with _pytest.raises(ValueError, match="pigeonhole"):
         stream_image_admission(stream, static_hashes, max_hamming=5)
+    with _pytest.raises(ValueError, match="either existing_hashes or"):
+        stream_image_admission(stream, max_hamming=3)
+
+
+def test_stream_image_admission_from_stored(spark, tmp_path):
+    """r14 (r13 verdict #5): the image gate's STORED static tier — a
+    bucketed perceptual-hash store written once, gate restarted against
+    it — must admit exactly what the derived tier admits; geometry and
+    store/arg exclusivity are validated hard; plain and bucketed layouts
+    agree."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+    from bulkfhirloader_spark.streaming.joins import (
+        image_hash_store_read,
+        image_hash_store_write,
+        stream_image_admission,
+    )
+
+    static_ids = spark.createDataFrame([(0,), (20,), (40,)], "media_id long")
+    static_hashes = mm.image_ahash(mm.synthetic_ppm_media(static_ids))
+    twin = mm.synthetic_ppm_media(
+        spark.createDataFrame([(20,)], "media_id long"), perturb_origin=True
+    ).withColumn("media_id", F.col("media_id") + F.lit(1000))
+    novel = mm.synthetic_ppm_media(spark.createDataFrame([(61,)], "media_id long"))
+    twin.coalesce(1).write.parquet(str(tmp_path / "in" / "f0"))
+    novel.coalesce(1).write.parquet(str(tmp_path / "in" / "f1"))
+
+    def run(name, **gate_kw):
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(str(tmp_path / "in" / "*")).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in" / "*"))
+        )
+        q = (
+            stream_image_admission(stream, max_hamming=3, **gate_kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.media_id for r in spark.table(name).collect())
+
+    for buckets, name in ((None, "img_store_plain"), (4, "img_store_bucketed")):
+        store = str(tmp_path / f"store_{name}")
+        image_hash_store_write(static_hashes, store, num_buckets=buckets)
+        assert run(name, hash_store=store) == [61]
+        rows, is_bucketed = image_hash_store_read(spark, store)
+        assert is_bucketed == (buckets is not None)
+        assert rows.count() == 3 * 4  # 4 band rows per stored hash
+    # exclusivity + geometry guards
+    with _pytest.raises(ValueError, match="not both"):
+        stream_image_admission(
+            spark.readStream.schema(
+                spark.read.parquet(str(tmp_path / "in" / "*")).schema
+            ).parquet(str(tmp_path / "in" / "*")),
+            existing_hashes=static_hashes,
+            hash_store=str(tmp_path / "store_img_store_plain"),
+        )
+    with _pytest.raises(ValueError, match="bucket-layout mismatch"):
+        image_hash_store_write(
+            static_hashes, str(tmp_path / "store_img_store_plain"), num_buckets=4
+        )
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        image_hash_store_read(
+            spark, str(tmp_path / "store_img_store_plain"), bands=8
+        )
