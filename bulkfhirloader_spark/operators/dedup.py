@@ -951,6 +951,7 @@ def semantic_dedup_pairs(
     max_cluster_size: int | None = None,
     precomputed_assignments: DataFrame | None = None,
     assign_tier: str = "fold",
+    precomputed_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then compare pairs
@@ -987,15 +988,43 @@ def semantic_dedup_pairs(
     ``assign_tier="blas"`` runs the in-call fit through the Arrow/dgemm
     pass (see similarity.kmeans_centroids — the scale tier for k ∝ N;
     the default ``fold`` stays the oracle-restatable one).
+
+    ``precomputed_centroids`` (r14, r13 verdict #6 — a ``(c_label,
+    centroid)`` DataFrame, e.g. from similarity.kmeans_centroids_chained)
+    skips the fit AND keeps the centroid relation DISTRIBUTED end to
+    end: the assignment is ``classify_nearest_centroid``'s broadcast
+    tier (centroids collapse to one broadcast row JVM-SIDE — zero
+    centroid bytes ever cross the Python driver), so fits past the
+    collected tier's k × dim × 8 B driver ceiling feed the pair stage
+    directly.  Same rounded-argmax contract, pytest-pinned identical
+    pairs/survivors at oracle-checkable k.  Mutually exclusive with
+    ``precomputed_assignments`` (which is strictly more precomputed).
     """
     from bulkfhirloader_spark.operators.similarity import (
+        _drop_degenerate_vectors,
+        classify_nearest_centroid,
         cosine_with_norms,
         kmeans_assign,
         l2_norm,
     )
 
+    if precomputed_assignments is not None and precomputed_centroids is not None:
+        raise ValueError(
+            "pass precomputed_assignments OR precomputed_centroids, not "
+            "both — assignments are already the centroid fit applied"
+        )
     if precomputed_assignments is not None:
         assigned = precomputed_assignments.select(id_col, "cluster_id")
+    elif precomputed_centroids is not None:
+        assigned = classify_nearest_centroid(
+            _drop_degenerate_vectors(emb, vec_col),
+            precomputed_centroids,
+            vec_col=vec_col,
+            id_cols=(id_col,),
+            round_dp=round_dp,
+        ).select(
+            id_col, F.col("predicted_label").alias("cluster_id")
+        )
     else:
         assigned = kmeans_assign(
             emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,

@@ -2360,6 +2360,26 @@ SELECT id_a, id_b, cluster_id, round(cs, 6) AS cos_sim FROM p WHERE cs >= 0.4
 """
 
 
+def dedup_semantic_pairs_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the COLLECT-FREE chained fit feeding the pair stage
+    (r14, r13 verdict #6): kmeans_centroids_chained keeps the centroid
+    relation distributed between iterations AND into the assignment
+    (classify_nearest_centroid's broadcast tier — zero centroid bytes
+    cross the Python driver end to end), the tier for fits past the
+    collected tier's k × dim × 8 B/iteration ceiling.  Shares the
+    unrolled-Lloyd + within-cluster-join oracle — hash-green certifies
+    the chained fit and the broadcast assignment walk the identical
+    centroid sequence and produce identical pairs on real data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids_chained(emb, k=8, n_iter=2)
+    out = dedup.semantic_dedup_pairs(
+        emb, threshold=0.4, precomputed_centroids=cents
+    )
+    return out.select(
+        "id_a", "id_b", "cluster_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the SEMANTIC near-dup pipeline, composed exactly like
     dedup_clusters' MinHash twin: Lloyd fit → within-cluster pairs →
@@ -6953,6 +6973,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_embedding_cosine": (dedup_embedding_cosine, _DEDUP_EMB_SQL),
     "dedup_embedding_cosine_lsh": (dedup_embedding_cosine_lsh, _DEDUP_EMB_SQL),
     "dedup_semantic_pairs": (dedup_semantic_pairs, _DEDUP_SEMANTIC_SQL),
+    # r14: the chained (collect-free) fit feeding the pair stage via the
+    # broadcast assignment — identical output contract, oracle shared
+    "dedup_semantic_pairs_chained": (
+        dedup_semantic_pairs_chained,
+        _DEDUP_SEMANTIC_SQL,
+    ),
     "dedup_semantic_survivors": (dedup_semantic_survivors, _DEDUP_SEMANTIC_SURV_SQL),
     "emb_kmeans_assign_chained": (emb_kmeans_assign_chained, _EMB_KMEANS_SQL),
     "emb_kmeans_assign": (emb_kmeans_assign, _EMB_KMEANS_SQL),

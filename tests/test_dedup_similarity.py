@@ -1887,6 +1887,43 @@ def test_kmeans_chained_matches_collected(two_lobes, spark):
     assert sim.kmeans_centroids_chained(degen, k=2, n_iter=2).count() == 0
 
 
+def test_semantic_pairs_chained_centroids_match_in_call_fit(spark):
+    """r14 (r13 verdict #6): semantic_dedup_pairs fed a DISTRIBUTED
+    centroid DataFrame (the chained fit + broadcast assignment — zero
+    centroid bytes through the Python driver) must produce identical
+    pairs AND survivors to the in-call collected fit; the two
+    precomputed modes are mutually exclusive."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import dedup, similarity as sim
+
+    rows = [
+        (i, [1.0, float(i % 7) / 10.0]) for i in range(0, 20, 2)
+    ] + [
+        (i, [float(i % 5) / 10.0, 1.0]) for i in range(1, 20, 2)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    incall = dedup.semantic_dedup_pairs(emb, k=4, n_iter=2, threshold=0.8)
+    cents = sim.kmeans_centroids_chained(emb, k=4, n_iter=2)
+    chained = dedup.semantic_dedup_pairs(
+        emb, threshold=0.8, precomputed_centroids=cents
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["cluster_id"], round(r["cos_sim"], 9))
+    a, b = sorted(map(key, incall.collect())), sorted(map(key, chained.collect()))
+    assert a == b and len(a) > 0
+    surv_a = sorted(map(tuple, dedup.duplicate_clusters(incall).collect()))
+    surv_b = sorted(map(tuple, dedup.duplicate_clusters(chained).collect()))
+    assert surv_a == surv_b
+    with _pytest.raises(ValueError, match="not\\s+both"):
+        dedup.semantic_dedup_pairs(
+            emb,
+            precomputed_assignments=emb.selectExpr(
+                "vec_id", "0 as cluster_id"
+            ),
+            precomputed_centroids=cents,
+        )
+
+
 def test_kmeans_chained_releases_iteration_checkpoints(two_lobes, spark):
     """r14 (r13 advice): a chained fit must not leave n_iter+1
     checkpointed k×dim tables on executors — after the fit only the
