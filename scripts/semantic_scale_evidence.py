@@ -332,9 +332,20 @@ def chained_sweep() -> None:
     visible, and the collected tier runs the same shape for contrast
     (its per-iteration round-trip is k x dim x 8 = reported).  Usage:
     ``python scripts/semantic_scale_evidence.py chained``; knobs
-    CHAINED_N (default 50_000), CHAINED_K (default 10_000)."""
-    from bulkfhirloader_spark.operators import similarity
+    CHAINED_N (default 50_000), CHAINED_K (default 10_000).
+
+    r14 (r13 verdict #6): the chained fit now FEEDS the family — the
+    sweep also times (a) semantic_dedup_pairs(precomputed_centroids=
+    chained) — the broadcast assignment, zero centroid bytes through the
+    Python driver — and (b) semantic_store_write under the chained fit
+    (blas write tier, the large-k necessity), so the measured path is
+    fit → store → gate end to end, not the fit in isolation."""
+    import shutil
+    import tempfile
+
+    from bulkfhirloader_spark.operators import dedup, similarity
     from bulkfhirloader_spark.session import get_spark
+    from bulkfhirloader_spark.streaming.joins import semantic_store_write
 
     spark = get_spark(app_name="semantic-chained-scale", shuffle_partitions=32)
     n = int(os.environ.get("CHAINED_N", 50_000))
@@ -358,6 +369,25 @@ def chained_sweep() -> None:
         chained.exceptAll(collected).count()
         + collected.exceptAll(chained).count()
     )
+    # r14: the chained fit FEEDING the family — pair stage via the
+    # broadcast assignment (no driver round-trip of the centroids) and
+    # the bucketed store write (blas assign tier, the large-k path)
+    t0 = time.monotonic()
+    n_pairs = dedup.semantic_dedup_pairs(
+        emb, threshold=0.99, precomputed_centroids=chained
+    ).count()
+    pairs_chained_s = time.monotonic() - t0
+    store_dir = tempfile.mkdtemp(prefix="semchained_store_")
+    try:
+        t0 = time.monotonic()
+        semantic_store_write(
+            emb, f"{store_dir}/semstore", chained, num_buckets=32,
+            assign_tier="blas",
+        )
+        store_write_s = time.monotonic() - t0
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    rss3 = _driver_rss_mb()
     print(
         json.dumps(
             {
@@ -369,10 +399,14 @@ def chained_sweep() -> None:
                 "fit_mismatches": mism,
                 "clusters_chained": n_cents,
                 "clusters_collected": n_cents_c,
+                "pairs_chained_s": round(pairs_chained_s, 1),
+                "pairs@0.99": n_pairs,
+                "store_write_blas_s": round(store_write_s, 1),
                 "driver_rss_mb": {
                     "before": rss0,
                     "after_chained": rss1,
                     "after_collected": rss2,
+                    "after_consumers": rss3,
                 },
                 "collected_roundtrip_bytes_per_iter": k * DIM * 8,
             }
