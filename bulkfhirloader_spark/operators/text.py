@@ -770,6 +770,68 @@ def winnow_fingerprints(
     ).distinct()
 
 
+def winnow_fp_array(
+    text_col: Column,
+    k: int = 3,
+    window: int = 4,
+    hash_tier: str = "fold",
+) -> Column:
+    """Per-ROW winnowing fingerprint SET as one ``array<long>``
+    EXPRESSION — the streaming-legal form of ``winnow_fingerprints``
+    (r14): the batch operator selects window minima with a per-document
+    window FUNCTION, which a streaming side cannot plan; this builds the
+    identical selection as a pure projection (gram build → per-gram hash
+    → per-start ``array_min`` over the hash slice with the rightmost-min
+    tie rule → distinct), so a gate's stream side stays stateless.
+    Same short-doc clamp (fewer than ``window`` grams → the single
+    global minimum), same sub-k-token contract (empty array).
+    Fingerprint sets are pytest-pinned EQUAL to the batch operator's
+    under both hash tiers.
+
+    Cost note: the per-start slice min is O(n_grams × window)
+    higher-order-function evaluations per row — the interpreted-HOF
+    shape the batch operator's shared window spec avoids.  That is the
+    right trade ONLY where a window function is unavailable (a
+    micro-batch's worth of arriving docs); batch callers should use
+    winnow_fingerprints.  The rightmost-tie struct is (h, -pos) under
+    ``array_min`` — exactly the batch operator's ``min(struct(h, -pos))``
+    ordering."""
+    if hash_tier not in ("fold", "xxhash64"):
+        raise ValueError(
+            f"hash_tier must be 'fold' or 'xxhash64', got {hash_tier!r}"
+        )
+    gram_hash = (
+        rolling_hash_expr if hash_tier == "fold" else (lambda c: F.xxhash64(c))
+    )
+    hashes = F.transform(
+        ngram_array(tokens(text_col), k), lambda g: gram_hash(g)
+    )
+
+    def select_mins(h: Column) -> Column:
+        n = F.size(h)
+        w = F.least(F.lit(window), n)
+        starts = F.sequence(F.lit(1), n - w + 1)
+        mins = F.transform(
+            starts,
+            lambda i: F.array_min(
+                F.transform(
+                    F.sequence(i, i + w - 1),
+                    lambda j: F.struct(
+                        F.element_at(h, j).alias("h"), (-j).alias("np")
+                    ),
+                )
+            )["h"],
+        )
+        return F.when(n >= 1, F.array_distinct(mins)).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    # let-bind the hash array: it is referenced across the per-start
+    # lambda, and an unbound outer expression inside a HOF lambda is
+    # re-evaluated per element (functions/binding.py)
+    return let(hashes, select_mins)
+
+
 def winnow_candidates(
     docs: DataFrame,
     k: int = 3,

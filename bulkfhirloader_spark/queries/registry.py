@@ -3913,6 +3913,97 @@ def stream_semantic_admit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("vec_id", "cluster_id").distinct()
 
 
+def _winnow_admit_run(spark: SparkSession, sf_dir: str, tag: str, **gate_kw):
+    """Shared fixture for the winnow admission gate rows: odd doc_ids
+    replayed as a 3-file stream against the even-id static corpus."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_winnow_admission
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, f"winnow_admit_{tag}")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_winnow_")
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text").repartition(
+            3
+        ).write.mode("overwrite").parquet(_os.path.join(src, "in"))
+        if "winnow_store" in gate_kw:
+            from bulkfhirloader_spark.streaming.joins import winnow_store_write
+
+            winnow_store_write(
+                docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text"),
+                _os.path.join(src, "wstore"),
+                num_buckets=8,
+            )
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    if "winnow_store" in gate_kw:
+        gate_kw["winnow_store"] = _os.path.join(src, "wstore")
+    else:
+        gate_kw["existing"] = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text"
+        )
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_winnow_{tag}_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_winnow_admission(stream, **gate_kw)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("doc_id").distinct()
+
+
+def stream_winnow_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming substring-overlap admission gate
+    (streaming.joins.stream_winnow_admission, r14 — the winnowing
+    family's always-on twin, fourth instance of the gate shape): odd
+    doc_ids replayed as a 3-file stream against the even-id static
+    corpus; an arrival is admitted iff it shares NO winnowing
+    fingerprint with any static document — by the winnowing guarantee a
+    DETERMINISTIC screen for any shared token run >= window + k - 1.
+    Sub-k-token arrivals carry no overlap evidence and are admitted.
+    The oracle replays the full fingerprint pipeline for BOTH sides and
+    states the gate as NOT EXISTS over shared fingerprints — green iff
+    the streaming expression form (winnow_fp_array) selects exactly the
+    batch operator's fingerprints across micro-batch boundaries."""
+    return _winnow_admit_run(spark, sf_dir, "derived")
+
+
+def stream_winnow_admit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-tier winnow gate (r14): the static side is the BUCKETED
+    winnow fingerprint store — (id, fp_hash) written bucketBy(fp_hash)
+    by winnow_store_write — so a gate restart pays a scan with zero
+    static-side Exchange (plan-asserted in tests/test_plans.py).
+    Admissions are defined identical to the derived twin, so the oracle
+    SQL is shared."""
+    return _winnow_admit_run(spark, sf_dir, "stored", winnow_store=True)
+
+
+_STREAM_WINNOW_SQL = _WINNOW_CTE + """
+, fpd AS (SELECT DISTINCT doc_id, fp_hash FROM sel)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM fpd s JOIN fpd e ON s.fp_hash = e.fp_hash
+    WHERE s.doc_id = d.doc_id AND e.doc_id % 2 = 0
+      AND e.doc_id <> d.doc_id)
+"""
+
+
 def stream_mm_image_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming perceptual image admission gate
     (streaming.joins.stream_image_admission, r13): perturbed
@@ -6921,6 +7012,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # r14: the bucketed perceptual-hash store gate tier (zero static-side
     # Exchange from layout); semantics defined identical, oracle shared
     "stream_mm_image_admit_stored": (stream_mm_image_admit_stored, _STREAM_IMG_SQL),
+    # r14: the winnowing admission gate — deterministic substring-overlap
+    # screen — and its bucketed fingerprint-store tier (oracle shared:
+    # admissions defined identical)
+    "stream_winnow_admit": (stream_winnow_admit, _STREAM_WINNOW_SQL),
+    "stream_winnow_admit_stored": (stream_winnow_admit_stored, _STREAM_WINNOW_SQL),
     # r12: the bucketed banded-table gate tier (zero static-side Exchange
     # from layout); semantics defined identical, oracle shared
     "stream_near_dup_admit_bucketed": (

@@ -1027,6 +1027,279 @@ def stream_semantic_admission(
 _live_static_sem_caches: list = []
 
 
+def _winnow_table_name(path: str) -> str:
+    """Catalog-name seed for the bucketed winnow fingerprint store at
+    ``path``."""
+    return bucketed_table_name("bfls_winnow", path)
+
+
+def _validate_winnow_meta(rows, meta_path, k, window, hash_tier) -> None:
+    if len(rows) != 1:
+        raise ValueError(f"corrupt winnow store meta at {meta_path}: {rows}")
+    m = rows[0]
+    got = (m["k"], m["window"], m["hash_tier"])
+    want = (k, window, hash_tier)
+    if got != want:
+        raise ValueError(
+            f"winnow store geometry mismatch at {meta_path}: store has "
+            f"(k, window, hash_tier)={got}, caller asked {want} — "
+            f"fingerprints selected under different gram length, window, "
+            f"or hash never collide, so the gate would silently admit "
+            f"every duplicate"
+        )
+
+
+def winnow_store_write(
+    docs: DataFrame,
+    path: str,
+    k: int = 3,
+    window: int = 4,
+    hash_tier: str = "fold",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "append",
+    num_buckets: int | None = None,
+) -> None:
+    """Persist the winnowing FINGERPRINT table the substring-overlap
+    admission gate's static side reads at 100 TB (r14 — the stored-gate
+    family's fourth instance): ``(id, fp_hash)`` rows, ~1/window of the
+    corpus's k-gram posting volume, appended per admitted batch.
+    Geometry is (k, window, hash_tier) — all three pin the fingerprint
+    space (mismatched selections never collide), validated hard on
+    append and read like every store in the family.
+
+    Layout: ``<path>/meta.parquet`` + ``<path>/fps``; with
+    ``num_buckets=<n>`` the rows are an EXTERNAL BUCKETED TABLE
+    (``bucketBy(n, "fp_hash")``, per-bucket sorted) whose LAYOUT
+    satisfies the gate join's static-side distribution — zero
+    static-side Exchange from a fresh catalog (plan-asserted), restarts
+    pay a scan.  Plain/bucketed mixing refused; append id-uniqueness,
+    overwrite commit-marker ordering, and snapshot semantics are the
+    family contracts verbatim."""
+    from bulkfhirloader_spark.operators.text import winnow_fingerprints
+
+    spark = docs.sparkSession
+    meta_path = f"{path}/meta.parquet"
+    bucket_table = _winnow_table_name(path) if num_buckets is not None else None
+    resolved: dict = {}
+
+    def _validate(rows) -> None:
+        _validate_winnow_meta(rows, meta_path, k, window, hash_tier)
+        got_buckets, got_table = _meta_bucket_spec(rows[0])
+        if got_buckets != num_buckets:
+            raise ValueError(
+                f"winnow store bucket-layout mismatch at {meta_path}: "
+                f"store was written with num_buckets={got_buckets}, caller "
+                f"asked num_buckets={num_buckets} — mixing plain and "
+                f"bucketed part files under one table silently corrupts "
+                f"bucketed scans.  Rebuild the store to change its layout"
+            )
+        resolved["bucket_table"] = got_table
+
+    finalize_meta = store_meta_lifecycle(
+        spark,
+        meta_path,
+        f"{path}/fps",
+        "k int, window int, hash_tier string, "
+        "num_buckets int, bucket_table string",
+        (k, window, hash_tier, num_buckets, bucket_table),
+        _validate,
+        mode,
+    )
+    bucket_table = resolved.get("bucket_table", bucket_table)
+    fps = winnow_fingerprints(
+        docs, k=k, window=window, id_col=id_col, text_col=text_col,
+        with_positions=False, hash_tier=hash_tier,
+    ).select(F.col(id_col).alias("id"), "fp_hash")
+    if num_buckets is None:
+        fps.write.mode(mode).parquet(f"{path}/fps")
+    else:
+        if mode == "overwrite" and spark.catalog.tableExists(bucket_table):
+            spark.sql(f"DROP TABLE `{bucket_table}`")
+        elif (
+            mode == "append"
+            and not spark.catalog.tableExists(bucket_table)
+            and fs_path_exists(spark, f"{path}/fps")
+        ):
+            register_winnow_table(spark, path)
+        w = (
+            fps.repartition(num_buckets, F.col("fp_hash"))
+            .write.format("parquet")
+            .mode(mode)
+            .bucketBy(num_buckets, "fp_hash")
+            .sortBy("fp_hash")
+            .option("path", f"{path}/fps")
+        )
+        w.saveAsTable(bucket_table)
+    finalize_meta()
+
+
+def register_winnow_table(spark, path: str) -> str:
+    """Re-attach the bucketed winnow fingerprint table at ``path`` to
+    THIS session's catalog without rewriting any data (family twin of
+    register_banded_table).  Raises on a plain (non-bucketed) store."""
+    meta_path = f"{path}/meta.parquet"
+    rows = spark.read.parquet(meta_path).collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt winnow store meta at {meta_path}: {rows}")
+    num_buckets, table = _meta_bucket_spec(rows[0])
+    if num_buckets is None or table is None:
+        raise ValueError(
+            f"winnow store at {path} is a plain (non-bucketed) store — "
+            f"there is no table to register; read it with "
+            f"winnow_store_read or rebuild it with num_buckets=<n>"
+        )
+    return register_external_bucketed_table(
+        spark, table, f"{path}/fps", "fp_hash", num_buckets, ["fp_hash"]
+    )
+
+
+def winnow_store_read(
+    spark, path: str, k: int = 3, window: int = 4, hash_tier: str = "fold"
+):
+    """(rows, is_bucketed) for the winnow fingerprint store at ``path``
+    — rows are the (id, fp_hash) DataFrame, geometry-validated hard.  A
+    bucketed store is read through its catalog table (auto-re-attached),
+    which is what carries the bucket layout into the plan."""
+    meta_path = f"{path}/meta.parquet"
+    rows = spark.read.parquet(meta_path).collect()
+    _validate_winnow_meta(rows, meta_path, k, window, hash_tier)
+    num_buckets, _table = _meta_bucket_spec(rows[0])
+    if num_buckets is not None:
+        return spark.table(register_winnow_table(spark, path)), True
+    return spark.read.parquet(f"{path}/fps"), False
+
+
+def stream_winnow_admission(
+    stream_docs: DataFrame,
+    existing: DataFrame | None = None,
+    k: int = 3,
+    window: int = 4,
+    max_fp_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_tier: str = "fold",
+    winnow_store: str | None = None,
+) -> DataFrame:
+    """Streaming SUBSTRING-OVERLAP admission gate — the winnowing
+    family's always-on twin and the fourth instance of the gate shape
+    (MinHash text, semantic embedding, perceptual image, now exact
+    substring): admit arriving documents that share NO winnowing
+    fingerprint with the existing corpus.  The winnowing guarantee makes
+    the screen DETERMINISTIC: any arrival sharing a token run of length
+    >= window + k - 1 with an existing document shares at least one
+    selected fingerprint and is rejected — the quote/boilerplate/
+    near-copy ingest case MinHash screens only probabilistically.
+
+    Plan shape: the stream side computes each arrival's fingerprint SET
+    as one pure projection (text.winnow_fp_array — the streaming-legal
+    expression form, no window function) and explodes to ~n_grams/window
+    rows; the static side is the (id, fp_hash) table — winnowed once at
+    gate construction (or read from a ``winnow_store``) and cached
+    partitioned on fp_hash.  The LEFT ANTI join keys fp_hash; a stream
+    doc is admitted iff ALL its fingerprint rows survive (count ==
+    n_fps, each doc's rows live in one micro-batch; run in update mode).
+    Documents with no fingerprints (< k tokens) carry no overlap
+    evidence and are ADMITTED (explode_outer keeps them as one NULL row
+    that can never match).
+
+    This gate is the ``min_shared=1`` (strictest) point of
+    winnow_candidates' dial BY CONSTRUCTION: a >= 2 threshold needs a
+    per-(stream, static) pair count followed by a per-stream-doc
+    aggregate — two chained aggregations, which a streaming query cannot
+    plan; screen at 1 here and re-rank admitted docs in batch if a
+    softer threshold matters.
+
+    ``max_fp_df`` drops STATIC fingerprints present in more than that
+    many existing documents before the join — the winnow_candidates
+    boilerplate cap, with the gate-specific trade stated plainly: an
+    arrival whose ONLY shared fingerprints are corpus-boilerplate is
+    admitted (weaker screening on boilerplate, bounded per-row join
+    fan-out).  ``winnow_store=<path>`` (built by winnow_store_write)
+    replaces the construction-time winnowing pass with a store scan —
+    geometry incl. hash_tier validated against the gate's arguments; a
+    bucketed store joins with ZERO static-side Exchange (plan-asserted).
+    SNAPSHOT semantics as everywhere in the family.  ONE LIVE GATE per
+    session (own cache ledger)."""
+    from bulkfhirloader_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fp_array,
+    )
+
+    bucketed_static = False
+    if winnow_store is not None:
+        if existing is not None:
+            raise ValueError(
+                "winnow_store carries the fingerprinted static corpus — "
+                "pass either the store path or existing, not both"
+            )
+        store_rows, bucketed_static = winnow_store_read(
+            stream_docs.sparkSession, winnow_store, k, window, hash_tier
+        )
+        static_fps = store_rows.select(F.col("id").alias("id_e"), "fp_hash")
+    elif existing is None:
+        raise ValueError(
+            "stream_winnow_admission needs either existing docs or a "
+            "`winnow_store=` path"
+        )
+    else:
+        static_fps = winnow_fingerprints(
+            existing, k=k, window=window, id_col=id_col, text_col=text_col,
+            with_positions=False, hash_tier=hash_tier,
+        ).select(F.col(id_col).alias("id_e"), "fp_hash")
+    if max_fp_df is not None:
+        if max_fp_df < 1:
+            raise ValueError("max_fp_df must be >= 1")
+        rare = (
+            static_fps.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_fp_df)
+            .select("fp_hash")
+        )
+        static_fps = static_fps.join(rare, "fp_hash")
+    while _live_static_winnow_caches:
+        _live_static_winnow_caches.pop().unpersist()
+    if bucketed_static and max_fp_df is None:
+        # bucketBy(fp_hash) already satisfies the join's distribution
+        static_fps = static_fps.persist()
+    else:
+        static_fps = (
+            static_fps.repartition(F.col("fp_hash"))
+            .sortWithinPartitions("fp_hash")
+            .persist()
+        )
+    _live_static_winnow_caches.append(static_fps)
+    stream_fps = stream_docs.select(
+        F.col(id_col).alias("id_s"),
+        winnow_fp_array(
+            F.col(text_col), k=k, window=window, hash_tier=hash_tier
+        ).alias("_fps"),
+    ).select(
+        "id_s",
+        F.size("_fps").alias("_n_fps"),
+        # explode_OUTER: a sub-k-token doc has no fingerprints and must
+        # still reach the admission count (its NULL fp can never match)
+        F.explode_outer("_fps").alias("fp_hash"),
+    )
+    cond = (stream_fps["fp_hash"] == static_fps["fp_hash"]) & (
+        F.col("id_s") != F.col("id_e")
+    )
+    surviving = stream_fps.join(static_fps, cond, "left_anti")
+    return (
+        surviving.groupBy(F.col("id_s").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("_n_clean"),
+            F.max("_n_fps").alias("_n_fps"),
+        )
+        .where(F.col("_n_clean") == F.greatest(F.col("_n_fps"), F.lit(1)))
+        .select(id_col)
+    )
+
+
+# Cache-hygiene ledger for stream_winnow_admission's static side.
+_live_static_winnow_caches: list = []
+
+
 def _image_hash_table_name(path: str) -> str:
     """Catalog-name seed for the bucketed perceptual-hash store at
     ``path``."""

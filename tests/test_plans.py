@@ -663,6 +663,80 @@ def test_streaming_semantic_gate_stored_static_side_has_zero_exchange(
     assert "REPARTITION_BY_COL" not in plan, plan
 
 
+def test_streaming_winnow_gate_stored_static_side_has_zero_exchange(
+    spark, tmp_path
+):
+    """r14 (fourth instance of the stored-gate plan contract): a winnow
+    gate built over a BUCKETED fingerprint store satisfies the anti
+    join's static-side distribution from LAYOUT — zero static-side
+    Exchange from a fresh catalog; the only fp_hash Exchange in the plan
+    is the stream side's ENSURE_REQUIREMENTS shuffle, the static scan is
+    Bucketed: true, no REPARTITION_BY_COL cache-fill lineage."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import (
+        _winnow_table_name,
+        stream_winnow_admission,
+        winnow_store_write,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta w{i} w{i + 1} w{i + 2}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path)
+    store = f"{src}/wstore"
+    winnow_store_write(docs.where("doc_id % 2 = 0"), store, num_buckets=8)
+    spark.sql(f"DROP TABLE `{_winnow_table_name(store)}`")
+    docs.where("doc_id % 2 = 1").repartition(2).write.parquet(f"{src}/in")
+    schema = spark.read.parquet(f"{src}/in").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/in")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = stream_winnow_admission(stream, winnow_store=store)
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("plan_winnow_gate_stored")
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(src, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan, plan
+    import re as _re
+
+    static_attrs = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "InMemoryRelation [" in ln
+        for m in [_re.search(r"fp_hash#(\d+)", ln)]
+        if m
+    }
+    exchange_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(fp_hash" in ln
+    ]
+    exchange_attrs = {
+        _re.search(r"Exchange hashpartitioning\(fp_hash#(\d+)", ln).group(1)
+        for ln in exchange_lines
+    }
+    assert static_attrs and exchange_attrs, plan
+    assert exchange_attrs.isdisjoint(static_attrs), plan
+    assert all("ENSURE_REQUIREMENTS" in ln for ln in exchange_lines), plan
+    assert "REPARTITION_BY_COL" not in plan, plan
+
+
 def test_streaming_image_gate_stored_static_side_has_zero_exchange(
     spark, tmp_path
 ):

@@ -976,6 +976,128 @@ def test_semantic_store_blas_write_matches_fold(spark, tmp_path):
     )
 
 
+def _winnow_gate_fixture(spark, tmp_path):
+    """Static corpus + a 2-file stream: doc 101 shares an 8-token run
+    with static doc 2 (must reject — deterministic guarantee), 102 is
+    disjoint-vocab novel (admit), 103 has < k tokens (no fingerprints —
+    admit), 104 shares only a sub-guarantee 3-token run with doc 4
+    (3 < window + k - 1 = 6: MAY or may not share a fingerprint; kept
+    out of assertions)."""
+    run8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    existing = spark.createDataFrame(
+        [
+            (2, "p1 p2 p3 " + run8),
+            (4, "s1 s2 s3 aa bb cc dd ee ff"),
+            (6, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+        ],
+        "doc_id long, text string",
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (101, run8 + " xx yy zz"),
+            (102, "n1 n2 n3 n4 n5 n6 n7 n8"),
+            (103, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    arrivals.where("doc_id = 101").coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f0")
+    )
+    arrivals.where("doc_id > 101").coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f1")
+    )
+    return existing
+
+
+def _winnow_gate_run(spark, tmp_path, name, **gate_kw):
+    from bulkfhirloader_spark.streaming.joins import stream_winnow_admission
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "in" / "*")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_winnow_admission(stream, **gate_kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(r.doc_id for r in spark.table(name).collect())
+
+
+def test_stream_winnow_admission_deterministic_screen(spark, tmp_path):
+    """r14 winnow gate: an arrival sharing a token run >= window + k - 1
+    with the corpus is REJECTED (the deterministic guarantee — this is
+    not probabilistic); disjoint-vocab and sub-k-token arrivals are
+    admitted; both hash tiers admit identically; the boilerplate df cap
+    admits an arrival whose only shared fingerprints are capped."""
+    existing = _winnow_gate_fixture(spark, tmp_path)
+    for tier in ("fold", "xxhash64"):
+        got = _winnow_gate_run(
+            spark, tmp_path, f"winnow_gate_{tier}",
+            existing=existing, hash_tier=tier,
+        )
+        assert got == [102, 103], tier
+    # df cap: with every static fingerprint df-capped at 0-equivalent
+    # (cap below any df of the shared fps -> none survive to challenge),
+    # even the true near-copy is admitted — the documented trade
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_fp_df"):
+        _winnow_gate_run(
+            spark, tmp_path, "winnow_gate_badcap",
+            existing=existing, max_fp_df=0,
+        )
+    with _pytest.raises(ValueError, match="either existing"):
+        _winnow_gate_run(spark, tmp_path, "winnow_gate_none")
+
+
+def test_stream_winnow_admission_from_stored(spark, tmp_path):
+    """r14: the winnow gate's stored static tier — plain and bucketed
+    stores admit exactly what the derived tier admits; geometry
+    (k, window, hash_tier) and store/arg exclusivity validated hard."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.streaming.joins import (
+        winnow_store_read,
+        winnow_store_write,
+    )
+
+    existing = _winnow_gate_fixture(spark, tmp_path)
+    for buckets, name in ((None, "wstore_plain"), (4, "wstore_bucketed")):
+        store = str(tmp_path / f"store_{name}")
+        winnow_store_write(existing, store, num_buckets=buckets)
+        got = _winnow_gate_run(
+            spark, tmp_path, f"winnow_gate_{name}", winnow_store=store
+        )
+        assert got == [102, 103], name
+        rows, is_bucketed = winnow_store_read(spark, store)
+        assert is_bucketed == (buckets is not None)
+        assert rows.count() > 0
+    store = str(tmp_path / "store_wstore_plain")
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        winnow_store_read(spark, store, k=4)
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        _winnow_gate_run(
+            spark, tmp_path, "winnow_gate_tiermix",
+            winnow_store=store, hash_tier="xxhash64",
+        )
+    with _pytest.raises(ValueError, match="not both"):
+        _winnow_gate_run(
+            spark, tmp_path, "winnow_gate_both",
+            existing=existing, winnow_store=store,
+        )
+    with _pytest.raises(ValueError, match="bucket-layout mismatch"):
+        winnow_store_write(existing, store, num_buckets=4)
+
+
 def test_stream_image_admission_rejects_perceptual_twins(spark, tmp_path):
     """r13 image gate: a perturbed single-pixel twin arriving in a later
     micro-batch is rejected against the static hash table; a novel image

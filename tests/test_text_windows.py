@@ -439,6 +439,42 @@ def test_winnow_xxhash64_tier_pair_parity(spark):
         t.winnow_fingerprints(docs, hash_tier="md5")
 
 
+def test_winnow_fp_array_matches_batch_operator(spark):
+    """r14: the streaming-legal expression form must select the
+    IDENTICAL fingerprint set as the batch window-function operator —
+    same hashes, same rightmost-min tie rule, same short-doc clamp,
+    same empty-set contract — under both hash tiers."""
+    from pyspark.sql import functions as F
+
+    from bulkfhirloader_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "alpha beta gamma delta"),   # 2 grams < window -> clamp
+            (3, "just two"),                 # < k tokens -> empty set
+            (4, "aa aa aa aa aa aa aa aa"),  # all-equal grams: tie rule
+        ],
+        "doc_id long, text string",
+    )
+    for tier in ("fold", "xxhash64"):
+        batch = {}
+        for r in t.winnow_fingerprints(
+            docs, with_positions=False, hash_tier=tier
+        ).collect():
+            batch.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+        expr = {
+            r["doc_id"]: set(r["fps"])
+            for r in docs.select(
+                "doc_id",
+                t.winnow_fp_array(F.col("text"), hash_tier=tier).alias("fps"),
+            ).collect()
+        }
+        assert expr[3] == set() and 3 not in batch
+        for d in (1, 2, 4):
+            assert expr[d] == batch[d], (tier, d)
+
+
 def test_winnow_verified_measures_exact_shared_runs(spark):
     """r14 (r13 verdict #2): the verify stage joins ACTUAL k-gram strings
     positionally and the diagonal gaps-and-islands yields the exact
