@@ -1147,15 +1147,27 @@ def video_near_dup_pairs(
     bands: int = 4,
     min_close_frames: int = 1,
     max_bucket_size: int | None = None,
+    align: str = "aligned",
 ) -> DataFrame:
     """Perceptual video near-dup pairs over per-frame aHashes (r14):
-    ``(id_a, id_b, n_close_frames)`` — the count of ALIGNED frame pairs
-    (same frame_idx) within ``max_hamming`` bits, for clip pairs with at
-    least ``min_close_frames`` of them.  Aligned-frame pairing is the
-    deterministic baseline for re-encodes/re-renders of the same cut
-    (time-shifted edits need an any-frame variant — compose the banded
-    join without frame_idx in the key if that recall matters more than
-    the fan-out).
+    ``(id_a, id_b, n_close_frames)`` — the count of close frame pairs
+    within ``max_hamming`` bits, for clip pairs with at least
+    ``min_close_frames`` of them.
+
+    ``align`` picks the pairing rule:
+
+    - ``"aligned"`` (default): only SAME-frame_idx pairs compare — the
+      deterministic baseline for re-encodes/re-renders of the same cut;
+      frame_idx rides the join key, so fan-out is per aligned frame.
+    - ``"any"``: every frame of A may pair with every frame of B — the
+      time-SHIFTED edit case (a clip trimmed by a few frames, an
+      inserted intro).  The join drops frame_idx from the key, so a
+      band bucket now holds every frame in the corpus sharing that
+      16-bit slice — larger buckets by construction; ``max_bucket_size``
+      is correspondingly more important here, and ``n_close_frames``
+      counts DISTINCT close (frame_a, frame_b) pairs (a clip pair of
+      near-black frames inflates it — exact-dedup trivial content first,
+      the family stance).
 
     Scale shape: the SAME banded Hamming propose/verify as the
     image/audio families with frame_idx prepended to the join key — by
@@ -1180,6 +1192,8 @@ def video_near_dup_pairs(
         raise ValueError("64-bit aHash bands: only the 4 x 16-bit split is wired")
     if min_close_frames < 1:
         raise ValueError("min_close_frames must be >= 1")
+    if align not in ("aligned", "any"):
+        raise ValueError(f"align must be 'aligned' or 'any', got {align!r}")
     h = frame_hashes.where(
         F.col("hash_hi").isNotNull() & F.col("hash_lo").isNotNull()
     ).select("media_id", "frame_idx", "hash_hi", "hash_lo")
@@ -1194,32 +1208,43 @@ def video_near_dup_pairs(
         "media_id", "frame_idx", "hash_hi", "hash_lo",
         F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
+    join_keys = (
+        ["frame_idx", "band_idx", "band_val"]
+        if align == "aligned"
+        else ["band_idx", "band_val"]
+    )
     if max_bucket_size is not None:
         from bulkfhirloader_spark.operators.dedup import _cap_band_buckets
 
-        banded = _cap_band_buckets(
-            banded, max_bucket_size, keys=("frame_idx", "band_idx", "band_val")
-        )
-    a = banded.select(
-        F.col("media_id").alias("id_a"),
-        F.col("hash_hi").alias("_hi_a"),
-        F.col("hash_lo").alias("_lo_a"),
-        "frame_idx", "band_idx", "band_val",
-    )
-    b = banded.select(
-        F.col("media_id").alias("id_b"),
-        F.col("hash_hi").alias("_hi_b"),
-        F.col("hash_lo").alias("_lo_b"),
-        "frame_idx", "band_idx", "band_val",
-    )
+        banded = _cap_band_buckets(banded, max_bucket_size, keys=tuple(join_keys))
+
+    def side(sfx: str) -> DataFrame:
+        cols = [
+            F.col("media_id").alias(f"id{sfx}"),
+            F.col("hash_hi").alias(f"_hi{sfx}"),
+            F.col("hash_lo").alias(f"_lo{sfx}"),
+            "band_idx", "band_val",
+        ]
+        if align == "aligned":
+            cols.append(F.col("frame_idx"))  # rides the join key
+        else:
+            cols.append(F.col("frame_idx").alias(f"f{sfx}"))
+        return banded.select(*cols)
+
+    a, b = side("_a"), side("_b")
     hamming = F.bit_count(
         F.col("_hi_a").bitwiseXOR(F.col("_hi_b"))
     ) + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+    frame_cols = (
+        [F.col("frame_idx").alias("f_a"), F.col("frame_idx").alias("f_b")]
+        if align == "aligned"
+        else [F.col("f_a"), F.col("f_b")]
+    )
     close_frames = (
-        a.join(b, ["frame_idx", "band_idx", "band_val"])
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .where(hamming <= max_hamming)
-        .select("id_a", "id_b", "frame_idx")
+        .select(F.col("id_a"), F.col("id_b"), *frame_cols)
         .distinct()
     )
     return (

@@ -5966,6 +5966,30 @@ GROUP BY 1, 2
 """
 
 
+def mm_video_near_dup_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-frame video pairing (r14): the time-SHIFTED edit case — every
+    frame of A may pair with every frame of B (frame_idx dropped from
+    the banded join key), n_close_frames counts distinct close
+    (frame_a, frame_b) pairs.  The oracle runs the full quadratic
+    all-frame-combination scan from the formula-derived hashes, so a
+    hash match certifies the frame-agnostic banding loses nothing."""
+    hashes = multimodal.video_frame_ahash(_video_fp_fixture_media(spark, sf_dir))
+    return multimodal.video_near_dup_pairs(
+        hashes, max_hamming=3, min_close_frames=1, align="any"
+    )
+
+
+_MM_VIDEO_ND_ANY_SQL = _VIDEO_AHASH_CTE + """
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_close_frames FROM (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.frame_idx AS f_a, b.frame_idx AS f_b
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3)
+GROUP BY 1, 2
+"""
+
+
 def mm_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP end-to-end multimodal pipeline (r13, r12 verdict #6 —
     composed exactly the way cur_full_pipeline composes curation):
@@ -7181,6 +7205,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # quadratic aligned-frame scan from the generating formula)
     "mm_video_ahash": (mm_video_ahash, _MM_VIDEO_AHASH_SQL),
     "mm_video_near_dup": (mm_video_near_dup, _MM_VIDEO_ND_SQL),
+    "mm_video_near_dup_any": (mm_video_near_dup_any, _MM_VIDEO_ND_ANY_SQL),
     "mm_resize_ppm": (mm_resize_ppm, _MM_RESIZE_PPM_SQL),
     "mm_decode_wav": (mm_decode_wav, _MM_DECODE_WAV_SQL),
     "mm_wav_frame_energy": (mm_wav_frame_energy, _MM_WAV_ENERGY_SQL),

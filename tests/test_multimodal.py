@@ -424,10 +424,26 @@ def test_video_frame_ahash_and_near_dup(spark):
     # min_close_frames raises the clip-level bar
     strict = mm.video_near_dup_pairs(hashes, max_hamming=3, min_close_frames=3)
     assert all(r["n_close_frames"] >= 3 for r in strict.collect())
+    # any-frame pairing (time-shifted edits): counts all close frame
+    # COMBINATIONS, so it's a superset of aligned — every aligned pair
+    # still surfaces with n_close_frames at least the aligned count
+    any_pairs = {
+        (r["id_a"], r["id_b"]): r["n_close_frames"]
+        for r in mm.video_near_dup_pairs(
+            hashes, max_hamming=3, align="any"
+        ).collect()
+    }
+    for pair, n in pairs.items():
+        assert any_pairs.get(pair, 0) >= n, pair
+    # a one-frame-shifted twin: frames 1.. of clip i equal frames 1.. of
+    # twin i+1000 AND frame f of i vs frame f of the twin are close —
+    # any-frame also matches cross-index identical content when present
     with _pytest.raises(ValueError, match="pigeonhole"):
         mm.video_near_dup_pairs(hashes, max_hamming=4)
     with _pytest.raises(ValueError, match="min_close_frames"):
         mm.video_near_dup_pairs(hashes, min_close_frames=0)
+    with _pytest.raises(ValueError, match="align"):
+        mm.video_near_dup_pairs(hashes, align="sliding")
     with _pytest.raises(ValueError, match="thumb"):
         mm.video_frame_ahash(base, thumb=4)
 

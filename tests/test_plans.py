@@ -235,6 +235,7 @@ _PLAN_LINT_ALLOW_NESTED_LOOP = {
     "emb_kmeans_assign",        # k-row broadcast centroid table (same shape)
     "emb_kmeans_assign_chained",  # same k-row broadcast, chained-fit tier
     "dedup_semantic_pairs",     # k-row broadcast centroid table feeds assignment
+    "dedup_semantic_pairs_chained",  # same shape, chained distributed fit
     "dedup_semantic_survivors", # same fit feeds the composed pipeline
     "ext_bloom_semi_lineitem",  # 1-row broadcast bloom map attach
     "ext_winsorize_doclen",     # 1-row broadcast percentile bounds
