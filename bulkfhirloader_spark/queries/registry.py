@@ -2881,6 +2881,66 @@ def sim_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sim_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k over the stored IVF index
+    (streaming.joins.stream_sim_topk, r14 — the serving twin of
+    sim_topk_ivf_stored): the benchmark queries replayed as a 2-file
+    stream, answered per micro-batch against the session's stored index
+    with exhaustive probes.  The streaming-legal top-k (one collect_list
+    aggregation + array_sort + slice, vs the batch window) must
+    reproduce the exact brute-force ranking — the shared _SIM_TOPK_SQL
+    oracle certifies scores, ids, and rank ties across micro-batch
+    boundaries."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_sim_topk
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    q, _emb = _query_vectors(spark, sf_dir)
+    path = prebuild_ivf_index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "sim_topk_stream")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_simtopk_")
+        q.where(F.col("query_id") < 2).coalesce(1).write.parquet(
+            _os.path.join(src, "in", "f0")
+        )
+        q.where(F.col("query_id") >= 2).coalesce(1).write.parquet(
+            _os.path.join(src, "in", "f1")
+        )
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(f"{in_dir}/f0").schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_simtopk_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{in_dir}/*")
+    )
+    qq = (
+        stream_sim_topk(stream, path, k=5, n_probe=8)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qq.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("score"), 6).alias("score"),
+            F.col("rank").alias("rnk"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension — event-time windows + JSON scalar (events table)
 # ---------------------------------------------------------------------------
@@ -7138,6 +7198,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_topk_lsh": (sim_topk_lsh, _SIM_TOPK_SQL),
     "sim_topk_ivf": (sim_topk_ivf, _SIM_TOPK_SQL),
     "sim_topk_ivf_stored": (sim_topk_ivf_stored, _SIM_TOPK_SQL),
+    # r14: the streaming serving twin — same exact ranking contract, so
+    # the brute-force oracle is shared
+    "stream_sim_topk_stored": (stream_sim_topk_stored, _SIM_TOPK_SQL),
     "sim_topk_pandas": (sim_topk_pandas, _SIM_PANDAS_SQL),
     # windows + events scalars
     "win_tumbling": (win_tumbling, _WIN_TUMBLING_SQL),

@@ -1027,6 +1027,128 @@ def stream_semantic_admission(
 _live_static_sem_caches: list = []
 
 
+def stream_sim_topk(
+    stream_queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    cand_vec: str = "embedding",
+) -> DataFrame:
+    """Streaming top-k similarity over a STORED IVF index (r14) — the
+    serving twin of similarity.query_ivf_index: arriving query vectors
+    are answered per micro-batch with their k nearest stored neighbors,
+    ``(query_id, vec_id, score, rank)``.  This is the lookup primitive
+    an always-on retrieval/decontamination pipeline runs at ingest
+    (score each arriving document's embedding against the training
+    corpus), built from the same frozen-index contract as the batch
+    prober.
+
+    Plan shape, by streaming constraint vs the batch prober:
+
+    - Probe selection is the SAME literal-centroid expression
+      (_probe_clusters) — a pure projection, stateless and
+      streaming-legal.
+    - The batch prober collects the probe union and pushes it down as a
+      static partition filter; a stream cannot collect, so the static
+      side is the lists table cached ALREADY PARTITIONED on _cluster
+      (the gate-family cache contract) and each micro-batch joins its
+      exploded probes to it — per batch only the batch-sized query side
+      shuffles, and only the probed clusters' cached partitions produce
+      join output.
+    - The per-query top-k window is streaming-illegal; ONE aggregation
+      is legal: ``collect_list`` of (−score, id) structs per query,
+      ``array_sort`` + ``slice`` + ``posexplode`` — identical ranking
+      contract (score desc, id asc ties) to the batch window,
+      pytest-pinned equal.
+
+    State caveat: the aggregation state is keyed by ``query_id`` and
+    accumulates the probed candidate set per query — queries must be
+    UNIQUE across the stream (re-issuing an id merges its candidates;
+    that is the correct top-k over both arrivals of the same id, but
+    state for it lives until the query ends).  Run in update mode.
+    Exact-cosine scores inside the probed lists; ``n_probe`` is the
+    recall dial exactly as in the batch prober."""
+    from bulkfhirloader_spark.operators.similarity import (
+        _probe_clusters,
+        _read_stored_centroids,
+        cosine_with_norms,
+        l2_norm,
+        l2_normalize,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = stream_queries.sparkSession
+    centers = _read_stored_centroids(spark, index_path)
+    if n_probe < 1 or n_probe > len(centers):
+        raise ValueError(
+            f"n_probe must be in [1, n_clusters={len(centers)}], got {n_probe}"
+        )
+    lists = spark.read.parquet(f"{index_path}/lists.parquet").select(
+        F.col(cand_id), F.col(cand_vec), F.col("_cn"), F.col("_cluster")
+    )
+    while _live_static_ivf_caches:
+        _live_static_ivf_caches.pop().unpersist()
+    lists = (
+        lists.repartition(F.col("_cluster"))
+        .sortWithinPartitions("_cluster")
+        .persist()
+    )
+    _live_static_ivf_caches.append(lists)
+    q_n = stream_queries.withColumn(
+        "_qn", l2_norm(F.col(query_vec))
+    ).withColumn("_nv", l2_normalize(F.col(query_vec), F.col("_qn")))
+    qp = q_n.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.col("_qn"),
+        F.explode(_probe_clusters(F.col("_nv"), centers, n_probe)).alias(
+            "_cluster"
+        ),
+    )
+    scored = (
+        qp.join(lists, "_cluster")
+        .filter(F.col(query_id) != F.col(cand_id))
+        .select(
+            F.col(query_id),
+            F.col(cand_id),
+            cosine_with_norms(
+                F.col(query_vec), F.col(cand_vec), F.col("_qn"), F.col("_cn")
+            ).alias("score"),
+        )
+    )
+    top = scored.groupBy(query_id).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score")).alias("ns"),
+                        F.col(cand_id).alias("cid"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("_top")
+    )
+    return top.select(
+        F.col(query_id),
+        F.posexplode("_top").alias("_p", "_s"),
+    ).select(
+        query_id,
+        F.col("_s.cid").alias(cand_id),
+        (-F.col("_s.ns")).alias("score"),
+        (F.col("_p") + 1).cast("int").alias("rank"),
+    )
+
+
+# Cache-hygiene ledger for stream_sim_topk's static lists side.
+_live_static_ivf_caches: list = []
+
+
 def _winnow_table_name(path: str) -> str:
     """Catalog-name seed for the bucketed winnow fingerprint store at
     ``path``."""

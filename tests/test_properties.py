@@ -527,3 +527,111 @@ def test_admission_local_tier_matches_distributed_on_random_corpora(spark):
         local = run(docs, 10**9)
         assert dist == local, (idx, rows, dist, local)
         assert all(i is not None and i % 2 == 1 for i in dist), (idx, rows, dist)
+
+
+def test_banded_hamming_join_matches_bruteforce_on_random_hashes(spark):
+    """r14: the 4 x 16-bit pigeonhole banding must lose NOTHING against
+    the quadratic scan for max_hamming <= bands - 1 — checked on seeded
+    random 64-bit hashes with planted few-bit-flip clusters (the near-dup
+    regime) and exact-duplicate runs (the hot-band regime)."""
+    import random
+
+    from bulkfhirloader_spark.operators import multimodal as mm
+
+    rng = random.Random(0xD15C)
+    rows = []
+    mid = 0
+    for _ in range(40):
+        base = rng.getrandbits(64)
+        for _ in range(rng.randint(1, 5)):
+            h = base
+            for _ in range(rng.randint(0, 4)):  # 0-4 bit flips
+                h ^= 1 << rng.randrange(64)
+            rows.append((mid, h >> 32, h & 0xFFFFFFFF))
+            mid += 1
+    brute = {}
+    for i, (ia, ha, la) in enumerate(rows):
+        for ib, hb, lb in rows[i + 1:]:
+            d = bin((ha << 32 | la) ^ (hb << 32 | lb)).count("1")
+            if d <= 3:
+                brute[(ia, ib)] = d
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.banded_hamming_pairs(
+            spark.createDataFrame(rows, "media_id long, hash_hi long, hash_lo long"),
+            max_hamming=3,
+        ).collect()
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_winnow_guarantee_and_exact_verify_on_random_corpora(spark):
+    """r14: on seeded random tiny-vocab corpora, (a) ANY pair sharing a
+    token run >= window + k - 1 = 6 must surface in winnow_candidates
+    (min_shared=1) under BOTH hash tiers — the deterministic guarantee;
+    (b) winnow_verified's max_run_tokens must equal the true longest
+    common token run (a Python DP ground truth) for every pair it
+    emits."""
+    import random
+
+    from bulkfhirloader_spark.operators import text as t
+
+    vocab = [f"w{i}" for i in range(10)]
+    rng = random.Random(0x19A4)
+
+    def lcs_run(a: list, b: list) -> int:
+        best, prev = 0, [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    for _trial in range(6):
+        docs_py = {}
+        for i in range(rng.randint(4, 9)):
+            words = [vocab[rng.randrange(10)] for _ in range(rng.randint(4, 14))]
+            if i >= 2 and rng.random() < 0.5:
+                # plant a >= 6-token run copied from an earlier doc
+                donor = docs_py[rng.randrange(i)]
+                if len(donor) >= 6:
+                    s = rng.randrange(len(donor) - 5)
+                    run = donor[s : s + rng.randint(6, len(donor) - s)]
+                    cut = rng.randrange(len(words) + 1)
+                    words = words[:cut] + run + words[cut:]
+            docs_py[i] = words
+        docs = spark.createDataFrame(
+            [(i, " ".join(w)) for i, w in docs_py.items()],
+            "doc_id long, text string",
+        )
+        must_pair = {
+            (a, b)
+            for a in docs_py
+            for b in docs_py
+            if a < b and lcs_run(docs_py[a], docs_py[b]) >= 6
+        }
+        for tier in ("fold", "xxhash64"):
+            cands = {
+                (r["id_a"], r["id_b"])
+                for r in t.winnow_candidates(
+                    docs, min_shared=1, max_fp_df=10**6, hash_tier=tier
+                ).collect()
+            }
+            assert must_pair <= cands, (_trial, tier, must_pair - cands)
+        verified = {
+            (r["id_a"], r["id_b"]): r["max_run_tokens"]
+            for r in t.winnow_verified(
+                docs, min_shared=1, max_fp_df=10**6, min_run_tokens=1
+            ).collect()
+        }
+        # a run of R >= k common tokens is R - k + 1 consecutive same-
+        # diagonal gram matches, and max_run_tokens adds k - 1 back — so
+        # it must equal the DP longest-common-token-run exactly
+        for (a, b), run_tokens in verified.items():
+            assert run_tokens == lcs_run(docs_py[a], docs_py[b]), (
+                _trial, a, b, run_tokens,
+            )
+        assert must_pair <= set(verified), (_trial, must_pair - set(verified))

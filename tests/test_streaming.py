@@ -976,6 +976,75 @@ def test_semantic_store_blas_write_matches_fold(spark, tmp_path):
     )
 
 
+def test_stream_sim_topk_matches_batch_prober(spark, tmp_path):
+    """r14 streaming top-k over the stored IVF index: per-micro-batch
+    answers must equal similarity.query_ivf_index's on the same index,
+    queries, k, and n_probe — same probe expression, same exact cosine,
+    same (score desc, id asc) ranking contract — at exhaustive AND
+    sparse probes; config guards refuse."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.streaming.joins import stream_sim_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7) % 11), float((i * 3) % 5), 1.0]) for i in range(20, 60)],
+        "vec_id long, embedding array<double>",
+    )
+    index = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, index, n_clusters=4)
+    queries = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 5) % 7), 1.0]) for i in range(4)],
+        "query_id long, query_vec array<double>",
+    )
+    queries.where("query_id < 2").coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f0")
+    )
+    queries.where("query_id >= 2").coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f1")
+    )
+
+    def run(name, k, n_probe):
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(str(tmp_path / "in" / "*")).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in" / "*"))
+        )
+        q = (
+            stream_sim_topk(stream, index, k=k, n_probe=n_probe)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+            for r in spark.table(name).collect()
+        )
+
+    for k, n_probe, name in ((3, 4, "simtopk_full"), (3, 1, "simtopk_sparse")):
+        batch = sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+            for r in sim.query_ivf_index(
+                spark, index, queries, k=k, n_probe=n_probe
+            ).collect()
+        )
+        assert run(name, k, n_probe) == batch and len(batch) > 0, name
+    with _pytest.raises(ValueError, match="n_probe"):
+        stream_sim_topk(
+            spark.readStream.schema(
+                spark.read.parquet(str(tmp_path / "in" / "*")).schema
+            ).parquet(str(tmp_path / "in" / "*")),
+            index,
+            n_probe=99,
+        )
+
+
 def _winnow_gate_fixture(spark, tmp_path):
     """Static corpus + a 2-file stream: doc 101 shares an 8-token run
     with static doc 2 (must reject — deterministic guarantee), 102 is
