@@ -999,12 +999,32 @@ def semantic_dedup_pairs(
     directly.  Same rounded-argmax contract, pytest-pinned identical
     pairs/survivors at oracle-checkable k.  Mutually exclusive with
     ``precomputed_assignments`` (which is strictly more precomputed).
+
+    ``assign_tier="blas"`` COMPOSES with ``precomputed_centroids`` (r15,
+    the r14 verdict's Next round #1): the assignment under the given
+    frozen fit runs as similarity.kmeans_assign_blas — one dgemm per
+    Arrow batch against a single centroid broadcast — instead of the
+    k × dim fold expression per row.  This is the deployment pairing at
+    the k ∝ N operating point: SCALE.md's r14 measurement had the fold
+    assignment at 185.7 s (n=50k, k=10⁴, d=16) vs 12.6 s for the
+    identical dgemm pass on the same run, so a chained fit that escaped
+    the driver ceiling was then throttled by its own pair-stage
+    assignment.  The argmax contract is kmeans_assign_blas's (rounded
+    scores, ties to the smallest cluster id; NOT bit-promised equal —
+    numpy half-even rounding on knife-edge doubles), and NULL-id rows
+    are dropped plan-side as in every blas path; the fold tier stays
+    the oracle-restatable default.  One bounded driver transit remains:
+    the centroid DataFrame is collected ONCE into the broadcast (k ×
+    dim × 8 B total — the same order MLlib ships a fitted model), vs
+    the collected fit's once-PER-ITERATION round-trip the chained fit
+    exists to avoid.
     """
     from bulkfhirloader_spark.operators.similarity import (
         _drop_degenerate_vectors,
         classify_nearest_centroid,
         cosine_with_norms,
         kmeans_assign,
+        kmeans_assign_blas,
         l2_norm,
     )
 
@@ -1016,15 +1036,24 @@ def semantic_dedup_pairs(
     if precomputed_assignments is not None:
         assigned = precomputed_assignments.select(id_col, "cluster_id")
     elif precomputed_centroids is not None:
-        assigned = classify_nearest_centroid(
-            _drop_degenerate_vectors(emb, vec_col),
-            precomputed_centroids,
-            vec_col=vec_col,
-            id_cols=(id_col,),
-            round_dp=round_dp,
-        ).select(
-            id_col, F.col("predicted_label").alias("cluster_id")
-        )
+        if assign_tier == "blas":
+            assigned = kmeans_assign_blas(
+                emb,
+                precomputed_centroids,
+                vec_col=vec_col,
+                id_col=id_col,
+                round_dp=round_dp,
+            ).select(id_col, "cluster_id")
+        else:
+            assigned = classify_nearest_centroid(
+                _drop_degenerate_vectors(emb, vec_col),
+                precomputed_centroids,
+                vec_col=vec_col,
+                id_cols=(id_col,),
+                round_dp=round_dp,
+            ).select(
+                id_col, F.col("predicted_label").alias("cluster_id")
+            )
     else:
         assigned = kmeans_assign(
             emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,

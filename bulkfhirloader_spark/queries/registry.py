@@ -2380,6 +2380,28 @@ def dedup_semantic_pairs_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic_pairs_chained_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained fit feeding the pair stage through the dgemm
+    assignment (r15, r14 verdict #1 — the one-call deployment pairing):
+    kmeans_centroids_chained keeps the centroid relation distributed
+    through the fit, then semantic_dedup_pairs(assign_tier="blas")
+    assigns the corpus with one Arrow/BLAS matmul per batch instead of
+    the k × dim fold expression per row (185.7 s vs 12.6 s at n=50k,
+    k=10⁴ on the same fit, SCALE.md r14/r15).  Shares the unrolled-Lloyd
+    + within-cluster-join oracle with the fold twin — hash-green
+    certifies the numpy rounded-argmax routes every vector to the same
+    cluster as the SQL restatement on real data, not just on separated
+    pytest corpora."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids_chained(emb, k=8, n_iter=2)
+    out = dedup.semantic_dedup_pairs(
+        emb, threshold=0.4, precomputed_centroids=cents, assign_tier="blas"
+    )
+    return out.select(
+        "id_a", "id_b", "cluster_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the SEMANTIC near-dup pipeline, composed exactly like
     dedup_clusters' MinHash twin: Lloyd fit → within-cluster pairs →
@@ -2938,6 +2960,131 @@ def stream_sim_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").alias("rnk"),
         )
         .distinct()
+    )
+
+
+def stream_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-mirror tier of stream_sim_topk (r15, r14 verdict #2 —
+    the stored-gate contract's fifth instance): the static side is the
+    DERIVED bucketed lists mirror (ivf_lists_bucketed_write —
+    bucketBy(_cluster), per-bucket sorted), whose layout satisfies the
+    join's static-side distribution, so the micro-batch plan has ZERO
+    static-side Exchange from a fresh catalog (plan-asserted in
+    tests/test_plans.py) and a serving restart pays a scan instead of
+    the corpus-sized repartition+cache fill.  Answers are defined
+    identical to the cached twin, so the exact brute-force oracle is
+    shared (_SIM_TOPK_SQL)."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import (
+        ivf_lists_bucketed_write,
+        stream_sim_topk,
+    )
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    q, _emb = _query_vectors(spark, sf_dir)
+    path = prebuild_ivf_index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "sim_topk_stream_bkt")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_simtopk_bkt_")
+        q.where(F.col("query_id") < 2).coalesce(1).write.parquet(
+            _os.path.join(src, "in", "f0")
+        )
+        q.where(F.col("query_id") >= 2).coalesce(1).write.parquet(
+            _os.path.join(src, "in", "f1")
+        )
+        ivf_lists_bucketed_write(spark, path, num_buckets=8)
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(f"{in_dir}/f0").schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_simtopk_bkt_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{in_dir}/*")
+    )
+    qq = (
+        stream_sim_topk(stream, path, k=5, n_probe=8, bucketed_lists=True)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qq.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("score"), 6).alias("score"),
+            F.col("rank").alias("rnk"),
+        )
+        .distinct()
+    )
+
+
+def stream_sim_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch serving tier of stream_sim_topk (r15, r14 verdict
+    #2's second half): each micro-batch's queries are answered by the
+    BATCH prober verbatim (stream_sim_topk_batch_prober →
+    similarity.query_ivf_index) — the batch's probe union is collected
+    and pushed down as a static partition filter, recovering TRUE
+    planning-time list pruning per micro-batch, which the stream-legal
+    join structurally cannot have.  Results append to a parquet sink.
+    Per-query answers are per-batch top-k — exact here because every
+    query id arrives exactly once — so the exact brute-force oracle is
+    shared (_SIM_TOPK_SQL)."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_sim_topk_batch_prober
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    q, _emb = _query_vectors(spark, sf_dir)
+    path = prebuild_ivf_index(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "sim_topk_stream")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_simtopk_")
+        q.where(F.col("query_id") < 2).coalesce(1).write.parquet(
+            _os.path.join(src, "in", "f0")
+        )
+        q.where(F.col("query_id") >= 2).coalesce(1).write.parquet(
+            _os.path.join(src, "in", "f1")
+        )
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(f"{in_dir}/f0").schema
+    _STREAM_Q_SEQ += 1
+    out_dir = _os.path.join(src, f"out_{_STREAM_Q_SEQ}")
+
+    def sink(df: DataFrame, _batch_id: int) -> None:
+        df.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{in_dir}/*")
+    )
+    qq = (
+        stream.writeStream.foreachBatch(
+            stream_sim_topk_batch_prober(path, sink, k=5, n_probe=8)
+        )
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qq.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").alias("rnk"),
     )
 
 
@@ -7159,6 +7306,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         dedup_semantic_pairs_chained,
         _DEDUP_SEMANTIC_SQL,
     ),
+    # r15: chained fit -> dgemm assignment -> pairs in one call (verdict
+    # r14 #1) — identical output contract, oracle shared
+    "dedup_semantic_pairs_chained_blas": (
+        dedup_semantic_pairs_chained_blas,
+        _DEDUP_SEMANTIC_SQL,
+    ),
     "dedup_semantic_survivors": (dedup_semantic_survivors, _DEDUP_SEMANTIC_SURV_SQL),
     "emb_kmeans_assign_chained": (emb_kmeans_assign_chained, _EMB_KMEANS_SQL),
     "emb_kmeans_assign": (emb_kmeans_assign, _EMB_KMEANS_SQL),
@@ -7201,6 +7354,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # r14: the streaming serving twin — same exact ranking contract, so
     # the brute-force oracle is shared
     "stream_sim_topk_stored": (stream_sim_topk_stored, _SIM_TOPK_SQL),
+    # r15 (verdict r14 #2): bucketed lists mirror (zero static-side
+    # Exchange) + foreachBatch batch-prober (true per-batch pruning) —
+    # answers defined identical, oracle shared
+    "stream_sim_topk_bucketed": (stream_sim_topk_bucketed, _SIM_TOPK_SQL),
+    "stream_sim_topk_pruned": (stream_sim_topk_pruned, _SIM_TOPK_SQL),
     "sim_topk_pandas": (sim_topk_pandas, _SIM_PANDAS_SQL),
     # windows + events scalars
     "win_tumbling": (win_tumbling, _WIN_TUMBLING_SQL),

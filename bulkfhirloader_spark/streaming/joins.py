@@ -1036,6 +1036,7 @@ def stream_sim_topk(
     cand_id: str = "vec_id",
     query_vec: str = "query_vec",
     cand_vec: str = "embedding",
+    bucketed_lists: bool = False,
 ) -> DataFrame:
     """Streaming top-k similarity over a STORED IVF index (r14) — the
     serving twin of similarity.query_ivf_index: arriving query vectors
@@ -1057,7 +1058,16 @@ def stream_sim_topk(
       (the gate-family cache contract) and each micro-batch joins its
       exploded probes to it — per batch only the batch-sized query side
       shuffles, and only the probed clusters' cached partitions produce
-      join output.
+      join output.  ``bucketed_lists=True`` (r15, r14 verdict #2 — the
+      stored-gate contract's fifth instance) reads the DERIVED bucketed
+      mirror instead (ivf_lists_bucketed_write): the bucketBy(_cluster)
+      layout satisfies the join's static-side distribution from LAYOUT,
+      so the micro-batch plan has ZERO static-side Exchange from a
+      fresh catalog (plan-asserted) and a serving restart pays a scan,
+      not the corpus-sized repartition fill.  Mirror staleness after
+      index appends is the writer's documented contract.  For TRUE
+      per-batch partition pruning (not just a pre-distributed scan),
+      use the foreachBatch variant stream_sim_topk_batch_prober.
     - The per-query top-k window is streaming-illegal; ONE aggregation
       is legal: ``collect_list`` of (−score, id) structs per query,
       ``array_sort`` + ``slice`` + ``posexplode`` — identical ranking
@@ -1065,12 +1075,19 @@ def stream_sim_topk(
       pytest-pinned equal.
 
     State caveat: the aggregation state is keyed by ``query_id`` and
-    accumulates the probed candidate set per query — queries must be
-    UNIQUE across the stream (re-issuing an id merges its candidates;
-    that is the correct top-k over both arrivals of the same id, but
-    state for it lives until the query ends).  Run in update mode.
-    Exact-cosine scores inside the probed lists; ``n_probe`` is the
-    recall dial exactly as in the batch prober."""
+    accumulates the probed candidate set per query, deduped per
+    candidate id at output (r15, r14 advice): each candidate occupies AT
+    MOST ONE of the k slots, with its best score — so duplicate stored
+    ids (the append_ivf_index crash-recovery case query_ivf_index's
+    ``dedupe_ids`` opt-in covers) and repeated arrivals can never
+    displace legitimate neighbors from the top-k.  Queries should still
+    be UNIQUE across the stream: re-issuing an id with a DIFFERENT
+    vector merges candidates from two incompatible probe sets into one
+    ranking (per-candidate max over both), which is not the top-k of
+    either vector — unsupported, not merely stale.  State for a query
+    lives until the stream ends.  Run in update mode.  Exact-cosine
+    scores inside the probed lists; ``n_probe`` is the recall dial
+    exactly as in the batch prober."""
     from bulkfhirloader_spark.operators.similarity import (
         _probe_clusters,
         _read_stored_centroids,
@@ -1087,16 +1104,28 @@ def stream_sim_topk(
         raise ValueError(
             f"n_probe must be in [1, n_clusters={len(centers)}], got {n_probe}"
         )
-    lists = spark.read.parquet(f"{index_path}/lists.parquet").select(
-        F.col(cand_id), F.col(cand_vec), F.col("_cn"), F.col("_cluster")
-    )
+    if bucketed_lists:
+        lists = spark.table(register_ivf_lists_table(spark, index_path)).select(
+            F.col(cand_id), F.col(cand_vec), F.col("_cn"), F.col("_cluster")
+        )
+    else:
+        lists = spark.read.parquet(f"{index_path}/lists.parquet").select(
+            F.col(cand_id), F.col(cand_vec), F.col("_cn"), F.col("_cluster")
+        )
     while _live_static_ivf_caches:
         _live_static_ivf_caches.pop().unpersist()
-    lists = (
-        lists.repartition(F.col("_cluster"))
-        .sortWithinPartitions("_cluster")
-        .persist()
-    )
+    if bucketed_lists:
+        # the bucketBy(_cluster) layout already satisfies the join's
+        # static-side distribution — persist only serves repeat
+        # micro-batches from cached blocks (InMemoryRelation preserves
+        # the bucketed child's partitioning); batch 0's fill is a scan
+        lists = lists.persist()
+    else:
+        lists = (
+            lists.repartition(F.col("_cluster"))
+            .sortWithinPartitions("_cluster")
+            .persist()
+        )
     _live_static_ivf_caches.append(lists)
     q_n = stream_queries.withColumn(
         "_qn", l2_norm(F.col(query_vec))
@@ -1120,19 +1149,32 @@ def stream_sim_topk(
             ).alias("score"),
         )
     )
-    top = scored.groupBy(query_id).agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("score")).alias("ns"),
-                        F.col(cand_id).alias("cid"),
-                    )
+    agg = scored.groupBy(query_id).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("score")).alias("ns"),
+                    F.col(cand_id).alias("cid"),
                 )
-            ),
-            1,
-            k,
-        ).alias("_top")
+            )
+        ).alias("_lst")
+    )
+    # Per-candidate dedupe BEFORE the k-slice (r15, r14 advice): the list
+    # is sorted ascending on (ns, cid), so a cid's FIRST occurrence is its
+    # best score — keep an entry iff no earlier entry carries the same
+    # cid.  O(m²) HOF scan per query, but m is bounded by the probed
+    # lists' candidate count (the same bound the state itself carries);
+    # without it a candidate surfacing twice (duplicate stored ids, or a
+    # re-issued query id) occupies multiple of the k slots and displaces
+    # legitimate neighbors.
+    dedup = F.filter(
+        F.col("_lst"),
+        lambda x, i: ~F.exists(
+            F.slice(F.col("_lst"), F.lit(1), i), lambda y: y["cid"] == x["cid"]
+        ),
+    )
+    top = agg.select(
+        F.col(query_id), F.slice(dedup, 1, k).alias("_top")
     )
     return top.select(
         F.col(query_id),
@@ -1147,6 +1189,147 @@ def stream_sim_topk(
 
 # Cache-hygiene ledger for stream_sim_topk's static lists side.
 _live_static_ivf_caches: list = []
+
+
+def _ivf_lists_table_name(path: str) -> str:
+    """Catalog-name seed for the bucketed IVF lists mirror at ``path``."""
+    return bucketed_table_name("bfls_ivflists", path)
+
+
+def ivf_lists_bucketed_write(
+    spark, index_path: str, num_buckets: int = 8
+) -> str:
+    """Derive the BUCKETED serving mirror of a stored IVF index's lists
+    (r15, r14 verdict #2 — the stored-gate contract's fifth instance):
+    reads ``<index_path>/lists.parquet`` (the Hive-partitioned primary
+    the batch prober prunes) and writes the same rows as an EXTERNAL
+    BUCKETED TABLE at ``<index_path>/lists_bucketed`` —
+    ``bucketBy(num_buckets, "_cluster")``, per-bucket sorted — whose
+    LAYOUT satisfies the streaming prober's join distribution: a
+    ``stream_sim_topk(..., bucketed_lists=True)`` micro-batch plans ZERO
+    static-side Exchange from a fresh catalog (plan-asserted in
+    tests/test_plans.py), so serving restarts pay a scan instead of the
+    full repartition+cache fill of the corpus-sized lists table.
+
+    SNAPSHOT semantics, stated more strongly than the gate stores': this
+    is a DERIVED mirror, not the primary — ``append_ivf_index`` appends
+    into ``lists.parquet`` only, so after appends the mirror is STALE
+    until re-derived (re-run this writer; the meta records ``n_rows`` at
+    derive time so an audit can compare against the primary's count).
+    Overwrite-only by design: per-batch appends belong to the primary;
+    the mirror is rebuilt on the same schedule as gate restarts.
+    Commit-marker ordering: data first, meta last — a reader never sees
+    a meta describing a half-written mirror.  Returns the catalog table
+    name."""
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    lists = spark.read.parquet(f"{index_path}/lists.parquet")
+    n_rows = lists.count()
+    table = _ivf_lists_table_name(index_path)
+    data_path = f"{index_path}/lists_bucketed"
+    meta_path = f"{index_path}/lists_bucketed_meta.parquet"
+    if spark.catalog.tableExists(table):
+        # drop-then-create so a changed bucket count / schema can never
+        # half-apply (the banded writer's overwrite stance)
+        spark.sql(f"DROP TABLE `{table}`")
+    (
+        lists.withColumn("_cluster", F.col("_cluster").cast("int"))
+        # hash-partitioned on the same Murmur3 the bucketing uses, so each
+        # bucket's rows land in one task → ≤ num_buckets files per derive
+        .repartition(num_buckets, F.col("_cluster"))
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, "_cluster")
+        .sortBy("_cluster")
+        .option("path", data_path)
+        .saveAsTable(table)
+    )
+    spark.createDataFrame(
+        [(num_buckets, table, n_rows)],
+        "num_buckets int, bucket_table string, n_rows long",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    return table
+
+
+def register_ivf_lists_table(spark, index_path: str) -> str:
+    """Re-attach the bucketed IVF lists mirror at ``index_path`` to THIS
+    session's catalog without rewriting data — the restart case (exact
+    twin of register_banded_table).  Raises if the index has no derived
+    mirror (build one with ivf_lists_bucketed_write)."""
+    meta_path = f"{index_path}/lists_bucketed_meta.parquet"
+    if not fs_path_exists(spark, meta_path):
+        raise ValueError(
+            f"IVF index at {index_path} has no bucketed lists mirror — "
+            f"derive one with ivf_lists_bucketed_write(spark, path, "
+            f"num_buckets=<n>) (the primary lists.parquet stays the "
+            f"batch prober's partition-pruned layout)"
+        )
+    rows = spark.read.parquet(meta_path).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt IVF lists-mirror meta at {meta_path}: {rows}"
+        )
+    return register_external_bucketed_table(
+        spark,
+        rows[0]["bucket_table"],
+        f"{index_path}/lists_bucketed",
+        "_cluster",
+        int(rows[0]["num_buckets"]),
+        ["_cluster"],
+    )
+
+
+def stream_sim_topk_batch_prober(
+    index_path: str,
+    sink,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    cand_vec: str = "embedding",
+    dedupe_ids: bool = False,
+):
+    """foreachBatch serving variant of stream_sim_topk (r15, r14 verdict
+    #2's second half): returns a ``(batch_df, batch_id)`` function for
+    ``writeStream.foreachBatch`` that answers each micro-batch's queries
+    with the BATCH prober (similarity.query_ivf_index) verbatim — the
+    probe union is collected per batch and pushed down as a static
+    partition filter, so every micro-batch gets TRUE planning-time list
+    pruning (only the probed ``_cluster=<c>`` directories are ever
+    listed into tasks), the one property the stream-legal join in
+    stream_sim_topk structurally cannot have (a stream side cannot
+    collect).  The ranked ``(query_id, cand_id, score, rank)`` result is
+    handed to ``sink(result_df, batch_id)`` — e.g. an append write.
+
+    Trade against stream_sim_topk: per-query top-k here is per-BATCH
+    top-k, correct because each query id arrives exactly once (the same
+    uniqueness contract the streaming aggregation documents — here a
+    re-issued id yields a second independent answer in a later batch
+    rather than a merged ranking).  foreachBatch runs the prober's
+    driver-side probe-union collect once per micro-batch — the batch is
+    small by the query-side contract."""
+
+    def _answer(batch_df, batch_id) -> None:
+        from bulkfhirloader_spark.operators.similarity import query_ivf_index
+
+        if batch_df.isEmpty():
+            return
+        out = query_ivf_index(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            k=k,
+            n_probe=n_probe,
+            query_id=query_id,
+            cand_id=cand_id,
+            query_vec=query_vec,
+            cand_vec=cand_vec,
+            dedupe_ids=dedupe_ids,
+        )
+        sink(out, batch_id)
+
+    return _answer
 
 
 def _winnow_table_name(path: str) -> str:

@@ -1924,6 +1924,35 @@ def test_semantic_pairs_chained_centroids_match_in_call_fit(spark):
         )
 
 
+def test_semantic_pairs_precomputed_centroids_blas_matches_fold(spark):
+    """r15 (r14 verdict #1): semantic_dedup_pairs(precomputed_centroids=,
+    assign_tier="blas") — the chained-fit → dgemm-assignment → pairs
+    deployment pairing — must produce identical pairs AND survivors to
+    the fold assignment under the same frozen centroids (separated
+    corpus, so the numpy half-even rounding caveat cannot bite)."""
+    from bulkfhirloader_spark.operators import dedup, similarity as sim
+
+    rows = [
+        (i, [1.0, float(i % 7) / 10.0]) for i in range(0, 20, 2)
+    ] + [
+        (i, [float(i % 5) / 10.0, 1.0]) for i in range(1, 20, 2)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.kmeans_centroids_chained(emb, k=4, n_iter=2)
+    fold = dedup.semantic_dedup_pairs(
+        emb, threshold=0.8, precomputed_centroids=cents
+    )
+    blas = dedup.semantic_dedup_pairs(
+        emb, threshold=0.8, precomputed_centroids=cents, assign_tier="blas"
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["cluster_id"], round(r["cos_sim"], 9))
+    a, b = sorted(map(key, fold.collect())), sorted(map(key, blas.collect()))
+    assert a == b and len(a) > 0
+    surv_a = sorted(map(tuple, dedup.duplicate_clusters(fold).collect()))
+    surv_b = sorted(map(tuple, dedup.duplicate_clusters(blas).collect()))
+    assert surv_a == surv_b
+
+
 def test_kmeans_chained_releases_iteration_checkpoints(two_lobes, spark):
     """r14 (r13 advice): a chained fit must not leave n_iter+1
     checkpointed k×dim tables on executors — after the fit only the

@@ -820,3 +820,87 @@ def test_streaming_image_gate_stored_static_side_has_zero_exchange(
     assert exchange_attrs.isdisjoint(static_attrs), plan
     assert all("ENSURE_REQUIREMENTS" in ln for ln in exchange_lines), plan
     assert "REPARTITION_BY_COL" not in plan, plan
+
+
+def test_stream_sim_topk_bucketed_lists_static_side_has_zero_exchange(
+    spark, tmp_path
+):
+    """r15 (r14 verdict #2 — FIFTH instance of the stored-layout plan
+    contract, this one on a serving join rather than an admission gate):
+    stream_sim_topk over the DERIVED bucketed lists mirror
+    (ivf_lists_bucketed_write) satisfies the probe join's static-side
+    distribution from LAYOUT — the micro-batch plan from a fresh catalog
+    (table dropped, re-attached by the prober itself — the restart case)
+    has ZERO static-side Exchange: the only _cluster Exchange in the
+    whole plan is the stream side's ENSURE_REQUIREMENTS shuffle, the
+    static scan is Bucketed: true, and there is no REPARTITION_BY_COL
+    cache-fill lineage at all."""
+    import os as _os
+    import re as _re
+
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.streaming.joins import (
+        _ivf_lists_table_name,
+        ivf_lists_bucketed_write,
+        stream_sim_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7) % 11), float((i * 3) % 5), 1.0]) for i in range(20, 60)],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path)
+    index = f"{src}/ivf"
+    sim.build_ivf_index(corpus, index, n_clusters=4)
+    ivf_lists_bucketed_write(spark, index, num_buckets=8)
+    # simulate the cluster restart the layout exists for
+    spark.sql(f"DROP TABLE `{_ivf_lists_table_name(index)}`")
+    spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 5) % 7), 1.0]) for i in range(4)],
+        "query_id long, query_vec array<double>",
+    ).repartition(2).write.parquet(f"{src}/in")
+    schema = spark.read.parquet(f"{src}/in").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/in")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        served = stream_sim_topk(
+            stream, index, k=3, n_probe=2, bucketed_lists=True
+        )
+        q = (
+            served.writeStream.format("memory")
+            .queryName("plan_simtopk_bucketed")
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(src, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan, plan
+    static_attrs = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "InMemoryRelation [" in ln
+        for m in [_re.search(r"_cluster#(\d+)", ln)]
+        if m
+    }
+    exchange_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(_cluster" in ln
+    ]
+    exchange_attrs = {
+        _re.search(r"Exchange hashpartitioning\(_cluster#(\d+)", ln).group(1)
+        for ln in exchange_lines
+    }
+    assert static_attrs and exchange_attrs, plan
+    assert exchange_attrs.isdisjoint(static_attrs), plan
+    assert all("ENSURE_REQUIREMENTS" in ln for ln in exchange_lines), plan
+    assert "REPARTITION_BY_COL" not in plan, plan

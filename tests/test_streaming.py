@@ -1045,6 +1045,150 @@ def test_stream_sim_topk_matches_batch_prober(spark, tmp_path):
         )
 
 
+def test_stream_sim_topk_dedupes_candidates(spark, tmp_path):
+    """r15 (r14 advice): a candidate surfacing more than once — duplicate
+    stored ids after a blind re-append — must occupy at most ONE of the k
+    slots (best score), never displace legitimate neighbors; the result
+    equals the batch prober's dedupe_ids=True contract."""
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.streaming.joins import stream_sim_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7) % 11), float((i * 3) % 5), 1.0]) for i in range(20, 40)],
+        "vec_id long, embedding array<double>",
+    )
+    index = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, index, n_clusters=2)
+    # blind re-append of the same rows: every stored id now duplicated
+    sim.append_ivf_index(corpus, index)
+    queries = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 5) % 7), 1.0]) for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    queries.coalesce(1).write.parquet(str(tmp_path / "in" / "f0"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(tmp_path / "in" / "*")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    q = (
+        stream_sim_topk(stream, index, k=4, n_probe=2)
+        .writeStream.format("memory")
+        .queryName("simtopk_dups")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dups"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("simtopk_dups").collect()
+    per_q: dict = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid, ids in per_q.items():
+        assert len(ids) == len(set(ids)) == 4, (qid, ids)
+    batch = sorted(
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in sim.query_ivf_index(
+            spark, index, queries, k=4, n_probe=2, dedupe_ids=True
+        ).collect()
+    )
+    assert sorted(
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in got
+    ) == batch
+
+
+def test_stream_sim_topk_bucketed_and_pruned_match_batch(spark, tmp_path):
+    """r15 (r14 verdict #2): the bucketed-mirror tier and the
+    foreachBatch batch-prober tier must both answer identically to the
+    batch prober on the same index/queries/k/n_probe; a prober asked for
+    the bucketed tier on an index with no derived mirror refuses."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.streaming.joins import (
+        ivf_lists_bucketed_write,
+        stream_sim_topk,
+        stream_sim_topk_batch_prober,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7) % 11), float((i * 3) % 5), 1.0]) for i in range(20, 60)],
+        "vec_id long, embedding array<double>",
+    )
+    index = str(tmp_path / "ivf")
+    sim.build_ivf_index(corpus, index, n_clusters=4)
+    queries = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 5) % 7), 1.0]) for i in range(4)],
+        "query_id long, query_vec array<double>",
+    )
+    queries.where("query_id < 2").coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f0")
+    )
+    queries.where("query_id >= 2").coalesce(1).write.parquet(
+        str(tmp_path / "in" / "f1")
+    )
+    schema = spark.read.parquet(str(tmp_path / "in" / "*")).schema
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in" / "*"))
+        )
+
+    # no mirror yet: the bucketed tier must refuse, not silently fall back
+    with _pytest.raises(ValueError, match="no bucketed lists mirror"):
+        stream_sim_topk(make_stream(), index, k=3, n_probe=2, bucketed_lists=True)
+    ivf_lists_bucketed_write(spark, index, num_buckets=8)
+
+    batch = sorted(
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in sim.query_ivf_index(
+            spark, index, queries, k=3, n_probe=2
+        ).collect()
+    )
+    q = (
+        stream_sim_topk(make_stream(), index, k=3, n_probe=2, bucketed_lists=True)
+        .writeStream.format("memory")
+        .queryName("simtopk_bkt")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bkt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_bkt = sorted(
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in spark.table("simtopk_bkt").collect()
+    )
+    assert got_bkt == batch and len(batch) > 0
+
+    out_dir = str(tmp_path / "out_pruned")
+
+    def sink(df, _bid):
+        df.write.mode("append").parquet(out_dir)
+
+    q2 = (
+        make_stream()
+        .writeStream.foreachBatch(
+            stream_sim_topk_batch_prober(index, sink, k=3, n_probe=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_pruned"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got_pruned = sorted(
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got_pruned == batch
+
+
 def _winnow_gate_fixture(spark, tmp_path):
     """Static corpus + a 2-file stream: doc 101 shares an 8-token run
     with static doc 2 (must reject — deterministic guarantee), 102 is
