@@ -4211,6 +4211,129 @@ WHERE d.doc_id % 2 = 1
 """
 
 
+def stream_full_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED streaming admission flagship (r15, r14 verdict #3 —
+    streaming.joins.stream_admission_pipeline): odd-id documents
+    carrying their embeddings replayed as a 3-file stream, screened
+    against the even-id corpus by the exact/near-text gate, the winnow
+    substring gate, and the semantic gate IN SEQUENCE — each arrival
+    labeled with the first stage that rejected it, or 'admitted'.  The
+    oracle restates all three screens over the same base (documents ⋈
+    embeddings) and the priority CASE — one hash certifies that the
+    three stream-static semi probes + single min-aggregate compose to
+    exactly the conjunction of the standalone gates (whose per-stage
+    parity is additionally pytest-pinned)."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import stream_admission_pipeline
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"]
+    ).select("doc_id", "text", "embedding")
+    key = (spark.sparkContext.applicationId, sf_dir, "full_admission")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_full_")
+        base.where(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(src, "in"))
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    even = base.where(F.col("doc_id") % 2 == 0)
+    existing_docs = even.select("doc_id", "text")
+    existing_emb = even.select("doc_id", "embedding")
+    cents = similarity.kmeans_centroids(emb, k=8, n_iter=2)
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_full_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_admission_pipeline(stream, existing_docs, existing_emb, cents)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("doc_id", "stage").distinct()
+
+
+_STREAM_FULL_SQL = _KMEANS_CTE + r"""
+, base AS (SELECT d.doc_id, d.text FROM documents d
+           JOIN embeddings em ON d.doc_id = em.vec_id),
+jt AS (SELECT doc_id,
+              regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\S+') AS t
+       FROM base),
+jsh AS (SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(range(len(t) - 2),
+                                                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                    ELSE [array_to_string(t, ' ')] END AS shingles
+        FROM jt),
+jsz AS (SELECT doc_id, shingles, len(shingles) AS n FROM jsh),
+jex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM jsz),
+jinter AS (SELECT a.doc_id AS id_s, b.doc_id AS id_e, a.n AS ns, b.n AS ne,
+                  count(*) AS ni
+           FROM jex a JOIN jex b ON a.shingle = b.shingle
+           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2, 3, 4),
+exact_rej AS (SELECT DISTINCT id_s AS doc_id FROM jinter
+              WHERE CAST(ni AS DOUBLE) / CAST(ns + ne - ni AS DOUBLE) >= 0.5),
+wt AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM base),
+wg AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_transform(range(len(t) - 2),
+                                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                   ELSE CAST([] AS VARCHAR[]) END AS grams
+       FROM wt),
+wp AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+              list_reduce(
+                  list_prepend(CAST(18652614 AS BIGINT),
+                               list_transform(regexp_extract_all(u.gram, '.'),
+                                              c -> CAST(unicode(c) AS BIGINT))),
+                  (acc, c) -> (acc * 1000003 + c) % 2147483647) AS h
+       FROM wg, LATERAL (SELECT unnest(grams) AS gram,
+                                generate_subscripts(grams, 1) AS i) u),
+wn AS (SELECT doc_id, count(*) AS n FROM wp GROUP BY 1),
+wstarts AS (SELECT wp.doc_id, wp.pos AS i FROM wp JOIN wn USING (doc_id)
+            WHERE wp.pos <= wn.n - least(4, wn.n) + 1),
+wmin2 AS (SELECT s.doc_id, s.i, min(q.h) AS mh
+          FROM wstarts s JOIN wp q
+            ON q.doc_id = s.doc_id AND q.pos BETWEEN s.i AND s.i + 3
+          GROUP BY 1, 2),
+wfpd AS (SELECT DISTINCT doc_id, mh AS fp_hash FROM wmin2),
+winnow_rej AS (SELECT DISTINCT s.doc_id FROM wfpd s JOIN wfpd e
+                 ON s.fp_hash = e.fp_hash
+               WHERE s.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+                 AND e.doc_id <> s.doc_id),
+o AS (SELECT f.vec_id, f.v, f.cluster_id FROM f
+      JOIN base b ON f.vec_id = b.doc_id WHERE f.vec_id % 2 = 1),
+ev AS (SELECT f.vec_id, f.v, f.cluster_id FROM f
+       JOIN base b ON f.vec_id = b.doc_id WHERE f.vec_id % 2 = 0),
+sem_rej AS (SELECT o.vec_id AS doc_id FROM o
+            WHERE EXISTS (SELECT 1 FROM ev
+                          WHERE ev.cluster_id = o.cluster_id
+                            AND ev.vec_id <> o.vec_id
+                            AND list_cosine_similarity(o.v, ev.v) >= 0.4))
+SELECT b.doc_id,
+       CASE WHEN b.doc_id IN (SELECT doc_id FROM exact_rej) THEN 'exact'
+            WHEN b.doc_id IN (SELECT doc_id FROM winnow_rej) THEN 'winnow'
+            WHEN b.doc_id IN (SELECT doc_id FROM sem_rej) THEN 'semantic'
+            ELSE 'admitted' END AS stage
+FROM base b WHERE b.doc_id % 2 = 1
+"""
+
+
 def stream_mm_image_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming perceptual image admission gate
     (streaming.joins.stream_image_admission, r13): perturbed
@@ -7248,6 +7371,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # admissions defined identical)
     "stream_winnow_admit": (stream_winnow_admit, _STREAM_WINNOW_SQL),
     "stream_winnow_admit_stored": (stream_winnow_admit_stored, _STREAM_WINNOW_SQL),
+    # r15 (verdict r14 #3): the composed exact→winnow→semantic ingester,
+    # one NOT-EXISTS-conjunction oracle with the priority CASE
+    "stream_full_admission": (stream_full_admission, _STREAM_FULL_SQL),
     # r12: the bucketed banded-table gate tier (zero static-side Exchange
     # from layout); semantics defined identical, oracle shared
     "stream_near_dup_admit_bucketed": (

@@ -1430,3 +1430,132 @@ def test_stream_image_admission_from_stored(spark, tmp_path):
         image_hash_store_read(
             spark, str(tmp_path / "store_img_store_plain"), bands=8
         )
+
+
+def test_stream_admission_pipeline_matches_standalone_gates(spark, tmp_path):
+    """r15 (r14 verdict #3): the composed pipeline's per-stage labels
+    must equal the standalone gates' verdicts read sequentially —
+    'exact' = rejected by the near-dup gate; 'winnow' = passed exact,
+    rejected by the winnow gate; 'semantic' = passed both, rejected by
+    the semantic gate; 'admitted' = the intersection of all three
+    admissions."""
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.streaming.joins import (
+        stream_admission_pipeline,
+        stream_near_dup_admission,
+        stream_semantic_admission,
+        stream_winnow_admission,
+    )
+
+    run_a = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    static_rows = [
+        (2, f"{run_a} common tail", [1.0, 0.0, 0.0]),
+        (4, f"{filler} {run_a}", [0.0, 1.0, 0.0]),
+        (6, "totally different static text here", [0.6, 0.8, 0.0]),
+        (8, "yet another unrelated corpus member", [0.0, 0.0, 1.0]),
+    ]
+    stream_rows = [
+        # near-exact text twin of 2 → exact reject
+        (101, f"{run_a} common tail", [0.0, 0.3, 1.0]),
+        # shares the 8-token run with 4 but low overall Jaccard → winnow
+        (103, f"{run_a} " + " ".join(f"z{i}" for i in range(60)),
+         [0.3, 0.0, 1.0]),
+        # disjoint text, embedding parallel to 6's → semantic reject
+        (105, "completely novel words only qqq rrr sss", [0.6, 0.8, 0.0]),
+        # novel on all three axes → admitted
+        (107, "pristine fresh unseen vocabulary entirely",
+         [-1.0, 0.4, 0.1]),
+    ]
+    schema = "doc_id long, text string, embedding array<double>"
+    static = spark.createDataFrame(static_rows, schema)
+    stream_batch = spark.createDataFrame(stream_rows, schema)
+    stream_batch.repartition(2).write.parquet(str(tmp_path / "in"))
+    cents = sim.kmeans_centroids(
+        static.unionByName(stream_batch).select("doc_id", "embedding")
+        .withColumnRenamed("doc_id", "vec_id"),
+        k=3, n_iter=2,
+    )
+    fschema = spark.read.parquet(str(tmp_path / "in")).schema
+
+    def make_stream():
+        return (
+            spark.readStream.schema(fschema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in"))
+        )
+
+    def drain(df, name, cols):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r[c] for c in cols) for r in spark.table(name).collect()}
+
+    labels = dict(
+        drain(
+            stream_admission_pipeline(
+                make_stream(),
+                static.select("doc_id", "text"),
+                static.select("doc_id", "embedding"),
+                cents,
+            ),
+            "pipe_full",
+            ("doc_id", "stage"),
+        )
+    )
+    adm_exact = {
+        t[0]
+        for t in drain(
+            stream_near_dup_admission(
+                make_stream().select("doc_id", "text"),
+                static.select("doc_id", "text"),
+            ),
+            "pipe_gate_exact",
+            ("doc_id",),
+        )
+    }
+    adm_winnow = {
+        t[0]
+        for t in drain(
+            stream_winnow_admission(
+                make_stream().select("doc_id", "text"),
+                static.select("doc_id", "text"),
+            ),
+            "pipe_gate_winnow",
+            ("doc_id",),
+        )
+    }
+    adm_sem = {
+        t[0]
+        for t in drain(
+            stream_semantic_admission(
+                make_stream().select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                ),
+                static.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                cents,
+            ),
+            "pipe_gate_sem",
+            ("vec_id",),
+        )
+    }
+    stream_ids = {r[0] for r in stream_rows}
+    expected = {}
+    for i in sorted(stream_ids):
+        if i not in adm_exact:
+            expected[i] = "exact"
+        elif i not in adm_winnow:
+            expected[i] = "winnow"
+        elif i not in adm_sem:
+            expected[i] = "semantic"
+        else:
+            expected[i] = "admitted"
+    assert labels == expected
+    # the fixture must exercise every stage, or the pin proves nothing
+    assert set(expected.values()) == {"exact", "winnow", "semantic", "admitted"}
