@@ -317,6 +317,155 @@ def vocab_pair_counts(
     return counts.orderBy(F.desc("pair_count"), "pair").limit(top_k)
 
 
+def _adjacent_pairs(syms: Column) -> Column:
+    """Adjacent symbol pairs of an array as ``array<struct<l,r>>`` — the
+    per-doc counting projection of one BPE round.  Guarded for < 2
+    symbols (F.sequence/slice misbehave on empty ranges): such docs
+    contribute no pairs."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Apply ONE BPE merge rule greedily LEFT-TO-RIGHT to a symbol array
+    (the standard BPE application order: in "a a a" under merge (a,a)
+    the first two fuse, the third survives): one aggregate fold whose
+    accumulator is (rebuilt array, pending symbol) — a pending symbol is
+    emitted fused when the next symbol completes the pair, else flushed
+    plain.  Pure projection, O(len) per row, zero shuffle."""
+    fused = f"{left} {right}"
+    empty = F.array().cast("array<string>")
+    null_s = F.lit(None).cast("string")
+
+    def step(acc, t):
+        return F.when(
+            acc["prev"].isNotNull()
+            & (acc["prev"] == F.lit(left))
+            & (t == F.lit(right)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(fused))).alias("out"),
+                null_s.alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["prev"].isNotNull(),
+                    F.concat(acc["out"], F.array(acc["prev"])),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                t.alias("prev"),
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        F.struct(empty.alias("out"), null_s.alias("prev")),
+        step,
+        lambda acc: F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"]),
+    )
+
+
+def bpe_merge_rounds(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Multi-round BPE vocabulary trainer (r15, r14 verdict #4):
+    vocab_pair_counts computes ONE merge round's pair frequencies; a real
+    tokenizer-training pipeline iterates — each round counts adjacent
+    symbol pairs over the CURRENT corpus segmentation, fuses the most
+    frequent pair into a new vocabulary unit (Sennrich et al. 2016's
+    loop, here over whitespace tokens as the starting symbols), and
+    re-segments before the next count.  Returns the learned merge table
+    ``(merge_idx, left_sym, right_sym, pair_count)`` in learn order —
+    the artifact a tokenizer ships.
+
+    Determinism contract (restatable in SQL, the chained-k-means
+    stance): per round the winning pair is ordered by (count DESC,
+    left_sym ASC, right_sym ASC); merges apply greedily left-to-right
+    ("a a a" under (a,a) → ["a a", "a"]); rounds with no remaining
+    pairs end the loop early.
+
+    Scale shape: each round is ONE corpus pass — the pair count is an
+    explode → groupBy whose map-side partial aggregation collapses each
+    partition to its distinct pairs (zipfian but tiny vs the corpus),
+    the winner is a 1-row TakeOrderedAndProject, and the re-segmentation
+    is a pure O(len) projection fold.  Driver state is BOUNDED: the
+    merge table itself (n_merges tiny rows — one winner collected per
+    round), never the corpus.  ``checkpoint_rounds=True`` (default)
+    materializes each round's re-segmented corpus as an EAGER
+    localCheckpoint and releases the previous round's blocks
+    (kmeans_centroids_chained's plan-hygiene pattern — without it round
+    i's lineage nests i re-segmentation folds and the optimizer
+    re-analyzes a linearly deepening tree, re-running every prior fold
+    in each round's count pass: O(k²) fold work); the checkpoint trades
+    that for one corpus-sized executor materialization per round,
+    released as soon as the next round lands.  False keeps the nested-
+    lineage form (useful when executors cannot hold the corpus and
+    k is small).
+
+    Reference parity anchor: none — the reference (bulkfhirloader,
+    main.go) has no tokenizer surface; this is the LLM-pipeline
+    extension, published-algorithm cited."""
+    from bulkfhirloader_spark.operators.dedup import ensure_parallelism
+    from bulkfhirloader_spark.operators.similarity import (
+        _release_local_checkpoint,
+    )
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = docs.sparkSession
+    sym = ensure_parallelism(docs).select(
+        tokens(F.col(text_col)).alias("syms")
+    ).where(F.size("syms") >= 2)
+    prev_ckpt = None
+    merges: list[tuple[int, str, str, int]] = []
+    schema = "merge_idx int, left_sym string, right_sym string, pair_count long"
+    for m in range(n_merges):
+        top = (
+            sym.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(
+                F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+            )
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = (
+            top[0]["left_sym"], top[0]["right_sym"], int(top[0]["pair_count"])
+        )
+        merges.append((m, left, right, cnt))
+        if m == n_merges - 1:
+            break
+        sym = sym.select(_apply_merge(F.col("syms"), left, right).alias("syms"))
+        if checkpoint_rounds:
+            sym = sym.localCheckpoint()
+            if prev_ckpt is not None:
+                # the new segmentation is materialized — the previous
+                # round's blocks are dead weight, free them now
+                _release_local_checkpoint(prev_ckpt)
+            prev_ckpt = sym
+    if prev_ckpt is not None:
+        # the merge table is collected; the working corpus is internal
+        # state, never returned — safe to free unconditionally
+        _release_local_checkpoint(prev_ckpt)
+    return spark.createDataFrame(merges, schema)
+
+
 def inverted_index(
     docs: DataFrame,
     min_df: int = 1,

@@ -2758,6 +2758,70 @@ LIMIT 100
 """
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE vocabulary trainer (text.bpe_merge_rounds, r15 —
+    r14 verdict #4): three merge rounds over the documents corpus, each
+    counting adjacent symbol pairs on the CURRENT segmentation, fusing
+    the (count DESC, pair ASC) winner, and re-segmenting greedily
+    left-to-right before the next count.  The oracle UNROLLS all three
+    rounds in SQL — pair counts, winner selection, and the greedy
+    non-overlapping merge application (runs of consecutive matches keep
+    even offsets — exactly the fold's left-to-right pending-symbol
+    semantics) — so one hash certifies the whole iterative loop, not
+    just round one's counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_merge_rounds(docs, n_merges=3)
+
+
+def _bpe_round_sql(rnd: int) -> str:
+    """One unrolled BPE round: pair counts over r{rnd-1}, 1-row winner
+    t{rnd}, greedy non-overlapping merge application → r{rnd}."""
+    p, t, s, c, r_in, r_out = (
+        f"p{rnd}", f"t{rnd}", f"sel{rnd}", f"ch{rnd}", f"r{rnd - 1}", f"r{rnd}"
+    )
+    return f"""
+{p} AS (SELECT doc_id, CAST(u.i AS INTEGER) AS i, s[u.i] AS l, s[u.i + 1] AS r
+        FROM {r_in}, LATERAL (SELECT unnest(range(1, len(s))) AS i) u),
+{t} AS (SELECT l, r, count(*) AS c FROM {p} GROUP BY 1, 2
+        ORDER BY c DESC, l, r LIMIT 1),
+{s} AS (SELECT doc_id, i,
+               (i - min(i) OVER (PARTITION BY doc_id, grp)) % 2 = 0 AS chosen
+        FROM (SELECT q.doc_id, q.i,
+                     q.i - row_number() OVER (PARTITION BY q.doc_id
+                                              ORDER BY q.i) AS grp
+              FROM {p} q, {t} WHERE q.l = {t}.l AND q.r = {t}.r)),
+{c} AS (SELECT doc_id, i FROM {s} WHERE chosen),
+{r_out} AS (SELECT doc_id, list(sym ORDER BY i) AS s
+            FROM (SELECT b.doc_id, b.i,
+                         CASE WHEN cc.i IS NOT NULL
+                              THEN b.tok || ' ' || b.nxt
+                              ELSE b.tok END AS sym
+                  FROM (SELECT doc_id, CAST(u.i AS INTEGER) AS i,
+                               s[u.i] AS tok, s[u.i + 1] AS nxt
+                        FROM {r_in},
+                             LATERAL (SELECT unnest(range(1, len(s) + 1)) AS i) u) b
+                  LEFT JOIN {c} cc ON cc.doc_id = b.doc_id AND cc.i = b.i
+                  LEFT JOIN {c} cp ON cp.doc_id = b.doc_id AND cp.i = b.i - 1
+                  WHERE cp.i IS NULL)
+            GROUP BY doc_id)"""
+
+
+_TEXT_BPE_SQL = (
+    r"""
+WITH r0 AS (SELECT doc_id, t AS s
+            FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                  FROM documents)
+            WHERE len(t) >= 2),"""
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+SELECT 0 AS merge_idx, l AS left_sym, r AS right_sym,
+       CAST(c AS BIGINT) AS pair_count FROM t1
+UNION ALL SELECT 1, l, r, CAST(c AS BIGINT) FROM t2
+UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM t3
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Extension — similarity search (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -7472,6 +7536,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_token_count_bpe": (text_token_count_bpe, _TEXT_BPE_SQL),
     "text_repetition_stats": (text_repetition_stats, _TEXT_REPETITION_SQL),
     "text_vocab_pair_counts": (text_vocab_pair_counts, _TEXT_VOCAB_PAIRS_SQL),
+    # r15 (verdict r14 #4): the iterative BPE trainer, 3 rounds unrolled
+    # in the oracle (counts + winner + greedy merge application)
+    "text_bpe_merges": (text_bpe_merges, _TEXT_BPE_SQL),
     # similarity
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, _SIM_TOPK_SQL),

@@ -635,3 +635,103 @@ def test_winnow_guarantee_and_exact_verify_on_random_corpora(spark):
                 _trial, a, b, run_tokens,
             )
         assert must_pair <= set(verified), (_trial, must_pair - set(verified))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge rounds vs an independent Python reference (r15)
+# ---------------------------------------------------------------------------
+
+_BPE_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _bpe_ref(token_docs, k):
+    """Straight-line BPE: per round count adjacent pairs, fuse the
+    (count desc, pair asc) winner greedily left-to-right."""
+    from collections import Counter
+
+    seqs = [list(s) for s in token_docs if len(s) >= 2]
+    merges = []
+    for m in range(k):
+        cnt: Counter = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] += 1
+        if not cnt:
+            break
+        (x, y), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((m, x, y, c))
+        if m == k - 1:
+            break
+
+        def apply(s):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(f"{x} {y}")
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        seqs = [apply(s) for s in seqs]
+    return merges
+
+
+@given(_BPE_DOCS)
+@example([["a", "a", "a", "a"], ["b", "a", "a"], ["a", "a", "b", "b", "a", "a"]])
+@example([["a"], []])
+@_SETTINGS
+def test_bpe_merge_rounds_match_python_reference(spark, token_docs):
+    """bpe_merge_rounds' whole loop — per-round counts, (count desc, pair
+    asc) winner, greedy left-to-right application including overlapping
+    same-symbol runs — must equal a straight-line Python BPE on
+    adversarial corpora (the SQL oracle pins the fixed corpus; this pins
+    the shapes hypothesis finds: all-same-token runs, sub-2-token docs,
+    early exhaustion)."""
+    from bulkfhirloader_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(s)) for i, s in enumerate(token_docs)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["merge_idx"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in T.bpe_merge_rounds(docs, n_merges=3).collect()
+    ]
+    assert sorted(got) == sorted(_bpe_ref(token_docs, 3))
+
+
+def test_bpe_merge_rounds_unchained_parity_and_guards(spark):
+    """checkpoint_rounds=False (nested-lineage form) must learn the same
+    merge table; n_merges < 1 refuses; the working checkpoints are
+    released (only pre-existing blocks remain stored)."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "b a a c c"), (3, "c c b a")],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    chained = sorted(map(tuple, T.bpe_merge_rounds(docs, n_merges=3).collect()))
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= before
+    plain = sorted(
+        map(
+            tuple,
+            T.bpe_merge_rounds(docs, n_merges=3, checkpoint_rounds=False).collect(),
+        )
+    )
+    assert chained == plain and len(chained) == 3
+    with _pytest.raises(ValueError, match="n_merges"):
+        T.bpe_merge_rounds(docs, n_merges=0)
