@@ -56,6 +56,48 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
+# Ledger of the candidate-set LAZY checkpoints (r15, r14 advice — one
+# place covering all the eager=False sites: ngram_jaccard_pairs,
+# ngram_containment_pairs, text.winnow_verified).  These checkpoints cut
+# a multiply-referenced proposal subplan's lineage INSIDE a returned
+# plan, so unlike the gate caches they canNOT be auto-evicted on the
+# next call: a released local checkpoint cannot recompute, and the
+# caller may still hold the previous result.  The ledger makes the
+# retention explicit and gives long-lived sessions a drain point.
+_live_candidate_checkpoints: list = []
+
+
+def _ledger_lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazily checkpoint an internal candidate set and RECORD it in the
+    module ledger so release_candidate_checkpoints can free the blocks
+    once the session is done with the results that reference them."""
+    out = df.localCheckpoint(eager=False)
+    _live_candidate_checkpoints.append(out)
+    return out
+
+
+def release_candidate_checkpoints() -> int:
+    """Free every recorded candidate-set checkpoint (r15, r14 advice):
+    without this, repeated ngram_jaccard_pairs / ngram_containment_pairs /
+    winnow_verified calls in a long-lived session accumulate
+    checkpointed candidate blocks on executors until ContextCleaner
+    happens to GC them.  Call ONLY when every DataFrame previously
+    returned by those operators is no longer needed — their plans read
+    from these blocks, and a released local checkpoint cannot be
+    recomputed (re-collecting an old result afterwards fails; run the
+    operator again instead).  Returns the number of checkpoints
+    released."""
+    from bulkfhirloader_spark.operators.similarity import (
+        _release_local_checkpoint,
+    )
+
+    n = 0
+    while _live_candidate_checkpoints:
+        _release_local_checkpoint(_live_candidate_checkpoints.pop())
+        n += 1
+    return n
+
+
 # Persisted-result memos: one entry per (session, input plan(s), params).
 # At 100 TB these live in stored tables appended per admitted batch (see
 # incremental_near_dup_filter); in-session the memo is the same idea —
@@ -504,7 +546,10 @@ def ngram_jaccard_pairs(
         # (that's the point of LSH proposal), so a lazy localCheckpoint —
         # computed once at first use, then served from block storage — is
         # the right trade; same move the connected-components loop makes.
-        candidates = candidates.localCheckpoint(eager=False)
+        # Ledgered (r15): the blocks live until the session drains them
+        # via release_candidate_checkpoints (the returned plan reads from
+        # them, so auto-eviction would break still-held results).
+        candidates = _ledger_lazy_checkpoint(candidates)
     # parallelism fix on the BASE scan, before any join is stacked on top:
     # ensure_parallelism probes .rdd partition counts, which under AQE
     # would otherwise execute the candidate subplan just to count partitions
@@ -664,6 +709,10 @@ def connected_components(
     (silently returning partial labels would split one duplicate cluster
     into several and keep extra survivors downstream).
     """
+    from bulkfhirloader_spark.operators.similarity import (
+        _release_local_checkpoint,
+    )
+
     edges = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
@@ -671,13 +720,19 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
     if edges.count() <= local_threshold:
-        return _connected_components_local(edges)
+        out = _connected_components_local(edges)
+        # the local tier collected the edge set; its checkpoint blocks
+        # are dead the moment the driver holds the labels (r15 — the
+        # kmeans_centroids_chained release discipline applied here)
+        _release_local_checkpoint(edges)
+        return out
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
+    prev_round = labels
     for _ in range(max_iter):
         # min over neighbors' labels, left-joined back onto own label (no
         # union of labels with a labels-derived plan: that self-reference
@@ -725,8 +780,20 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("_changed").limit(1).count()
+        # this round's labels are materialized (eager checkpoint, and the
+        # probe above just read them): the lazy `merged` blocks that
+        # folded into them and the PREVIOUS round's label table are dead
+        # weight now — free both (r15, the chained-k-means release
+        # discipline; previously every round's blocks lived until
+        # ContextCleaner GC, O(rounds × nodes) retained per call)
+        _release_local_checkpoint(merged)
+        _release_local_checkpoint(prev_round)
+        prev_round = new_labels
         labels = new_labels.select("node", "component")
         if changed == 0:
+            # the returned labels read ONLY the final round's checkpoint;
+            # the symmetrized edge table is loop-internal state
+            _release_local_checkpoint(edges)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
@@ -1926,7 +1993,9 @@ def ngram_containment_pairs(
         )
     docs = ensure_parallelism(docs)
     if candidates is not None:
-        candidates = candidates.localCheckpoint(eager=False)
+        # ledgered lazy cut, same rationale and retention contract as
+        # ngram_jaccard_pairs (release_candidate_checkpoints drains it)
+        candidates = _ledger_lazy_checkpoint(candidates)
         # restrict BEFORE the explode (same rationale as ngram_jaccard_pairs:
         # a semi join doesn't push below Generate; ensure_parallelism stays
         # on the base scan so its .rdd probe can't execute the subplan)

@@ -856,7 +856,17 @@ def audio_fingerprint(
     clip is a VALID value that collides every silent/short clip at
     hamming 0 and reports unrelated content as near-dups (r13 advice) —
     no-signal content is quarantined, not hashed.  One Arrow pass, numpy
-    reduceat energies, JVM-side joins downstream."""
+    reduceat energies, JVM-side joins downstream.
+
+    MIGRATION NOTE for persisted fingerprint tables (r15, r14 advice):
+    before the r14 quarantine, zero-sample and one-frame clips hashed to
+    (0, 0) — a VALID, maximally-collidable value.  A fingerprint table
+    written pre-r14 therefore mixes regimes with fresh rows: the legacy
+    all-zero rows survive as collidable values that the NULL-dropping
+    joins no longer treat as quarantined.  REBUILD such tables with the
+    current operator (or delete rows where hash_hi = 0 AND hash_lo = 0
+    AND the source clip has < min_frames frames) before joining them
+    against newly-hashed corpora."""
     if min_frames < 2:
         raise ValueError(
             "min_frames must be >= 2: below one energy delta the "

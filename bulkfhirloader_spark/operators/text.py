@@ -1085,11 +1085,17 @@ def winnow_verified(
             max_fp_df=max_fp_df, id_col=id_col, text_col=text_col,
             hash_tier=hash_tier,
         )
-    cand = (
+    from bulkfhirloader_spark.operators.dedup import _ledger_lazy_checkpoint
+
+    # lazy lineage cut, LEDGERED (r15, r14 advice): the candidate set is
+    # referenced by the wanted-ids explode AND the pair join below, and
+    # the returned plan reads from these blocks — they are retained until
+    # the session drains them via dedup.release_candidate_checkpoints
+    # (auto-eviction would break a still-held previous result)
+    cand = _ledger_lazy_checkpoint(
         candidates.select("id_a", "id_b")
         .where(F.col("id_a") < F.col("id_b"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     wanted = cand.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)

@@ -339,7 +339,14 @@ def chained_sweep() -> None:
     chained) — the broadcast assignment, zero centroid bytes through the
     Python driver — and (b) semantic_store_write under the chained fit
     (blas write tier, the large-k necessity), so the measured path is
-    fit → store → gate end to end, not the fit in isolation."""
+    fit → store → gate end to end, not the fit in isolation.
+
+    r15 (r14 verdict #1): also times semantic_dedup_pairs(
+    precomputed_centroids=chained, assign_tier="blas") — the dgemm
+    assignment on the pair stage itself (the r14 run showed the FOLD
+    pair stage at 185.7 s vs 12.6 s for the same dgemm inside the store
+    write, i.e. the chained fit's consumer was the new bottleneck) —
+    and counts pair mismatches between the two tiers at full k."""
     import shutil
     import tempfile
 
@@ -377,6 +384,26 @@ def chained_sweep() -> None:
         emb, threshold=0.99, precomputed_centroids=chained
     ).count()
     pairs_chained_s = time.monotonic() - t0
+    # r15: the dgemm assignment on the pair stage (r14 verdict #1) — the
+    # one-call deployment pairing chained fit -> blas assign -> pairs
+    t0 = time.monotonic()
+    blas_pairs = dedup.semantic_dedup_pairs(
+        emb, threshold=0.99, precomputed_centroids=chained,
+        assign_tier="blas",
+    )
+    n_pairs_blas = blas_pairs.count()
+    pairs_blas_s = time.monotonic() - t0
+    fold_pairs = dedup.semantic_dedup_pairs(
+        emb, threshold=0.99, precomputed_centroids=chained
+    ).select("id_a", "id_b", "cluster_id")
+    pair_mism = (
+        fold_pairs.exceptAll(
+            blas_pairs.select("id_a", "id_b", "cluster_id")
+        ).count()
+        + blas_pairs.select("id_a", "id_b", "cluster_id")
+        .exceptAll(fold_pairs)
+        .count()
+    )
     store_dir = tempfile.mkdtemp(prefix="semchained_store_")
     try:
         t0 = time.monotonic()
@@ -401,6 +428,9 @@ def chained_sweep() -> None:
                 "clusters_collected": n_cents_c,
                 "pairs_chained_s": round(pairs_chained_s, 1),
                 "pairs@0.99": n_pairs,
+                "pairs_chained_blas_s": round(pairs_blas_s, 1),
+                "pairs_blas@0.99": n_pairs_blas,
+                "pair_tier_mismatches": pair_mism,
                 "store_write_blas_s": round(store_write_s, 1),
                 "driver_rss_mb": {
                     "before": rss0,

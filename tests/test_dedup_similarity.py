@@ -1973,3 +1973,50 @@ def test_kmeans_chained_releases_iteration_checkpoints(two_lobes, spark):
     assert stored_rdds() <= before + 1
     sim._release_local_checkpoint(cents)
     assert stored_rdds() <= before
+
+
+def test_candidate_checkpoint_ledger_and_cc_release(spark):
+    """r15 (r14 advice): (1) the candidate-set lazy checkpoints in
+    ngram_jaccard_pairs / ngram_containment_pairs / winnow_verified are
+    RECORDED and drainable via release_candidate_checkpoints once the
+    session is done with the results; (2) the distributed
+    connected-components loop frees each superseded round's blocks
+    in-loop, leaving at most the final round's table stored."""
+    from bulkfhirloader_spark.operators import dedup, text as T
+
+    sc = spark.sparkContext
+
+    def stored_rdds():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} w{i+1} w{i+2} w{i+3}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3)], "id_a long, id_b long"
+    )
+    base_ledger = len(dedup._live_candidate_checkpoints)
+    j = dedup.ngram_jaccard_pairs(docs, candidates=cand)
+    c = dedup.ngram_containment_pairs(docs, candidates=cand)
+    w = T.winnow_verified(docs, candidates=cand)
+    for df in (j, c, w):
+        df.collect()
+    assert len(dedup._live_candidate_checkpoints) == base_ledger + 3
+    before = stored_rdds()
+    released = dedup.release_candidate_checkpoints()
+    assert released == base_ledger + 3
+    assert stored_rdds() <= before
+    assert not dedup._live_candidate_checkpoints
+
+    # (2) the distributed CC loop (local_threshold=0 forces it): a chain
+    # graph needs several rounds; superseded rounds must not accumulate
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    before_cc = stored_rdds()
+    labels = dedup.connected_components(pairs, local_threshold=0)
+    labels.collect()
+    # final round's checkpoint (and nothing else from the loop) may remain
+    assert stored_rdds() <= before_cc + 1

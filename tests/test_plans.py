@@ -254,11 +254,21 @@ _PLAN_LINT_SKIP = {
 
 
 def test_no_cartesian_or_nested_loop_in_any_registered_query(spark):
-    """Sweeping plan lint: NO registered query may plan a CartesianProduct,
-    and only the documented exact all-pairs tiers may plan a
-    BroadcastNestedLoopJoin.  Catches a silently-degenerating join (lost
-    equi condition, non-equi-only predicate) anywhere in the surface."""
+    """Sweeping plan lint (one pass, two checks): (1) NO registered query
+    may plan a CartesianProduct, and only the documented exact all-pairs
+    tiers may plan a BroadcastNestedLoopJoin — catches a silently-
+    degenerating join (lost equi condition, non-equi-only predicate)
+    anywhere in the surface.  (2) r15 (r14 verdict #5): only the
+    allow-listed queries may plan a GLOBAL (partition-less) window —
+    WindowExec's 'No Partition Defined' sites, each documented in
+    scripts/plan_audit.GLOBAL_WINDOW_ALLOWLIST with the bounded
+    intermediate it runs on — so an unexplained global window (a
+    serialized single-partition sort at corpus size) fails here instead
+    of hiding in bench-log warning noise."""
+    from scripts.plan_audit import GLOBAL_WINDOW, GLOBAL_WINDOW_ALLOWLIST
+
     bad = {}
+    gwin = set()
     for name, (fn, _sql) in sorted(registry.REGISTRY.items()):
         if name in _PLAN_LINT_SKIP or name.startswith(_PLAN_LINT_SKIP_PREFIXES):
             continue
@@ -267,7 +277,23 @@ def test_no_cartesian_or_nested_loop_in_any_registered_query(spark):
             bad[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in _PLAN_LINT_ALLOW_NESTED_LOOP:
             bad[name] = "BroadcastNestedLoopJoin"
+        if any(
+            "Window [" in ln and GLOBAL_WINDOW.search(ln)
+            for ln in plan.splitlines()
+        ):
+            gwin.add(name)
     assert not bad, f"degenerate join plans: {bad}"
+    unexplained = gwin - set(GLOBAL_WINDOW_ALLOWLIST)
+    assert not unexplained, (
+        f"global windows outside the allowlist: {sorted(unexplained)} — "
+        f"bound the input and document it in scripts/plan_audit.py, or "
+        f"partition the window"
+    )
+    stale = set(GLOBAL_WINDOW_ALLOWLIST) - gwin
+    assert not stale, (
+        f"allow-listed global windows no longer observed: {sorted(stale)} "
+        f"— prune the allowlist so it stays an exact census"
+    )
 
 
 def test_knn_classify_corpus_path_is_projection(spark):
