@@ -466,6 +466,67 @@ def bpe_merge_rounds(
     return spark.createDataFrame(merges, schema)
 
 
+def apply_bpe_merges(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Segment a corpus under a LEARNED merge table (r15 — the
+    consumption half of bpe_merge_rounds: train once, tokenize many):
+    whitespace-tokenize each document, then apply every merge in
+    ``merge_idx`` order, each greedily left-to-right (the exact
+    application rule the trainer's own rounds use, so segmenting the
+    TRAINING corpus reproduces the trainer's final state bit-for-bit —
+    that identity is what the registry oracle certifies).  Returns
+    ``(id_col, syms: array<string>)``; documents with < 2 tokens pass
+    through as their raw token list (nothing to merge).
+
+    ``merges`` is the trainer's output DataFrame (or a [(left, right)]
+    list), collected to the driver — tiny by contract (one row per
+    learned merge, the artifact a tokenizer ships).  Each merge is one
+    O(len) projection fold, so n_merges folds stack in ONE corpus scan;
+    past ``checkpoint_every`` merges the stack is cut with an eager
+    localCheckpoint (expression-tree depth and analysis cost grow
+    linearly with the stack — the bpe_merge_rounds plan-hygiene trade),
+    intermediate cuts released in-loop and the LAST cut ledgered for
+    release_candidate_checkpoints (the result plan reads from it)."""
+    from bulkfhirloader_spark.operators.dedup import (
+        _live_candidate_checkpoints,
+        ensure_parallelism,
+    )
+    from bulkfhirloader_spark.operators.similarity import (
+        _release_local_checkpoint,
+    )
+
+    if hasattr(merges, "collect"):
+        seq = [
+            (r["left_sym"], r["right_sym"])
+            for r in sorted(merges.collect(), key=lambda r: r["merge_idx"])
+        ]
+    else:
+        seq = [(left, right) for left, right in merges]
+    out = ensure_parallelism(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("syms")
+    )
+    prev_ckpt = None
+    for i, (left, right) in enumerate(seq):
+        out = out.select(
+            F.col(id_col), _apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < len(seq):
+            out = out.localCheckpoint()
+            if prev_ckpt is not None:
+                _release_local_checkpoint(prev_ckpt)
+            prev_ckpt = out
+    if prev_ckpt is not None:
+        # the returned plan reads from the final cut — retained until the
+        # session drains it (dedup.release_candidate_checkpoints)
+        _live_candidate_checkpoints.append(prev_ckpt)
+    return out
+
+
 def inverted_index(
     docs: DataFrame,
     min_df: int = 1,

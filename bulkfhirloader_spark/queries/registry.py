@@ -2822,6 +2822,46 @@ UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM t3
 )
 
 
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train → SEGMENT round-trip (text.apply_bpe_merges, r15): the
+    3-round learned merge table applied back to the corpus in merge
+    order, each greedily left-to-right — the tokenize-many half of the
+    train-once contract.  Because application uses the trainer's own
+    greedy rule, segmenting the training corpus must reproduce the
+    trainer's final working state exactly: the oracle is the SAME
+    unrolled 3-round chain read at its final segmentation (r3), plus the
+    untouched sub-2-token docs.  Symbols ship as a unit-separator CSV
+    (driver-hashable, and symbols contain spaces by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_merge_rounds(docs, n_merges=3)
+    seg = text.apply_bpe_merges(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.size("syms").alias("n_syms"),
+        F.array_join("syms", "\x1f").alias("syms_csv"),
+    )
+
+
+_TEXT_BPE_SEG_SQL = (
+    r"""
+WITH r0 AS (SELECT doc_id, t AS s
+            FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                  FROM documents)
+            WHERE len(t) >= 2),"""
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + r"""
+SELECT doc_id, CAST(len(s) AS INTEGER) AS n_syms,
+       array_to_string(s, chr(31)) AS syms_csv
+FROM r3
+UNION ALL
+SELECT doc_id, CAST(len(t) AS INTEGER) AS n_syms,
+       array_to_string(t, chr(31)) AS syms_csv
+FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents)
+WHERE len(t) < 2
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Extension — similarity search (SURVEY §2.10)
 # ---------------------------------------------------------------------------
@@ -7537,8 +7577,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_repetition_stats": (text_repetition_stats, _TEXT_REPETITION_SQL),
     "text_vocab_pair_counts": (text_vocab_pair_counts, _TEXT_VOCAB_PAIRS_SQL),
     # r15 (verdict r14 #4): the iterative BPE trainer, 3 rounds unrolled
-    # in the oracle (counts + winner + greedy merge application)
+    # in the oracle (counts + winner + greedy merge application), plus
+    # the train->segment round-trip (apply_bpe_merges)
     "text_bpe_merges": (text_bpe_merges, _TEXT_BPE_SQL),
+    "text_bpe_segment": (text_bpe_segment, _TEXT_BPE_SEG_SQL),
     # similarity
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
     "sim_topk_lsh": (sim_topk_lsh, _SIM_TOPK_SQL),

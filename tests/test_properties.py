@@ -735,3 +735,61 @@ def test_bpe_merge_rounds_unchained_parity_and_guards(spark):
     assert chained == plain and len(chained) == 3
     with _pytest.raises(ValueError, match="n_merges"):
         T.bpe_merge_rounds(docs, n_merges=0)
+
+
+def test_apply_bpe_merges_roundtrip_and_chunked_checkpoints(spark):
+    """apply_bpe_merges (r15): segmenting the training corpus under the
+    learned table reproduces the trainer's greedy application exactly
+    (checked against the Python reference's final state); the chunked-
+    checkpoint path (checkpoint_every=1) segments identically and its
+    final cut is drainable via the candidate-checkpoint ledger; a plain
+    [(left, right)] list is accepted."""
+    from bulkfhirloader_spark.operators import dedup, text as T
+
+    token_docs = [
+        ["a", "a", "a", "a"],
+        ["b", "a", "a"],
+        ["x", "y", "x", "y"],
+        ["solo"],
+        [],
+        ["a", "a", "b", "b", "a", "a"],
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(s)) for i, s in enumerate(token_docs)],
+        "doc_id long, text string",
+    )
+    merges = T.bpe_merge_rounds(docs, n_merges=3)
+    seq = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(merges.collect(), key=lambda r: r["merge_idx"])
+    ]
+
+    def ref_apply(s):
+        for x, y in seq:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(f"{x} {y}")
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    expected = {i: ref_apply(list(s)) for i, s in enumerate(token_docs)}
+    got = {
+        r["doc_id"]: list(r["syms"])
+        for r in T.apply_bpe_merges(docs, merges).collect()
+    }
+    assert got == expected
+    dedup.release_candidate_checkpoints()
+    base_ledger = len(dedup._live_candidate_checkpoints)
+    got_chunked = {
+        r["doc_id"]: list(r["syms"])
+        for r in T.apply_bpe_merges(docs, seq, checkpoint_every=1).collect()
+    }
+    assert got_chunked == expected
+    # intermediate cuts released in-loop; the final cut is ledgered
+    assert len(dedup._live_candidate_checkpoints) == base_ledger + 1
+    assert dedup.release_candidate_checkpoints() == base_ledger + 1
