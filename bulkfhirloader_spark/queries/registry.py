@@ -4372,6 +4372,84 @@ def stream_full_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname).select("doc_id", "stage").distinct()
 
 
+def stream_full_admission_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed tier of the composed ingester (r15): all three
+    static sides read their gates' BUCKETED stores — the banded
+    signature store, the winnow fingerprint store, and the semantic
+    store (which carries the frozen fit) — so a pipeline restart pays
+    three scans with zero static-side Exchange apiece instead of three
+    derivation passes.  Admissions and labels are defined identical to
+    the derived twin, so the conjunction oracle is shared
+    (_STREAM_FULL_SQL)."""
+    import os as _os
+
+    from bulkfhirloader_spark.streaming.joins import (
+        banded_signature_store_write,
+        semantic_store_write,
+        stream_admission_pipeline,
+        winnow_store_write,
+    )
+
+    global _STREAM_Q_SEQ
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"]
+    ).select("doc_id", "text", "embedding")
+    key = (spark.sparkContext.applicationId, sf_dir, "full_admission_stored")
+    src = _STREAM_DOC_DIRS.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bfls_stream_full_store_")
+        base.where(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(src, "in"))
+        even = base.where(F.col("doc_id") % 2 == 0)
+        cents = similarity.kmeans_centroids(emb, k=8, n_iter=2)
+        banded_signature_store_write(
+            even.select("doc_id", "text"),
+            _os.path.join(src, "bandstore"),
+            num_buckets=8,
+        )
+        winnow_store_write(
+            even.select("doc_id", "text"),
+            _os.path.join(src, "winnowstore"),
+            num_buckets=8,
+        )
+        semantic_store_write(
+            even.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            _os.path.join(src, "semstore"),
+            cents,
+            num_buckets=8,
+        )
+        _STREAM_DOC_DIRS[key] = src
+    in_dir = _os.path.join(src, "in")
+    schema = spark.read.parquet(in_dir).schema
+    _STREAM_Q_SEQ += 1
+    qname = f"bfls_stream_full_stored_{_STREAM_Q_SEQ}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = (
+        stream_admission_pipeline(
+            stream,
+            banded_store=_os.path.join(src, "bandstore"),
+            winnow_store=_os.path.join(src, "winnowstore"),
+            semantic_store=_os.path.join(src, "semstore"),
+        )
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", _os.path.join(src, f"ckpt_{_STREAM_Q_SEQ}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("doc_id", "stage").distinct()
+
+
 _STREAM_FULL_SQL = _KMEANS_CTE + r"""
 , base AS (SELECT d.doc_id, d.text FROM documents d
            JOIN embeddings em ON d.doc_id = em.vec_id),
@@ -7476,8 +7554,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stream_winnow_admit": (stream_winnow_admit, _STREAM_WINNOW_SQL),
     "stream_winnow_admit_stored": (stream_winnow_admit_stored, _STREAM_WINNOW_SQL),
     # r15 (verdict r14 #3): the composed exact→winnow→semantic ingester,
-    # one NOT-EXISTS-conjunction oracle with the priority CASE
+    # one NOT-EXISTS-conjunction oracle with the priority CASE; stored
+    # tier reads all three gates' bucketed stores (restart shape)
     "stream_full_admission": (stream_full_admission, _STREAM_FULL_SQL),
+    "stream_full_admission_stored": (
+        stream_full_admission_stored,
+        _STREAM_FULL_SQL,
+    ),
     # r12: the bucketed banded-table gate tier (zero static-side Exchange
     # from layout); semantics defined identical, oracle shared
     "stream_near_dup_admit_bucketed": (

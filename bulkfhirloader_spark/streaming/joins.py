@@ -1942,9 +1942,9 @@ _live_static_img_caches: list = []
 
 def stream_admission_pipeline(
     stream_docs: DataFrame,
-    existing_docs: DataFrame,
-    existing_emb: DataFrame,
-    centroids,
+    existing_docs: DataFrame | None = None,
+    existing_emb: DataFrame | None = None,
+    centroids=None,
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
@@ -1957,6 +1957,9 @@ def stream_admission_pipeline(
     hash_tier: str = "fold",
     cosine_threshold: float = 0.4,
     round_dp: int = 6,
+    banded_store: str | None = None,
+    winnow_store: str | None = None,
+    semantic_store: str | None = None,
 ) -> DataFrame:
     """COMPOSED streaming admission pipeline (r15, r14 verdict #3 — the
     deployment shape the four standalone gates exist FOR, mirroring the
@@ -1996,8 +1999,18 @@ def stream_admission_pipeline(
     probe rows live in one micro-batch).  Run in update mode.  ONE LIVE
     PIPELINE PER SESSION (own cache ledger — constructing a new one
     evicts the previous pipeline's three static caches, not the
-    standalone gates').  Store-backed static tiers stay per-gate
-    features; this composition is the derived-tier flagship."""
+    standalone gates').
+
+    STORE-BACKED TIER (r15): each stage independently accepts the same
+    store its standalone gate reads — ``banded_store=`` (exact stage;
+    replaces ``existing_docs``'s text re-derivation for that stage),
+    ``winnow_store=``, and ``semantic_store=`` (which carries its own
+    frozen fit, so ``centroids``/``existing_emb`` must then be omitted)
+    — the 100 TB restart shape: three bucketed scans, zero static-side
+    Exchange apiece, geometry/fit validated hard by each store's own
+    reader, SNAPSHOT semantics as everywhere in the family.  Stages mix
+    freely (e.g. stored text screens + derived semantic while a re-fit
+    is pending)."""
     from bulkfhirloader_spark.operators.dedup import (
         band_hash_array,
         minhash_sig_expr,
@@ -2011,9 +2024,7 @@ def stream_admission_pipeline(
     )
 
     require_band_geometry(num_hashes, bands)
-    cents = _normalize_centroids(centroids)
-    if not cents:
-        raise ValueError("stream_admission_pipeline needs >= 1 centroid")
+    spark = stream_docs.sparkSession
 
     def banded(docs: DataFrame, suffix: str) -> DataFrame:
         with_sh = docs.select(
@@ -2031,31 +2042,80 @@ def stream_admission_pipeline(
             f"sh{suffix}",
         )
 
-    static_bands = banded(existing_docs, "_e")
-    static_fps = winnow_fingerprints(
-        existing_docs, k=k, window=window, id_col=id_col, text_col=text_col,
-        with_positions=False, hash_tier=hash_tier,
-    ).select(F.col(id_col).alias("id_e"), "fp_hash")
-    static_sem = _semantic_assigned(
-        existing_emb, cents, id_col, vec_col, round_dp, "_e"
-    )
+    bands_bucketed = fps_bucketed = sem_bucketed = False
+    if banded_store is not None:
+        store_rows, bands_bucketed = banded_signature_store_read(
+            spark, banded_store, num_hashes, bands, shingle_words
+        )
+        static_bands = store_rows.select(
+            F.col("id").alias("id_e"),
+            "band_hash",
+            F.col("shingles").alias("sh_e"),
+        )
+    elif existing_docs is not None:
+        static_bands = banded(existing_docs, "_e")
+    else:
+        raise ValueError(
+            "the exact stage needs existing_docs or a banded_store= path"
+        )
+    if winnow_store is not None:
+        store_rows, fps_bucketed = winnow_store_read(
+            spark, winnow_store, k, window, hash_tier
+        )
+        static_fps = store_rows.select(F.col("id").alias("id_e"), "fp_hash")
+    elif existing_docs is not None:
+        static_fps = winnow_fingerprints(
+            existing_docs, k=k, window=window, id_col=id_col,
+            text_col=text_col, with_positions=False, hash_tier=hash_tier,
+        ).select(F.col(id_col).alias("id_e"), "fp_hash")
+    else:
+        raise ValueError(
+            "the winnow stage needs existing_docs or a winnow_store= path"
+        )
+    if semantic_store is not None:
+        if existing_emb is not None or centroids is not None:
+            raise ValueError(
+                "semantic_store carries its own corpus AND frozen fit — "
+                "pass either the store path or (existing_emb, centroids), "
+                "not both (the stream side must evaluate the fit the "
+                "stored assignments were made under)"
+            )
+        store_rows, cents, sem_bucketed = semantic_store_read(
+            spark, semantic_store, round_dp
+        )
+        static_sem = store_rows.select(
+            F.col("id").alias("id_e"),
+            F.col("vec").alias("v_e"),
+            F.col("norm").alias("n_e"),
+            "cluster_id",
+        )
+    elif existing_emb is None or centroids is None:
+        raise ValueError(
+            "the semantic stage needs (existing_emb, centroids) or a "
+            "semantic_store= path"
+        )
+    else:
+        cents = _normalize_centroids(centroids)
+        if not cents:
+            raise ValueError("stream_admission_pipeline needs >= 1 centroid")
+        static_sem = _semantic_assigned(
+            existing_emb, cents, id_col, vec_col, round_dp, "_e"
+        )
     while _live_static_pipeline_caches:
         _live_static_pipeline_caches.pop().unpersist()
-    static_bands = (
-        static_bands.repartition(F.col("band_hash"))
-        .sortWithinPartitions("band_hash")
-        .persist()
-    )
-    static_fps = (
-        static_fps.repartition(F.col("fp_hash"))
-        .sortWithinPartitions("fp_hash")
-        .persist()
-    )
-    static_sem = (
-        static_sem.repartition(F.col("cluster_id"))
-        .sortWithinPartitions("cluster_id")
-        .persist()
-    )
+
+    def _cached(df: DataFrame, key: str, bucketed: bool) -> DataFrame:
+        # a bucketed store's layout already satisfies the join's static-
+        # side distribution — persist only serves repeat micro-batches
+        if bucketed:
+            return df.persist()
+        return (
+            df.repartition(F.col(key)).sortWithinPartitions(key).persist()
+        )
+
+    static_bands = _cached(static_bands, "band_hash", bands_bucketed)
+    static_fps = _cached(static_fps, "fp_hash", fps_bucketed)
+    static_sem = _cached(static_sem, "cluster_id", sem_bucketed)
     _live_static_pipeline_caches.extend(
         [static_bands, static_fps, static_sem]
     )

@@ -1559,3 +1559,126 @@ def test_stream_admission_pipeline_matches_standalone_gates(spark, tmp_path):
     assert labels == expected
     # the fixture must exercise every stage, or the pin proves nothing
     assert set(expected.values()) == {"exact", "winnow", "semantic", "admitted"}
+
+
+def test_stream_admission_pipeline_stored_matches_derived(spark, tmp_path):
+    """r15: the composed pipeline over the three gates' bucketed stores
+    must label identically to the derived tier on the same corpus; the
+    semantic store carries its own fit, so passing centroids alongside
+    it refuses; stages mix freely (stored text screens + derived
+    semantic)."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import similarity as sim
+    from bulkfhirloader_spark.streaming.joins import (
+        banded_signature_store_write,
+        semantic_store_write,
+        stream_admission_pipeline,
+        winnow_store_write,
+    )
+
+    run_a = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    schema = "doc_id long, text string, embedding array<double>"
+    static = spark.createDataFrame(
+        [
+            (2, f"{run_a} common tail", [1.0, 0.0, 0.0]),
+            (4, f"{filler} {run_a}", [0.0, 1.0, 0.0]),
+            (6, "totally different static text here", [0.6, 0.8, 0.0]),
+        ],
+        schema,
+    )
+    stream_batch = spark.createDataFrame(
+        [
+            (101, f"{run_a} common tail", [0.0, 0.3, 1.0]),
+            (103, f"{run_a} " + " ".join(f"z{i}" for i in range(60)),
+             [0.3, 0.0, 1.0]),
+            (105, "completely novel words only qqq rrr sss", [0.6, 0.8, 0.0]),
+            (107, "pristine fresh unseen vocabulary entirely", [-1.0, 0.4, 0.1]),
+        ],
+        schema,
+    )
+    stream_batch.repartition(2).write.parquet(str(tmp_path / "in"))
+    cents = sim.kmeans_centroids(
+        static.unionByName(stream_batch)
+        .select(F.col("doc_id").alias("vec_id"), "embedding"),
+        k=3, n_iter=2,
+    )
+    banded_signature_store_write(
+        static.select("doc_id", "text"), str(tmp_path / "bands"), num_buckets=4
+    )
+    winnow_store_write(
+        static.select("doc_id", "text"), str(tmp_path / "fps"), num_buckets=4
+    )
+    semantic_store_write(
+        static.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        str(tmp_path / "sem"),
+        cents,
+        num_buckets=4,
+    )
+    fschema = spark.read.parquet(str(tmp_path / "in")).schema
+
+    def make_stream():
+        return (
+            spark.readStream.schema(fschema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path / "in"))
+        )
+
+    def drain(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["doc_id"], r["stage"]) for r in spark.table(name).collect()
+        }
+
+    derived = drain(
+        stream_admission_pipeline(
+            make_stream(),
+            static.select("doc_id", "text"),
+            static.select("doc_id", "embedding"),
+            cents,
+        ),
+        "pipe_derived2",
+    )
+    stored = drain(
+        stream_admission_pipeline(
+            make_stream(),
+            banded_store=str(tmp_path / "bands"),
+            winnow_store=str(tmp_path / "fps"),
+            semantic_store=str(tmp_path / "sem"),
+        ),
+        "pipe_stored",
+    )
+    mixed = drain(
+        stream_admission_pipeline(
+            make_stream(),
+            existing_emb=static.select("doc_id", "embedding"),
+            centroids=cents,
+            banded_store=str(tmp_path / "bands"),
+            winnow_store=str(tmp_path / "fps"),
+        ),
+        "pipe_mixed",
+    )
+    assert derived == stored == mixed and len(derived) == 4
+    with _pytest.raises(ValueError, match="not both"):
+        stream_admission_pipeline(
+            make_stream(),
+            centroids=cents,
+            banded_store=str(tmp_path / "bands"),
+            winnow_store=str(tmp_path / "fps"),
+            semantic_store=str(tmp_path / "sem"),
+        )
+    with _pytest.raises(ValueError, match="exact stage"):
+        stream_admission_pipeline(
+            make_stream(),
+            existing_emb=static.select("doc_id", "embedding"),
+            centroids=cents,
+        )
