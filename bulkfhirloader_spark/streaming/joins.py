@@ -1153,28 +1153,36 @@ def stream_sim_topk(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    (-F.col("score")).alias("ns"),
                     F.col(cand_id).alias("cid"),
+                    (-F.col("score")).alias("ns"),
                 )
             )
-        ).alias("_lst")
+        ).alias("_bycid")
     )
-    # Per-candidate dedupe BEFORE the k-slice (r15, r14 advice): the list
-    # is sorted ascending on (ns, cid), so a cid's FIRST occurrence is its
-    # best score — keep an entry iff no earlier entry carries the same
-    # cid.  O(m²) HOF scan per query, but m is bounded by the probed
-    # lists' candidate count (the same bound the state itself carries);
-    # without it a candidate surfacing twice (duplicate stored ids, or a
-    # re-issued query id) occupies multiple of the k slots and displaces
-    # legitimate neighbors.
+    # Per-candidate dedupe BEFORE the k-slice (r15, r14 advice): without
+    # it a candidate surfacing twice (duplicate stored ids after a blind
+    # re-append, or a re-issued query id) occupies multiple of the k
+    # slots and displaces legitimate neighbors.  Sorted (cid, ns), a
+    # cid's FIRST occurrence is its best score, so adjacent-dedupe is one
+    # O(m) filter (element_at is 1-based: at 0-based index i it reads the
+    # PREVIOUS element; the i=0 guard keeps ANSI mode from rejecting
+    # index 0) — the probed candidate list m is corpus-sized at scale, so
+    # an exists-scan dedupe (O(m²)) would dominate the whole drain.  The
+    # ranked order is then rebuilt with a second O(m log m) sort on
+    # (ns, cid), identical to the batch window's (score desc, id asc).
     dedup = F.filter(
-        F.col("_lst"),
-        lambda x, i: ~F.exists(
-            F.slice(F.col("_lst"), F.lit(1), i), lambda y: y["cid"] == x["cid"]
+        F.col("_bycid"),
+        lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+            F.element_at(F.col("_bycid"), i)["cid"] != x["cid"]
         ),
     )
+    ranked = F.array_sort(
+        F.transform(
+            dedup, lambda x: F.struct(x["ns"].alias("ns"), x["cid"].alias("cid"))
+        )
+    )
     top = agg.select(
-        F.col(query_id), F.slice(dedup, 1, k).alias("_top")
+        F.col(query_id), F.slice(ranked, 1, k).alias("_top")
     )
     return top.select(
         F.col(query_id),

@@ -359,8 +359,95 @@ def measure_append_drift(n: int = 500_000, m: int = 100_000) -> None:
     spark.stop()
 
 
+def measure_serving_restart(n: int = 500_000) -> None:
+    """r15 (r14 verdict #2): what a SERVING RESTART costs per
+    stream_sim_topk tier at corpus size n — the cached tier pays a full
+    repartition+sort+persist fill of the lists table before batch 0 can
+    answer; the bucketed-mirror tier pays only a scan (layout satisfies
+    the join distribution; zero static-side Exchange, plan-asserted in
+    tests).  Times one availableNow drain of the 100-query batch per
+    tier from a FRESH gate construction (the restart case), plus the
+    one-time mirror derive.  Usage:
+    ``python scripts/ann_scale_evidence.py --serving-restart [n]``."""
+    import json
+    import tempfile
+
+    from bulkfhirloader_spark.operators import similarity
+    from bulkfhirloader_spark.session import get_spark
+    from bulkfhirloader_spark.streaming.joins import (
+        _ivf_lists_table_name,
+        ivf_lists_bucketed_write,
+        stream_sim_topk,
+    )
+
+    spark = get_spark(app_name="ann-serving-restart", shuffle_partitions=32)
+    emb = spark.read.parquet(f"{OUTDIR}/emb_{n}.parquet")
+    queries = spark.read.parquet(f"{OUTDIR}/queries.parquet")
+    index = f"{OUTDIR}/serving_ivf_{n}"
+    if not os.path.exists(index):
+        similarity.build_ivf_index(emb, index, n_clusters=64)
+    t0 = time.monotonic()
+    ivf_lists_bucketed_write(spark, index, num_buckets=32)
+    derive_s = time.monotonic() - t0
+    src = tempfile.mkdtemp(prefix="ann_serving_")
+    queries.coalesce(1).write.parquet(f"{src}/in/f0")
+    schema = spark.read.parquet(f"{src}/in/f0").schema
+
+    def drain(bucketed: bool, tag: str) -> tuple[float, int]:
+        if bucketed:
+            # simulate the cluster restart: a fresh catalog must
+            # re-attach the mirror itself
+            tbl = _ivf_lists_table_name(index)
+            if spark.catalog.tableExists(tbl):
+                spark.sql(f"DROP TABLE `{tbl}`")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/in/*")
+        )
+        t0 = time.monotonic()
+        q = (
+            stream_sim_topk(
+                stream, index, k=K, n_probe=8, bucketed_lists=bucketed
+            )
+            .writeStream.format("memory")
+            .queryName(f"serving_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", f"{src}/ckpt_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(f"serving_{tag}").count()
+        return time.monotonic() - t0, rows
+
+    cached_s, cached_rows = drain(False, "cached")
+    bucketed_s, bucketed_rows = drain(True, "bucketed")
+    if cached_rows != bucketed_rows:
+        raise AssertionError((cached_rows, bucketed_rows))
+    print(
+        json.dumps(
+            {
+                "n": n,
+                "n_queries": N_QUERIES,
+                "mirror_derive_s": round(derive_s, 1),
+                "restart_drain_cached_s": round(cached_s, 1),
+                "restart_drain_bucketed_s": round(bucketed_s, 1),
+                "rows": cached_rows,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if sys.argv[1:2] == ["--lsh-amplification"]:
+    if sys.argv[1:2] == ["--serving-restart"]:
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+        if not os.path.exists(f"{OUTDIR}/emb_{n}.parquet"):
+            generate([n])
+        measure_serving_restart(n)
+    elif sys.argv[1:2] == ["--lsh-amplification"]:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
         if not os.path.exists(f"{OUTDIR}/emb_{n}.parquet"):
             generate([n])

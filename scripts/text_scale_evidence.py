@@ -82,6 +82,21 @@ def main() -> None:
         t0 = tm()
         force(text.winnow_fingerprints(docs, hash_tier="xxhash64"))
         res["winnow_xxh"] = tm() - t0
+        # r15: BPE trainer — per round one explode+groupBy pair count
+        # (map-side partials), a 1-row TakeOrdered winner, one O(len)
+        # re-segmentation fold behind an eager checkpoint; expected
+        # ~linear in corpus per round and ~linear in rounds (the
+        # checkpoint chain keeps round i's count pass from re-running
+        # rounds 0..i-1's folds)
+        t0 = tm()
+        m2 = text.bpe_merge_rounds(docs, n_merges=2).collect()
+        res["bpe2"] = tm() - t0
+        t0 = tm()
+        m8 = text.bpe_merge_rounds(docs, n_merges=8).collect()
+        res["bpe8"] = tm() - t0
+        assert [tuple(r) for r in m8[:2]] == [tuple(r) for r in m2], (
+            "merge-table prefix mismatch between n_merges=2 and 8"
+        )
         print(
             f"{name:6s} " + "  ".join(f"{k}={v:5.1f}s" for k, v in res.items()),
             flush=True,
