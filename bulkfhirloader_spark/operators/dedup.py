@@ -795,6 +795,13 @@ def connected_components(
             # the symmetrized edge table is loop-internal state
             _release_local_checkpoint(edges)
             return labels
+    # non-convergence: nothing escapes this frame, so release ALL loop
+    # state before raising — the caller's likely next move is an
+    # immediate retry with a higher max_iter, and stacking O(nodes +
+    # edges) leaked blocks per failed attempt is the exact retention the
+    # in-loop releases exist to prevent (r15 review)
+    _release_local_checkpoint(prev_round)
+    _release_local_checkpoint(edges)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer label chain than expected — raise "
@@ -1095,6 +1102,14 @@ def semantic_dedup_pairs(
         l2_norm,
     )
 
+    if assign_tier not in ("fold", "blas"):
+        # validated here, not just in kmeans_assign: the precomputed-
+        # centroids branch dispatches on the string itself, and a typo
+        # silently falling through to the fold tier would quietly pay
+        # the 185.7 s-vs-5.8 s cost this knob exists to remove
+        raise ValueError(
+            f"assign_tier must be 'fold' or 'blas', got {assign_tier!r}"
+        )
     if precomputed_assignments is not None and precomputed_centroids is not None:
         raise ValueError(
             "pass precomputed_assignments OR precomputed_centroids, not "
@@ -1850,6 +1865,7 @@ def incremental_near_dup_filter(
         )
         .distinct()
     )
+    ledger_tail = len(_live_candidate_checkpoints)
     verified = ngram_jaccard_pairs(
         union_docs, id_col, text_col, shingle_words, threshold, candidates=cand
     ).select("id_a", "id_b")
@@ -1857,6 +1873,18 @@ def incremental_near_dup_filter(
     # (eager: both tiers below need it materialized — the count that picks
     # the tier reads the checkpointed blocks for free).
     verified = verified.localCheckpoint(eager=True)
+    # the eager cut above supersedes the candidate checkpoint
+    # ngram_jaccard_pairs just ledgered for THIS call: nothing downstream
+    # (here or in the caller — only `verified` escapes) can re-read it,
+    # so release it now instead of pinning one dead candidate set per
+    # admission batch in a long-lived session (r15 review).  Entries
+    # ledgered by OTHER still-live calls are untouched.
+    from bulkfhirloader_spark.operators.similarity import (
+        _release_local_checkpoint,
+    )
+
+    while len(_live_candidate_checkpoints) > ledger_tail:
+        _release_local_checkpoint(_live_candidate_checkpoints.pop())
 
     tagged = (
         verified.join(new_ids.select(F.col(id_col).alias("id_a"))

@@ -3167,8 +3167,14 @@ def stream_sim_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_Q_SEQ += 1
     out_dir = _os.path.join(src, f"out_{_STREAM_Q_SEQ}")
 
-    def sink(df: DataFrame, _batch_id: int) -> None:
-        df.write.mode("append").parquet(out_dir)
+    def sink(df: DataFrame, batch_id: int) -> None:
+        # per-batch OVERWRITE directory keyed by batch_id — foreachBatch
+        # is at-least-once, so a replayed batch rewrites its own
+        # directory instead of appending duplicate rows (r15 review;
+        # this is why the prober hands the sink the batch_id)
+        df.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"b{batch_id}")
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -3184,7 +3190,7 @@ def stream_sim_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     qq.awaitTermination()
-    return spark.read.parquet(out_dir).select(
+    return spark.read.parquet(f"{out_dir}/b*").select(
         "query_id",
         "vec_id",
         F.round(F.col("score"), 6).alias("score"),

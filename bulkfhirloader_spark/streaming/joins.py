@@ -1229,10 +1229,16 @@ def ivf_lists_bucketed_write(
     Commit-marker ordering: data first, meta last — a reader never sees
     a meta describing a half-written mirror.  Returns the catalog table
     name."""
+    from pyspark.sql import Observation
+
     if num_buckets < 1:
         raise ValueError("num_buckets must be >= 1")
     lists = spark.read.parquet(f"{index_path}/lists.parquet")
-    n_rows = lists.count()
+    # the audit row count rides the write's own scan as an Observation —
+    # a separate lists.count() would re-read the corpus-sized primary, at
+    # 100 TB doubling the derive's IO for one long (r15 review)
+    obs = Observation()
+    lists = lists.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     table = _ivf_lists_table_name(index_path)
     data_path = f"{index_path}/lists_bucketed"
     meta_path = f"{index_path}/lists_bucketed_meta.parquet"
@@ -1253,7 +1259,7 @@ def ivf_lists_bucketed_write(
         .saveAsTable(table)
     )
     spark.createDataFrame(
-        [(num_buckets, table, n_rows)],
+        [(num_buckets, table, int(obs.get["n_rows"]))],
         "num_buckets int, bucket_table string, n_rows long",
     ).coalesce(1).write.mode("overwrite").parquet(meta_path)
     return table
@@ -1308,7 +1314,12 @@ def stream_sim_topk_batch_prober(
     listed into tasks), the one property the stream-legal join in
     stream_sim_topk structurally cannot have (a stream side cannot
     collect).  The ranked ``(query_id, cand_id, score, rank)`` result is
-    handed to ``sink(result_df, batch_id)`` — e.g. an append write.
+    handed to ``sink(result_df, batch_id)``.  foreachBatch is
+    AT-LEAST-ONCE: a batch can replay after a mid-batch failure, so the
+    sink must be idempotent PER batch_id — e.g. overwrite a
+    per-batch-id subdirectory (the registry fixture's shape), upsert
+    keyed on (batch_id, query_id), or dedupe on read; a blind append
+    duplicates the replayed batch's rows.
 
     Trade against stream_sim_topk: per-query top-k here is per-BATCH
     top-k, correct because each query id arrives exactly once (the same
@@ -2003,11 +2014,19 @@ def stream_admission_pipeline(
     key.  ``centroids`` is the frozen fit (DataFrame or [(cid, vec)]
     list), evaluated as a literal expression on both sides — the
     stream-legal form.  Stage thresholds are the gates' own knobs.
-    Per-doc state is O(1) (one min-rank per in-flight doc; each doc's
-    probe rows live in one micro-batch).  Run in update mode.  ONE LIVE
-    PIPELINE PER SESSION (own cache ledger — constructing a new one
-    evicts the previous pipeline's three static caches, not the
-    standalone gates').
+    State, stated honestly (r15 review): per doc it is O(1) — one
+    min-rank, and each doc's probe rows live in one micro-batch — but a
+    plain streaming aggregation never EVICTS, so TOTAL state grows with
+    distinct doc ids seen (the same retention the standalone count-
+    aggregate gates carry; the semantic gate alone is join-only/
+    stateless).  An always-on deployment bounds it operationally:
+    restart the query on the store-append schedule the snapshot
+    semantics already impose (state rebuilds empty; availableNow drains
+    between restarts), or key the aggregate by (id, ingest-time window)
+    with a watermark upstream if arrivals carry event time.  Run in
+    update mode.  ONE LIVE PIPELINE PER SESSION (own cache ledger —
+    constructing a new one evicts the previous pipeline's three static
+    caches, not the standalone gates').
 
     STORE-BACKED TIER (r15): each stage independently accepts the same
     store its standalone gate reads — ``banded_store=`` (exact stage;

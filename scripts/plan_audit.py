@@ -39,16 +39,55 @@ MARKERS = {
 }
 
 # GLOBAL (partition-less) window detection: a windowspecdefinition whose
-# every argument before specifiedwindowframe is an ORDER spec (attr
-# ASC/DESC NULLS ...) or absent — these are the WindowExec "No Partition
-# Defined" sites, serialized single-partition sorts at corpus size.  Every
-# one must run on a BOUNDED intermediate and be allow-listed below with
-# that bound stated (r15, r14 verdict #5; tests/test_plans.py asserts the
-# census equals the allowlist).
-GLOBAL_WINDOW = re.compile(
-    r"windowspecdefinition\((?:[^,()]+ (?:ASC|DESC) NULLS \w+, )*"
-    r"specifiedwindowframe"
-)
+# every argument before specifiedwindowframe is an ORDER spec (ends with
+# ASC/DESC NULLS FIRST/LAST) or absent — these are the WindowExec "No
+# Partition Defined" sites, serialized single-partition sorts at corpus
+# size.  Every one must run on a BOUNDED intermediate and be allow-listed
+# below with that bound stated (r15, r14 verdict #5; tests/test_plans.py
+# asserts the census equals the allowlist).  Parsed with a depth-aware
+# top-level-comma split, NOT a regex: an order key that prints as an
+# expression (``CAST(x#3 AS INT) ASC NULLS FIRST``, ``coalesce(a#1,
+# b#2) DESC NULLS LAST``) contains parens/commas a regex alternative
+# would misread, silently excluding a real global window from the census.
+_ORDER_SUFFIX = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)$")
+
+
+def _spec_args(line: str, start: int) -> list[str]:
+    """Top-level comma-split arguments of the windowspecdefinition call
+    opening at ``start`` (index of its '(')."""
+    args, depth, buf = [], 0, []
+    for ch in line[start:]:
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    return args  # unbalanced line (truncated print): best effort
+
+
+def has_global_window(line: str) -> bool:
+    """True iff a Window operator line contains a windowspecdefinition
+    with NO partition columns — every argument before the
+    specifiedwindowframe is an order spec."""
+    if "Window [" not in line:
+        return False
+    for m in re.finditer(r"windowspecdefinition\(", line):
+        args = _spec_args(line, m.end() - 1)
+        before_frame = [
+            a for a in args if not a.startswith("specifiedwindowframe")
+        ]
+        if all(_ORDER_SUFFIX.search(a) for a in before_frame):
+            return True
+    return False
 
 # query -> the bounded intermediate its global window runs on
 GLOBAL_WINDOW_ALLOWLIST = {
@@ -85,9 +124,7 @@ def main() -> None:
             continue
         counts = {k: len(re.findall(p, plan)) for k, p in MARKERS.items()}
         counts["gwin"] = sum(
-            1
-            for ln in plan.splitlines()
-            if "Window [" in ln and GLOBAL_WINDOW.search(ln)
+            1 for ln in plan.splitlines() if has_global_window(ln)
         )
         rows.append((name, counts, None))
 

@@ -390,20 +390,23 @@ def chained_sweep() -> None:
     blas_pairs = dedup.semantic_dedup_pairs(
         emb, threshold=0.99, precomputed_centroids=chained,
         assign_tier="blas",
-    )
+    ).select("id_a", "id_b", "cluster_id").persist()
     n_pairs_blas = blas_pairs.count()
     pairs_blas_s = time.monotonic() - t0
-    fold_pairs = dedup.semantic_dedup_pairs(
-        emb, threshold=0.99, precomputed_centroids=chained
-    ).select("id_a", "id_b", "cluster_id")
-    pair_mism = (
-        fold_pairs.exceptAll(
-            blas_pairs.select("id_a", "id_b", "cluster_id")
-        ).count()
-        + blas_pairs.select("id_a", "id_b", "cluster_id")
-        .exceptAll(fold_pairs)
-        .count()
+    # persist both sides before the two exceptAll counts — without the
+    # pins the audit re-runs the full pair stages (~3x executions of the
+    # sweep's most expensive path for no extra evidence)
+    fold_pairs = (
+        dedup.semantic_dedup_pairs(
+            emb, threshold=0.99, precomputed_centroids=chained
+        ).select("id_a", "id_b", "cluster_id").persist()
     )
+    pair_mism = (
+        fold_pairs.exceptAll(blas_pairs).count()
+        + blas_pairs.exceptAll(fold_pairs).count()
+    )
+    fold_pairs.unpersist()
+    blas_pairs.unpersist()
     store_dir = tempfile.mkdtemp(prefix="semchained_store_")
     try:
         t0 = time.monotonic()

@@ -265,7 +265,7 @@ def test_no_cartesian_or_nested_loop_in_any_registered_query(spark):
     intermediate it runs on — so an unexplained global window (a
     serialized single-partition sort at corpus size) fails here instead
     of hiding in bench-log warning noise."""
-    from scripts.plan_audit import GLOBAL_WINDOW, GLOBAL_WINDOW_ALLOWLIST
+    from scripts.plan_audit import GLOBAL_WINDOW_ALLOWLIST, has_global_window
 
     bad = {}
     gwin = set()
@@ -277,10 +277,7 @@ def test_no_cartesian_or_nested_loop_in_any_registered_query(spark):
             bad[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in _PLAN_LINT_ALLOW_NESTED_LOOP:
             bad[name] = "BroadcastNestedLoopJoin"
-        if any(
-            "Window [" in ln and GLOBAL_WINDOW.search(ln)
-            for ln in plan.splitlines()
-        ):
+        if any(has_global_window(ln) for ln in plan.splitlines()):
             gwin.add(name)
     assert not bad, f"degenerate join plans: {bad}"
     unexplained = gwin - set(GLOBAL_WINDOW_ALLOWLIST)

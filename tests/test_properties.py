@@ -793,3 +793,42 @@ def test_apply_bpe_merges_roundtrip_and_chunked_checkpoints(spark):
     # intermediate cuts released in-loop; the final cut is ledgered
     assert len(dedup._live_candidate_checkpoints) == base_ledger + 1
     assert dedup.release_candidate_checkpoints() == base_ledger + 1
+
+
+def test_bpe_arrow_tier_matches_fold(spark):
+    """r15 review: the Arrow application tier (linear Python token loop
+    — the long-document path where the fold's per-step accumulator copy
+    is effectively quadratic in doc length) must learn the same merge
+    table and produce the same segmentation as the fold tier; bad tier
+    names refuse."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "b a a c c"), (3, "c c b a"), (4, ""),
+         (5, "a " * 200 + "b")],
+        "doc_id long, text string",
+    )
+    fold_m = sorted(map(tuple, T.bpe_merge_rounds(docs, n_merges=3).collect()))
+    arrow_m = sorted(
+        map(
+            tuple,
+            T.bpe_merge_rounds(docs, n_merges=3, apply_tier="arrow").collect(),
+        )
+    )
+    assert fold_m == arrow_m and len(fold_m) == 3
+    merges = T.bpe_merge_rounds(docs, n_merges=3)
+    fold_seg = {
+        r["doc_id"]: list(r["syms"])
+        for r in T.apply_bpe_merges(docs, merges).collect()
+    }
+    arrow_seg = {
+        r["doc_id"]: list(r["syms"])
+        for r in T.apply_bpe_merges(docs, merges, apply_tier="arrow").collect()
+    }
+    assert fold_seg == arrow_seg
+    with _pytest.raises(ValueError, match="apply_tier"):
+        T.bpe_merge_rounds(docs, n_merges=2, apply_tier="pandas")
+    with _pytest.raises(ValueError, match="apply_tier"):
+        T.apply_bpe_merges(docs, merges, apply_tier="pandas")
