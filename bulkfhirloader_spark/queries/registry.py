@@ -2806,7 +2806,7 @@ def _bpe_round_sql(rnd: int) -> str:
             GROUP BY doc_id)"""
 
 
-_TEXT_BPE_SQL = (
+_TEXT_BPE_MERGES_SQL = (
     r"""
 WITH r0 AS (SELECT doc_id, t AS s
             FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
@@ -7668,7 +7668,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # r15 (verdict r14 #4): the iterative BPE trainer, 3 rounds unrolled
     # in the oracle (counts + winner + greedy merge application), plus
     # the train->segment round-trip (apply_bpe_merges)
-    "text_bpe_merges": (text_bpe_merges, _TEXT_BPE_SQL),
+    "text_bpe_merges": (text_bpe_merges, _TEXT_BPE_MERGES_SQL),
     "text_bpe_segment": (text_bpe_segment, _TEXT_BPE_SEG_SQL),
     # similarity
     "sim_topk_bruteforce": (sim_topk_bruteforce, _SIM_TOPK_SQL),
