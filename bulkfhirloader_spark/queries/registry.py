@@ -131,27 +131,34 @@ GROUP BY 1, 2
 
 def ref_a2_disease_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (db.go:171-262): per-order distinct id sets (A4, bundle.go:24-51) →
-    $unwind → $match > N → $group 2 keys + conditional sums."""
+    $unwind → $match > N → $group 2 keys + conditional sums.
+
+    r16 shape (guide §2.3): collect_set → explode round-trips every
+    per-order id set through an aggregation buffer and an array just to
+    flatten it again — semantically it is DISTINCT over (orderkey, id)
+    pairs.  Expressed as that distinct directly, the `> N` match filter
+    now sits BELOW the distinct (fewer rows into the aggregate) and
+    reaches the parquet scan as a pushed filter, no array is ever built,
+    and the exchange carries two longs per row with map-side partial
+    aggregation instead of per-order set buffers.  Same rows out —
+    oracle-checked."""
     _utc(spark)
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    sets = lineitem.groupBy("l_orderkey").agg(
-        F.collect_set("l_suppkey").alias("uniquediseases")
+    pairs = (
+        lineitem.select("l_orderkey", F.col("l_suppkey").alias("disease_id"))
+        .where(F.col("disease_id") > 2)
+        .distinct()
     )
-    rs = orders.join(sets, orders.o_orderkey == sets.l_orderkey).join(
+    rs = orders.join(pairs, orders.o_orderkey == pairs.l_orderkey).join(
         F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
     )
-    expl = (
-        rs.withColumn("male", gender_flag(F.col("c_mktsegment"), "BUILDING"))
-        .withColumn("female", gender_flag(F.col("c_mktsegment"), "AUTOMOBILE"))
-        .select(
-            "o_orderpriority",
-            "male",
-            "female",
-            F.explode("uniquediseases").alias("disease_id"),
-        )
-        .filter(F.col("disease_id") > 2)
+    expl = rs.select(
+        "o_orderpriority",
+        gender_flag(F.col("c_mktsegment"), "BUILDING").alias("male"),
+        gender_flag(F.col("c_mktsegment"), "AUTOMOBILE").alias("female"),
+        "disease_id",
     )
     return expl.groupBy("disease_id", F.col("o_orderpriority").alias("age_id")).agg(
         F.count(F.lit(1)).alias("pop"),

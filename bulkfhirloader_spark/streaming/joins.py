@@ -1134,7 +1134,7 @@ def stream_sim_topk(
         F.col(query_id),
         F.col(query_vec),
         F.col("_qn"),
-        F.explode(_probe_clusters(F.col("_nv"), centers, n_probe)).alias(
+        F.explode(_probe_clusters("_nv", centers, n_probe)).alias(
             "_cluster"
         ),
     )
