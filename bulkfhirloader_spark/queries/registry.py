@@ -4822,7 +4822,12 @@ def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the parallel two-level prefix sum."""
     docs = load_table(spark, sf_dir, "documents")
     selected = curation.select_for_training(docs, per_source_cap=50).select("doc_id")
-    kept = docs.join(selected, "doc_id")
+    # the selected id list is bounded by per_source_cap × n_sources —
+    # broadcast it explicitly (r16, guide §3.1) so the corpus re-attach
+    # never degrades to a shuffle when size ESTIMATES are off (the window
+    # subtree above it defeats stats); AQE agreed at bench scale, but the
+    # contract-small side should not depend on runtime detection
+    kept = docs.join(F.broadcast(selected), "doc_id")
     chunks = curation.chunk_documents(kept, chunk_tokens=64).withColumn(
         "chunk_id", F.col("doc_id") * 10_000 + F.col("chunk_idx")
     )

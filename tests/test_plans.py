@@ -175,15 +175,15 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert len(rows) == 5
 
 
-def test_explode_filter_pushed_below_aggregate(spark):
-    """A2's disease_id > N filter must sit under the aggregate, directly on
-    the generator output — the row-count cliff at scale."""
-    opt = _optimized(registry.ref_a2_disease_facts(spark, SF_DIR))
-    gen_pos = opt.find("Generate explode")
-    filt_pos = opt.find("(disease_id")
-    agg_pos = opt.find("Aggregate")
-    assert gen_pos != -1 and filt_pos != -1 and agg_pos != -1
-    assert agg_pos < filt_pos  # plan prints top-down: Aggregate above Filter
+def test_a2_filter_pushed_to_scan_no_arrays(spark):
+    """A2's disease_id > N filter must reach the lineitem parquet scan as
+    a pushed filter, and the r16 distinct-pairs shape must hold: no
+    collect_set/explode round-trip anywhere in the plan (the pre-r16
+    shape built a per-order array buffer just to flatten it again — the
+    row-count cliff at scale is now handled BELOW the distinct)."""
+    plan = _plan(registry.ref_a2_disease_facts(spark, SF_DIR))
+    assert "GreaterThan(l_suppkey,2)" in plan  # pushed to the scan
+    assert "collect_set" not in plan and "Generate" not in plan
 
 
 def test_q4_exists_is_semi_hash_join(spark):
@@ -392,18 +392,21 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
 
 
 def test_select_for_training_is_one_scan_plus_survivorship(spark):
-    """The selection policy computes its quality/language features in the
-    SAME scan that reads id+source (r8 fusion): exactly TWO document
-    scans in the whole plan — the feature projection and the exact-dedup
-    aggregation — and no join other than the survivorship semi join plus
-    the per-source-cap window.  The pre-fusion shape (scan-per-feature +
-    equi-join-per-feature) re-shuffled the full corpus twice; this pins
-    it out for good."""
+    """The selection policy computes its quality/language features AND the
+    exact-dedup content sha in ONE document scan (r8 fusion, tightened
+    r16): survivorship is a row_number window over the sha — no second
+    corpus scan, no sha aggregation, no semi join at all — so the whole
+    plan is one scan, the sha-keyed window (whose rank<=1 filter compiles
+    to WindowGroupLimit), and the per-source-cap window.  The pre-fusion
+    shape (scan-per-feature + equi-join-per-feature) re-shuffled the full
+    corpus twice; the r8-r15 shape still paid a second scan + sha
+    aggregate + id-keyed semi join; this pins both out for good."""
     fn, _ = registry.REGISTRY["cur_select_for_training"]
     plan = _plan(fn(spark, SF_DIR))
-    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
-    # one semi join (survivorship); no other join operators
-    assert plan.count("Join") == 1 and "LeftSemi" in plan
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "Join" not in plan
+    # map-side partial group limit for the dedup-survivor rank
+    assert "WindowGroupLimit" in plan
 
 
 def test_incremental_admission_small_tier_returns_scan_filter(spark):
