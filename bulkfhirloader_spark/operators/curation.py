@@ -30,6 +30,7 @@ from bulkfhirloader_spark.functions.binding import let
 from bulkfhirloader_spark.operators.text import (
     token_count_bpe_ish,
     tokens,
+    tokens_sql,
 )
 
 MERSENNE_PRIME = (1 << 31) - 1
@@ -588,21 +589,22 @@ def chunk_documents(
     if not (0 < stride <= chunk_tokens):
         raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}")
     # token array let-bound: the per-chunk lambda would otherwise re-run
-    # the regexp tokenizer once per chunk start (see functions/binding.py)
-    def _chunks(toks):
-        n = F.size(toks)
-        # start offsets 0, stride, 2*stride, ... < n (no chunks for empty docs)
-        n_starts = F.when(n > 0, F.ceil(n / F.lit(stride)).cast("int")).otherwise(0)
-        starts = F.sequence(F.lit(0), F.greatest(n_starts - 1, F.lit(0)))
-        return F.when(
-            n > 0,
-            F.transform(
-                starts,
-                lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
-            ),
-        ).otherwise(F.array().cast("array<array<string>>"))
-
-    chunks = let(tokens(F.col(text_col)), _chunks)
+    # the regexp tokenizer once per chunk start (see functions/binding.py).
+    # The whole chunking tree is built by ONE F.expr parse (r16, guide §4
+    # driver-side work — ~80 py4j round trips per invocation before;
+    # sameSemantics-pinned against the Column form in tests).
+    toks_sql = tokens_sql(f"`{text_col}`")
+    n_starts = (
+        f"CASE WHEN size(toks) > 0 "
+        f"THEN CAST(ceil(size(toks) / {stride}) AS INT) ELSE 0 END"
+    )
+    chunks = F.expr(
+        "element_at(transform(array(" + toks_sql + "), toks -> "
+        "CASE WHEN size(toks) > 0 THEN "
+        f"transform(sequence(0, greatest({n_starts} - 1, 0)), "
+        f"i -> slice(toks, i * {stride} + 1, {chunk_tokens})) "
+        "ELSE CAST(array() AS array<array<string>>) END), 1)"
+    )
     exploded = docs.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_toks")
     )

@@ -282,11 +282,33 @@ def minhash_sig_expr(shingles_col, num_hashes: int = 32):
     array — exposed separately so callers that also need the shingle array
     itself (e.g. the streaming stream-static admission join, which carries
     shingles through the band join for in-condition exact verification)
-    can compute both in ONE projection instead of a self-join."""
+    can compute both in ONE projection instead of a self-join.
+
+    The three constant arrays (permutation multipliers/offsets and the
+    all-MERSENNE init vector) are each built by ONE ``F.expr`` parse
+    (r16, guide §4 driver-side work): the per-element
+    ``F.lit(..).cast("long")`` loop issued ~3×num_hashes py4j round trips
+    per invocation.  The parsed trees are the same literal arrays
+    (sameSemantics-pinned in tests)."""
     consts = _permutation_constants(num_hashes)
-    a_vec = F.array(*[F.lit(a).cast("long") for a, _b in consts])
-    b_vec = F.array(*[F.lit(b).cast("long") for _a, b in consts])
-    init = F.array(*[F.lit(MERSENNE_PRIME).cast("long")] * num_hashes)
+    # CAST(n AS BIGINT) (not nL literals): these arrays sit inside the
+    # fold's lambda body, where ConstantFolding does not reach, so the
+    # parsed tree must match the Column form node-for-node
+    a_vec = F.expr(
+        "array("
+        + ", ".join(f"CAST({a} AS BIGINT)" for a, _b in consts)
+        + ")"
+    )
+    b_vec = F.expr(
+        "array("
+        + ", ".join(f"CAST({b} AS BIGINT)" for _a, b in consts)
+        + ")"
+    )
+    init = F.expr(
+        "array("
+        + ", ".join([f"CAST({MERSENNE_PRIME} AS BIGINT)"] * num_hashes)
+        + ")"
+    )
     hx = F.transform(shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
     return F.aggregate(
         hx,
@@ -363,9 +385,32 @@ def band_hash_array(minhash_col, bands: int, num_hashes: int):
     string per band per row inside an interpreted higher-order function.
     Collision semantics are unchanged (equal slices ⇒ equal hash; unequal
     slices collide with ~2^-64 probability either way, and any false
-    collision is removed downstream by the estimate/exact filter)."""
+    collision is removed downstream by the estimate/exact filter).
+
+    Pass the signature column's NAME (str) and the whole array is built by
+    ONE ``F.expr`` parse (r16, guide §4/driver-side work — the
+    similarity.lit_double_array pattern): the Column form issues ~6 py4j
+    round trips per band (lit + getItems + xxhash64 + array), measured
+    96 ms of driver time per invocation at bands=8 — paid once per
+    *invocation* in query-many serving, not once per session.  The parsed
+    tree is the same array-of-xxhash64-over-static-indices
+    (sameSemantics-pinned in tests), so plans and results are unchanged.
+    A Column argument keeps the per-band builder for callers whose
+    signature is a computed expression."""
     require_band_geometry(num_hashes, bands)
     rows_per_band = num_hashes // bands
+    if isinstance(minhash_col, str):
+        name = f"`{minhash_col}`"
+        parts = ", ".join(
+            "xxhash64("
+            + ", ".join(
+                [str(b)]
+                + [f"{name}[{b * rows_per_band + i}]" for i in range(rows_per_band)]
+            )
+            + ")"
+            for b in range(bands)
+        )
+        return F.expr(f"array({parts})")
     return F.array(
         *[
             F.xxhash64(
@@ -456,7 +501,7 @@ def minhash_near_dup_pairs(
     # signatures with narrow id-keyed joins for the Jaccard estimate.
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(band_hash_array(F.col("minhash"), bands, num_hashes)).alias(
+        F.posexplode(band_hash_array("minhash", bands, num_hashes)).alias(
             "band_idx", "band_hash"
         ),
     )
@@ -474,11 +519,13 @@ def minhash_near_dup_pairs(
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
     scored = cand.join(sig_a, "id_a").join(sig_b, "id_b")
-    est = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(float(num_hashes))
+    # ONE F.expr parse (r16, driver-side work): the zip_with/aggregate
+    # lambda Column form costs ~60 py4j round trips per invocation; the
+    # parsed tree is the same fold (sameSemantics-pinned in tests)
+    est = F.expr(
+        "aggregate(zip_with(mh_a, mh_b, (x, y) -> CAST((x = y) AS INT)), "
+        f"0, (acc, x) -> acc + x) / {float(num_hashes)!r}D"
+    )
     return (
         scored.select("id_a", "id_b", est.alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
@@ -981,7 +1028,7 @@ def embedding_cosine_pairs(
     tables = lsh_tables(dim, n_planes, n_tables)
     b = emb.select(
         F.col(id_col),
-        F.posexplode(_table_buckets(F.col(vec_col), tables)).alias("tbl", "bucket"),
+        F.posexplode(_table_buckets(vec_col, tables)).alias("tbl", "bucket"),
     )
     if max_bucket_size is not None:
         # Unlike the MinHash band join, the join below is on (tbl, probe)
@@ -1203,8 +1250,15 @@ def simhash_signatures(
         .select(F.col(id_col), ht.alias("ht"))
         .filter(F.size("ht") > 0)
     )
-    idx = F.array(*[F.lit(i) for i in range(bits)])
-    zeros = F.array(*[F.lit(0).cast("long")] * bits)
+    # constant arrays as ONE F.expr parse each (r16, guide §4 driver-side
+    # work; ~6×bits py4j round trips before).  CAST(n AS BIGINT) spelled
+    # out because these sit inside the fold's lambda body, where
+    # ConstantFolding does not reach — the parsed trees must match the
+    # old Column form node-for-node (sameSemantics-pinned in tests).
+    idx = F.expr("array(" + ", ".join(str(i) for i in range(bits)) + ")")
+    zeros = F.expr(
+        "array(" + ", ".join(["CAST(0 AS BIGINT)"] * bits) + ")"
+    )
     ones = F.aggregate(
         "ht",
         zeros,
@@ -1215,11 +1269,13 @@ def simhash_signatures(
     # Pack sign bits with Python-int literals (bit 63 contributes the int64
     # sign — harmless for equality/XOR).  Disjoint bit values sum without
     # overlap, so a fold-sum assembles the signature.
-    bitvals = F.array(
-        *[
-            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+    bitvals = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST({1 << i if i < 63 else -(1 << 63)} AS BIGINT)"
             for i in range(bits)
-        ]
+        )
+        + ")"
     )
     n = F.size("ht").cast("long")
     sig = F.aggregate(
@@ -1459,7 +1515,7 @@ def signature_store_write(
             require_band_geometry(num_hashes, bands)
             banded = sigs.select(
                 F.col(id_col).alias("id"),
-                F.posexplode(band_hash_array(F.col("minhash"), bands, num_hashes))
+                F.posexplode(band_hash_array("minhash", bands, num_hashes))
                 .alias("band_idx", "band_hash"),
             )
             if mode == "overwrite" and spark.catalog.tableExists(bucket_table):
@@ -1782,7 +1838,7 @@ def incremental_near_dup_filter(
         )
         banded_new_probe = new_sigs.select(
             F.col(id_col),
-            F.posexplode(band_hash_array(F.col("minhash"), bands, num_hashes)).alias(
+            F.posexplode(band_hash_array("minhash", bands, num_hashes)).alias(
                 "band_idx", "band_hash"
             ),
         )
@@ -1826,7 +1882,7 @@ def incremental_near_dup_filter(
         sigs = store_sigs.unionByName(new_sigs.select(F.col(id_col), "minhash"))
         banded = sigs.select(
             F.col(id_col),
-            F.posexplode(band_hash_array(F.col("minhash"), bands, num_hashes)).alias(
+            F.posexplode(band_hash_array("minhash", bands, num_hashes)).alias(
                 "band_idx", "band_hash"
             ),
         )
@@ -1838,7 +1894,7 @@ def incremental_near_dup_filter(
         )
         banded = sigs.select(
             F.col(id_col),
-            F.posexplode(band_hash_array(F.col("minhash"), bands, num_hashes)).alias(
+            F.posexplode(band_hash_array("minhash", bands, num_hashes)).alias(
                 "band_idx", "band_hash"
             ),
         )

@@ -391,8 +391,41 @@ def lsh_tables(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> list:
     ]
 
 
-def _table_buckets(vec: Column, tables: list) -> Column:
-    """posexplode-ready array of per-table bucket ids for one vector."""
+def _table_buckets(vec, tables: list) -> Column:
+    """posexplode-ready array of per-table bucket ids for one vector.
+
+    Pass the vector column's NAME (str) and the whole array is built by
+    ONE ``F.expr`` parse (r16, guide §4 driver-side work): the Column form
+    issues ~10 py4j round trips per plane per table.  The parsed tree is
+    the same OR-of-sign-bits over fold dot products
+    (sameSemantics-pinned in tests); a Column argument keeps the
+    per-plane builder for computed vector expressions."""
+    if isinstance(vec, str):
+        name = f"`{vec}`"
+
+        def _bucket_sql(planes: list) -> str:
+            b = "CAST(0 AS BIGINT)"
+            for i, plane in enumerate(planes):
+                arr = (
+                    "array("
+                    + ", ".join(_sql_double_literal(v) for v in plane)
+                    + ")"
+                )
+                d = (
+                    f"aggregate(zip_with({name}, {arr}, "
+                    "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                    "0.0D, (acc, x) -> acc + x)"
+                )
+                b = (
+                    f"({b} | CASE WHEN {d} > 0 THEN "
+                    f"shiftleft(CAST(1 AS BIGINT), {i}) "
+                    "ELSE CAST(0 AS BIGINT) END)"
+                )
+            return b
+
+        return F.expr(
+            "array(" + ", ".join(_bucket_sql(p) for p in tables) + ")"
+        )
     return F.array(*[lsh_bucket(vec, planes) for planes in tables])
 
 
@@ -418,7 +451,7 @@ def cosine_topk_lsh(
     """
     tables = lsh_tables(dim, n_planes, n_tables)
     cand_b = candidates.select(
-        "*", F.posexplode(_table_buckets(F.col(cand_vec), tables)).alias("tbl", "bucket")
+        "*", F.posexplode(_table_buckets(cand_vec, tables)).alias("tbl", "bucket")
     ).withColumn("_cn", l2_norm(F.col(cand_vec)))
     # multi-probe: the query's own bucket plus every 1-bit flip, per table
     probe_buckets = F.array(
@@ -431,7 +464,7 @@ def cosine_topk_lsh(
     q_b = (
         queries.select(
             "*",
-            F.posexplode(_table_buckets(F.col(query_vec), tables)).alias(
+            F.posexplode(_table_buckets(query_vec, tables)).alias(
                 "tbl", "bucket"
             ),
         )

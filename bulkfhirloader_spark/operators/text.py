@@ -36,6 +36,27 @@ def tokens(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)
 
 
+def tokens_sql(text_sql: str) -> str:
+    """SQL-text form of ``tokens`` for the one-``F.expr``-parse builders
+    (r16, guide §4 driver-side work): ``text_sql`` is SQL expression text
+    (e.g. a backtick-quoted column name).  The parsed tree is identical to
+    the Column form (sameSemantics-pinned in tests)."""
+    return f"regexp_extract_all({text_sql}, '\\\\S+', 0)"
+
+
+def normalize_sql(text_sql: str) -> str:
+    """SQL-text form of ``normalize_text`` (same one-parse contract as
+    ``tokens_sql``)."""
+    return f"lower(trim(regexp_replace({text_sql}, '\\\\s+', ' ')))"
+
+
+def _sql_str_literal(s: str) -> str:
+    """Single-quoted SQL string literal with backslash/quote escaping —
+    the stoplists and language tags below are plain ASCII words, but the
+    escaping keeps the helper safe for arbitrary future entries."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus term frequencies: explode tokens → groupBy(term).
     Map-side partial aggregation makes this a single small shuffle even when
@@ -54,34 +75,44 @@ def quality_exprs(text_col: str = "text") -> dict:
     the SAME corpus scan as their other per-row features instead of a
     scan-per-operator + join-per-operator shape (each of those joins is a
     full-corpus shuffle at scale).  Pure projection; an unused entry
-    costs nothing (only selected expressions are evaluated)."""
-    toks = tokens(F.col(text_col))
-    n_tokens = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    costs nothing (only selected expressions are evaluated).
+
+    Every entry is built by ONE ``F.expr`` parse (r16, guide §4
+    driver-side work): the per-Column form issued ~150 py4j round trips
+    per invocation — paid once per *invocation* in query-many serving —
+    for trees the SQL parser produces in one.  The stoplist stays
+    let-bound (see functions/binding.py); trees are sameSemantics-pinned
+    against the old Column form in tests."""
+    t = f"`{text_col}`"
+    toks = tokens_sql(t)
     # stoplist let-bound: a literal array referenced inside the filter
     # lambda is re-CONSTRUCTED per token — ~100 literal evals per element
     # and a matching codegen blowup (see functions/binding.py; measured
     # cold 3.2 s → 1.0 s on the 5-language analog below)
-    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = let(
-        en_stop,
-        lambda stop: F.size(
-            F.filter(toks, lambda t: F.array_contains(stop, F.lower(t)))
-        ),
+    en_stop = "array(" + ", ".join(
+        _sql_str_literal(w) for w in STOPWORDS["en"]
+    ) + ")"
+    n_stop = (
+        f"element_at(transform(array({en_stop}), "
+        f"stop -> size(filter({toks}, t -> array_contains(stop, lower(t))))), 1)"
     )
     # nullif guards: an empty/whitespace-only document must yield NULL ratios,
     # not kill the whole job under Spark 4's default ANSI DIVIDE_BY_ZERO.
-    safe_tokens = F.nullif(n_tokens, F.lit(0)).cast("double")
-    safe_chars = F.nullif(n_chars, F.lit(0)).cast("double")
+    safe_tokens = f"CAST(nullif(size({toks}), 0) AS DOUBLE)"
+    safe_chars = f"CAST(nullif(length({t}), 0) AS DOUBLE)"
     return {
-        "n_tokens": n_tokens,
-        "n_chars_computed": n_chars,
-        "avg_token_len": n_chars.cast("double") / safe_tokens,
-        "alpha_ratio": n_alpha.cast("double") / safe_chars,
-        "punct_ratio": n_punct.cast("double") / safe_chars,
-        "stopword_ratio": n_stop.cast("double") / safe_tokens,
+        "n_tokens": F.expr(f"size({toks})"),
+        "n_chars_computed": F.expr(f"length({t})"),
+        "avg_token_len": F.expr(f"CAST(length({t}) AS DOUBLE) / {safe_tokens}"),
+        "alpha_ratio": F.expr(
+            f"CAST(length(regexp_replace({t}, '[^A-Za-z]', '')) AS DOUBLE)"
+            f" / {safe_chars}"
+        ),
+        "punct_ratio": F.expr(
+            f"CAST(length(regexp_replace({t}, '[^.,;:!?]', '')) AS DOUBLE)"
+            f" / {safe_chars}"
+        ),
+        "stopword_ratio": F.expr(f"CAST({n_stop} AS DOUBLE) / {safe_tokens}"),
     }
 
 
@@ -98,32 +129,35 @@ def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def language_pred_exprs(text_col: str = "text") -> dict:
     """Language-ID EXPRESSIONS, name -> Column ({lang_pred,
     stopword_hits}) — the projection behind language_id, exposed for the
-    same one-scan composition reason as quality_exprs."""
-    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    same one-scan composition reason as quality_exprs.
+
+    Built by ONE ``F.expr`` parse per entry (r16, guide §4 driver-side
+    work): the per-language Column loop issued ~100 py4j round trips per
+    invocation.  The stoplists stay let-bound (see functions/binding.py;
+    inline, the array rebuilds per token and per language — measured cold
+    3.2 s → 1.0 s, warm −17% at sf0.1); only the size fold is bound:
+    struct field names assigned INSIDE a lambda body do not survive the
+    transform's result type.  Trees are sameSemantics-pinned against the
+    old Column form in tests."""
+    toks = (
+        f"transform({tokens_sql(f'`{text_col}`')}, t -> lower(t))"
+    )
     scores = []
     for lang, words in STOPWORDS.items():
-        # stoplist let-bound — inline, the ~100-literal array rebuilds per
-        # token and per language (cold 3.2 s → 1.0 s, warm −17% at sf0.1;
-        # see functions/binding.py).  Only the size fold is bound: struct
-        # field names assigned INSIDE a lambda body do not survive the
-        # transform's result type, which scrambles downstream
-        # field-by-name access.
-        wl = F.array(*[F.lit(w) for w in words])
-        hits = let(
-            wl,
-            lambda stop: F.size(
-                F.filter(toks, lambda t: F.array_contains(stop, t))
-            ),
+        wl = "array(" + ", ".join(_sql_str_literal(w) for w in words) + ")"
+        hits = (
+            f"element_at(transform(array({wl}), "
+            f"stop -> size(filter({toks}, t -> array_contains(stop, t)))), 1)"
         )
         scores.append(
-            F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+            f"struct({hits} AS hits, {_sql_str_literal(lang)} AS lang)"
         )
-    best = F.array_max(F.array(*scores))
+    best = "array_max(array(" + ", ".join(scores) + "))"
     return {
-        "lang_pred": F.when(best["hits"] > 0, best["lang"]).otherwise(
-            F.lit("und")
+        "lang_pred": F.expr(
+            f"CASE WHEN {best}.hits > 0 THEN {best}.lang ELSE 'und' END"
         ),
-        "stopword_hits": best["hits"],
+        "stopword_hits": F.expr(f"{best}.hits"),
     }
 
 

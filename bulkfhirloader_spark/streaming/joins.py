@@ -181,7 +181,7 @@ def banded_signature_store_write(
         "_minhash", minhash_sig_expr(F.col("shingles"), num_hashes)
     )
     band_cols = F.posexplode(
-        band_hash_array(F.col("_minhash"), bands, num_hashes)
+        band_hash_array("_minhash", bands, num_hashes)
     ).alias("band_idx", "band_hash")
     banded = with_sig.select("id", band_cols, "shingles")
     if num_buckets is None:
@@ -394,7 +394,7 @@ def stream_near_dup_admission(
             "_minhash", minhash_sig_expr(F.col(f"sh{suffix}"), num_hashes)
         )
         band_cols = F.posexplode(
-            band_hash_array(F.col("_minhash"), bands, num_hashes)
+            band_hash_array("_minhash", bands, num_hashes)
         ).alias("band_idx", "band_hash")
         return with_sig.select(f"id{suffix}", band_cols, f"sh{suffix}")
 
@@ -2064,7 +2064,7 @@ def stream_admission_pipeline(
         return with_sig.select(
             f"id{suffix}",
             F.explode(
-                band_hash_array(F.col("_minhash"), bands, num_hashes)
+                band_hash_array("_minhash", bands, num_hashes)
             ).alias("band_hash"),
             f"sh{suffix}",
         )
