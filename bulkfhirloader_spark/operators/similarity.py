@@ -882,6 +882,19 @@ def kmeans_assign_blas(
     import numpy as np
     import pandas as pd
 
+    # int64 id contract, validated UP FRONT (r16, advisor finding): ids
+    # are coerced with astype(np.int64) and the output schema declares
+    # `{id_col} long`, so a string/decimal id would die with an opaque
+    # Arrow coercion error inside the Python worker.  The fold tier
+    # (classify_nearest_centroid) accepts any id type.
+    id_type = emb.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"kmeans_assign_blas requires an integral id column "
+            f"(int64 contract), got {id_col}: {id_type}; use the fold "
+            f"tier (assign_tier='fold') for non-integer ids"
+        )
+
     if hasattr(cents, "collect"):
         cents = [(int(r["c_label"]), list(r["centroid"])) for r in cents.collect()]
     bc = _blas_centroid_broadcast(emb.sparkSession, cents)

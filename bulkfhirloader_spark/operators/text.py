@@ -421,8 +421,15 @@ def _apply_merges_arrow(sym: DataFrame, seq: list, extra_cols: list[str]) -> Dat
     default).  Greedy left-to-right per merge, identical contract."""
     import pandas as pd
 
+    # Extra columns keep their INPUT types (r16, advisor finding): the
+    # earlier hardcoded `long` crashed the Arrow tier for any non-int64
+    # id column while the fold tier preserved the type.
     schema = ", ".join(
-        [f"{c} long" for c in extra_cols] + ["syms array<string>"]
+        [
+            f"{c} {sym.schema[c].dataType.simpleString()}"
+            for c in extra_cols
+        ]
+        + ["syms array<string>"]
     )
 
     def run(batches):

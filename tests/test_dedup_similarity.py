@@ -1793,6 +1793,22 @@ def test_kmeans_blas_assignment_drops_zero_and_null(spark):
     assert got == [(1, 0), (4, 1)]
 
 
+def test_kmeans_blas_rejects_non_integral_id_up_front(spark):
+    """The blas tier coerces ids with astype(np.int64) and declares
+    `id long` — a non-integral id must fail with a clear ValueError at
+    call time (r16 advisor finding), not an Arrow coercion error inside
+    the Python worker."""
+    import pytest as _pytest
+
+    from bulkfhirloader_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="integral id column"):
+        sim.kmeans_assign_blas(emb, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+
+
 def test_kmeans_degenerate_vectors_excluded_both_tiers(spark):
     """Family precondition (r12 review): NULL and all-zero embeddings are
     excluded from fit AND assignment by BOTH tiers — before the explicit

@@ -832,3 +832,25 @@ def test_bpe_arrow_tier_matches_fold(spark):
         T.bpe_merge_rounds(docs, n_merges=2, apply_tier="pandas")
     with _pytest.raises(ValueError, match="apply_tier"):
         T.apply_bpe_merges(docs, merges, apply_tier="pandas")
+
+
+def test_bpe_arrow_tier_preserves_non_integer_id_type(spark):
+    """r16 advisor finding: _apply_merges_arrow hardcoded every extra
+    column as `long` in its mapInPandas schema, so apply_tier="arrow"
+    crashed (Arrow type coercion) for any non-integer id column while
+    the fold tier preserved the type.  The schema now derives each
+    extra column's type from the input — string ids must round-trip
+    through the arrow tier identically to the fold tier."""
+    from bulkfhirloader_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [("d-1", "a a a a b"), ("d-2", "b a a c c"), ("d-3", "")],
+        "doc_id string, text string",
+    )
+    merges = [("a", "a"), ("aa", "aa")]
+    fold = T.apply_bpe_merges(docs, merges)
+    arrow = T.apply_bpe_merges(docs, merges, apply_tier="arrow")
+    assert arrow.schema["doc_id"].dataType == fold.schema["doc_id"].dataType
+    assert {r["doc_id"]: list(r["syms"]) for r in arrow.collect()} == {
+        r["doc_id"]: list(r["syms"]) for r in fold.collect()
+    }
