@@ -66,14 +66,70 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 # retention explicit and gives long-lived sessions a drain point.
 _live_candidate_checkpoints: list = []
 
+# Ledger concurrency (r16, advisor finding): a concurrent driver thread
+# that ledgers a checkpoint between another thread's "snapshot len()"
+# and "pop to that tail" would get its still-referenced checkpoint
+# released (unrecomputable).  All append/drain sites take this lock, and
+# scoped releases use a per-THREAD capture frame (below) so a caller
+# releases exactly the entries its own nested call created — never
+# another thread's.
+_ledger_lock = threading.RLock()
+_ledger_capture = threading.local()
+
+
+def _ledger_append(df: DataFrame) -> None:
+    """Record an already-created checkpoint in the module ledger (and in
+    this thread's open capture frames, if any) under the ledger lock."""
+    with _ledger_lock:
+        _live_candidate_checkpoints.append(df)
+        for frame in getattr(_ledger_capture, "frames", ()):
+            frame.append(df)
+
 
 def _ledger_lazy_checkpoint(df: DataFrame) -> DataFrame:
     """Lazily checkpoint an internal candidate set and RECORD it in the
     module ledger so release_candidate_checkpoints can free the blocks
     once the session is done with the results that reference them."""
     out = df.localCheckpoint(eager=False)
-    _live_candidate_checkpoints.append(out)
+    _ledger_append(out)
     return out
+
+
+class _ledger_capture_frame:
+    """Context manager: capture the ledger entries THIS thread's nested
+    operator calls create, so the caller can release exactly those (its
+    own candidate sets) without touching entries ledgered concurrently
+    by other threads."""
+
+    def __enter__(self) -> list:
+        frames = getattr(_ledger_capture, "frames", None)
+        if frames is None:
+            frames = _ledger_capture.frames = []
+        self._frame: list = []
+        frames.append(self._frame)
+        return self._frame
+
+    def __exit__(self, *exc) -> None:
+        _ledger_capture.frames.remove(self._frame)
+
+
+def _release_captured_checkpoints(frame: list) -> None:
+    """Release the checkpoints in a capture frame and drop them from the
+    module ledger (identity match, under the lock)."""
+    from bulkfhirloader_spark.operators.similarity import (
+        _release_local_checkpoint,
+    )
+
+    with _ledger_lock:
+        for df in frame:
+            for i, live in enumerate(_live_candidate_checkpoints):
+                if live is df:
+                    del _live_candidate_checkpoints[i]
+                    break
+            else:
+                continue  # already drained by release_candidate_checkpoints
+            _release_local_checkpoint(df)
+    frame.clear()
 
 
 def release_candidate_checkpoints() -> int:
@@ -92,9 +148,10 @@ def release_candidate_checkpoints() -> int:
     )
 
     n = 0
-    while _live_candidate_checkpoints:
-        _release_local_checkpoint(_live_candidate_checkpoints.pop())
-        n += 1
+    with _ledger_lock:
+        while _live_candidate_checkpoints:
+            _release_local_checkpoint(_live_candidate_checkpoints.pop())
+            n += 1
     return n
 
 
@@ -1921,10 +1978,11 @@ def incremental_near_dup_filter(
         )
         .distinct()
     )
-    ledger_tail = len(_live_candidate_checkpoints)
-    verified = ngram_jaccard_pairs(
-        union_docs, id_col, text_col, shingle_words, threshold, candidates=cand
-    ).select("id_a", "id_b")
+    with _ledger_capture_frame() as own_entries:
+        verified = ngram_jaccard_pairs(
+            union_docs, id_col, text_col, shingle_words, threshold,
+            candidates=cand,
+        ).select("id_a", "id_b")
     # verified is consumed by every downstream step; cut lineage once
     # (eager: both tiers below need it materialized — the count that picks
     # the tier reads the checkpointed blocks for free).
@@ -1933,14 +1991,11 @@ def incremental_near_dup_filter(
     # ngram_jaccard_pairs just ledgered for THIS call: nothing downstream
     # (here or in the caller — only `verified` escapes) can re-read it,
     # so release it now instead of pinning one dead candidate set per
-    # admission batch in a long-lived session (r15 review).  Entries
-    # ledgered by OTHER still-live calls are untouched.
-    from bulkfhirloader_spark.operators.similarity import (
-        _release_local_checkpoint,
-    )
-
-    while len(_live_candidate_checkpoints) > ledger_tail:
-        _release_local_checkpoint(_live_candidate_checkpoints.pop())
+    # admission batch in a long-lived session (r15 review).  The capture
+    # frame holds exactly the entries THIS thread's nested call ledgered
+    # (r16, advisor finding) — entries ledgered concurrently by other
+    # threads are untouched, unlike the old len()-snapshot pop.
+    _release_captured_checkpoints(own_entries)
 
     tagged = (
         verified.join(new_ids.select(F.col(id_col).alias("id_a"))

@@ -607,7 +607,7 @@ def apply_bpe_merges(
     80k-literal-tree lesson); ``fold`` stays the oracle-restatable
     default, segmentations pytest-pinned identical."""
     from bulkfhirloader_spark.operators.dedup import (
-        _live_candidate_checkpoints,
+        _ledger_append,
         ensure_parallelism,
     )
     from bulkfhirloader_spark.operators.similarity import (
@@ -642,8 +642,9 @@ def apply_bpe_merges(
             prev_ckpt = out
     if prev_ckpt is not None:
         # the returned plan reads from the final cut — retained until the
-        # session drains it (dedup.release_candidate_checkpoints)
-        _live_candidate_checkpoints.append(prev_ckpt)
+        # session drains it (dedup.release_candidate_checkpoints); the
+        # helper takes the ledger lock (r16, advisor finding)
+        _ledger_append(prev_ckpt)
     return out
 
 

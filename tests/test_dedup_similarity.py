@@ -1073,6 +1073,43 @@ def test_memo_thread_safety_under_concurrent_callers(spark):
     assert len(dedup._SIG_MEMO) <= dedup._SIG_MEMO_MAX
 
 
+def test_ledger_scoped_release_spares_concurrent_entries(spark):
+    """r16 advisor finding: incremental_near_dup_filter's old drain
+    snapshotted len() and popped to that tail, so an entry ledgered by a
+    CONCURRENT thread in the window got released (its DataFrame became
+    unrecomputable).  The capture-frame drain releases exactly the
+    entries this thread's own nested call created; a foreign entry
+    ledgered mid-window must survive and stay collectable."""
+    from bulkfhirloader_spark.operators import dedup
+
+    dedup.release_candidate_checkpoints()
+    own = spark.createDataFrame([(1, "a")], "id long, v string")
+    foreign = spark.createDataFrame([(2, "b")], "id long, v string")
+    with dedup._ledger_capture_frame() as frame:
+        mine = dedup._ledger_lazy_checkpoint(own)
+        # simulate another driver thread ledgering in the window: no
+        # frame is active in THAT thread, so its entry is not captured
+        import threading
+
+        t = threading.Thread(
+            target=lambda: dedup._ledger_append(
+                foreign.localCheckpoint(eager=False)
+            )
+        )
+        t.start()
+        t.join()
+    assert frame == [mine]
+    dedup._release_captured_checkpoints(frame)
+    assert frame == []
+    # the foreign entry is still ledgered and its checkpoint still works
+    assert len(dedup._live_candidate_checkpoints) == 1
+    assert dedup._live_candidate_checkpoints[0].collect() == [(2, "b")]
+    # double-release of already-drained entries is a no-op
+    captured = [mine]
+    dedup._release_captured_checkpoints(captured)
+    assert dedup.release_candidate_checkpoints() == 1
+
+
 def test_simhash_production_geometry_pigeonhole_guarantee(spark):
     """The production geometry (16-bit bands over a 64-bit signature,
     max_hamming=3) has a DETERMINISTIC recall guarantee: <=3 flipped bits
