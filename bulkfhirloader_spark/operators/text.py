@@ -1292,6 +1292,15 @@ def winnow_verified(
         )
         .select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "_gram")
     )
+    # NOTE (r16, examined and deliberately left): `grams` is referenced
+    # twice below (id_a/id_b sides), the same double-expansion shape that
+    # ngram_jaccard_pairs' pairwise path fixes with a ledgered lazy
+    # checkpoint — but HERE the attach table is NOT contractually small:
+    # winnowing proposes broadly (measured sf0.1: 2913 of 5000 docs named
+    # in some candidate pair, 186k exploded gram rows vs jaccard's 477
+    # wanted docs), and materializing the per-token gram explode cost
+    # MORE than the second scan in an interleaved A/B (warm means 5.1 s →
+    # 7.1 s).  The recompute-over-materialize trade is kept on purpose.
     matches = (
         cand.join(
             grams.select(

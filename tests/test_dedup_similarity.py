@@ -2028,6 +2028,56 @@ def test_kmeans_chained_releases_iteration_checkpoints(two_lobes, spark):
     assert stored_rdds() <= before
 
 
+def test_pairwise_verify_shingles_computed_once(spark, tmp_path):
+    """r16: the pairwise candidates path computes the corpus scan +
+    shingle attach ONCE (ledgered lazy checkpoint) instead of re-expanding
+    it per pair side — the returned plan reads the attach table from
+    checkpoint blocks, so the documents scan appears ZERO times in it; in
+    the opt-out regime (broadcast_candidates=False, candidate set not
+    contractually small) the old recompute shape is preserved (the scan
+    appears once per pair side).  Pair values identical in both regimes
+    and to the full-scan reference."""
+    from bulkfhirloader_spark.operators import dedup
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} w{i+1} w{i+2} w{i+3}")
+         for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 7)], "id_a long, id_b long"
+    )
+    ref = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.05, allow_full_scan=True
+        ).collect()
+        if (r["id_a"], r["id_b"]) in {(0, 1), (2, 3), (4, 7)}
+    )
+
+    j = dedup.ngram_jaccard_pairs(docs, candidates=cand, threshold=0.05)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"]) for r in j.collect()
+    )
+    assert got == ref
+
+    j_big = dedup.ngram_jaccard_pairs(
+        docs, candidates=cand, threshold=0.05, broadcast_candidates=False
+    )
+    plan_big = j_big._jdf.queryExecution().executedPlan().toString()
+    assert plan_big.count("Scan parquet") == 2, plan_big
+    got_big = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"])
+        for r in j_big.collect()
+    )
+    assert got_big == ref
+    dedup.release_candidate_checkpoints()
+
+
 def test_candidate_checkpoint_ledger_and_cc_release(spark):
     """r15 (r14 advice): (1) the candidate-set lazy checkpoints in
     ngram_jaccard_pairs / ngram_containment_pairs / winnow_verified are
@@ -2056,10 +2106,15 @@ def test_candidate_checkpoint_ledger_and_cc_release(spark):
     w = T.winnow_verified(docs, candidates=cand)
     for df in (j, c, w):
         df.collect()
-    assert len(dedup._live_candidate_checkpoints) == base_ledger + 3
+    # r16: jaccard additionally ledgers its once-computed shingle attach
+    # table (2 entries: candidate set + attach table); containment and
+    # winnow_verified still ledger only their candidate sets (winnow's
+    # gram table is NOT contractually small — see the note in
+    # winnow_verified) → 2 + 1 + 1 = 4
+    assert len(dedup._live_candidate_checkpoints) == base_ledger + 4
     before = stored_rdds()
     released = dedup.release_candidate_checkpoints()
-    assert released == base_ledger + 3
+    assert released == base_ledger + 4
     assert stored_rdds() <= before
     assert not dedup._live_candidate_checkpoints
 
