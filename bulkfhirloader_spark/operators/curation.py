@@ -158,6 +158,7 @@ def select_for_training(
     are not survivors), and normalize-equal twins may differ in raw-text
     features, so gating the survivor's OWN feature row is load-bearing.
     """
+    from bulkfhirloader_spark.operators.dedup import ensure_parallelism
     from bulkfhirloader_spark.operators.text import (
         language_pred_exprs,
         normalize_text,
@@ -166,6 +167,13 @@ def select_for_training(
 
     qe = quality_exprs(text_col)
     le = language_pred_exprs(text_col)
+    # CPU-dense projection (regex tokenization, interpreted language-ID
+    # lambdas, sha256): give it at least one task per core (r16 batch 3,
+    # guide §2.5 "one huge unsplittable file") — a small single-split
+    # parquet corpus otherwise serializes the whole feature pass onto one
+    # core.  No-op at real scale (never reduces partitioning), same
+    # treatment as the dedup/text CPU-dense operators.
+    docs = ensure_parallelism(docs)
     feats = docs.select(
         F.col(id_col),
         F.col("source"),
@@ -605,6 +613,13 @@ def chunk_documents(
         f"i -> slice(toks, i * {stride} + 1, {chunk_tokens})) "
         "ELSE CAST(array() AS array<array<string>>) END), 1)"
     )
+    # NOTE (r16 batch 3): deliberately NO ensure_parallelism here — the
+    # composed pipeline passes a broadcast-joined input, and the .rdd
+    # partition probe would execute the join subplan under AQE just to
+    # count partitions (see ngram_jaccard_pairs' base-scan placement).
+    # Callers that chunk a single-split base scan parallelize the scan
+    # side themselves (cur_full_pipeline re-attaches to an
+    # ensure_parallelism'd corpus scan).
     exploded = docs.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_toks")
     )

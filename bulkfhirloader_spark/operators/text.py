@@ -80,22 +80,21 @@ def quality_exprs(text_col: str = "text") -> dict:
     Every entry is built by ONE ``F.expr`` parse (r16, guide §4
     driver-side work): the per-Column form issued ~150 py4j round trips
     per invocation — paid once per *invocation* in query-many serving —
-    for trees the SQL parser produces in one.  The stoplist stays
-    let-bound (see functions/binding.py); trees are sameSemantics-pinned
-    against the old Column form in tests."""
+    for trees the SQL parser produces in one.
+
+    The stopword membership test is a literal ``IN`` list (r16 batch 3):
+    HOF lambdas run INTERPRETED (no whole-stage codegen, no subexpression
+    elimination inside the lambda body), so the per-token work is the
+    hot loop of the whole projection — ``IN`` compiles to an InSet hash
+    probe, vs the old let-bound array + array_contains linear scan that
+    also paid a per-row array construction.  Values are pinned identical
+    to the archived pre-r16 Column form on adversarial inputs in
+    tests/test_expr_parity.py (the trees now intentionally differ, so
+    the pin is value parity, not sameSemantics)."""
     t = f"`{text_col}`"
     toks = tokens_sql(t)
-    # stoplist let-bound: a literal array referenced inside the filter
-    # lambda is re-CONSTRUCTED per token — ~100 literal evals per element
-    # and a matching codegen blowup (see functions/binding.py; measured
-    # cold 3.2 s → 1.0 s on the 5-language analog below)
-    en_stop = "array(" + ", ".join(
-        _sql_str_literal(w) for w in STOPWORDS["en"]
-    ) + ")"
-    n_stop = (
-        f"element_at(transform(array({en_stop}), "
-        f"stop -> size(filter({toks}, t -> array_contains(stop, lower(t))))), 1)"
-    )
+    en_in = ", ".join(_sql_str_literal(w) for w in STOPWORDS["en"])
+    n_stop = f"size(filter({toks}, t -> lower(t) IN ({en_in})))"
     # nullif guards: an empty/whitespace-only document must yield NULL ratios,
     # not kill the whole job under Spark 4's default ANSI DIVIDE_BY_ZERO.
     safe_tokens = f"CAST(nullif(size({toks}), 0) AS DOUBLE)"
@@ -133,31 +132,45 @@ def language_pred_exprs(text_col: str = "text") -> dict:
 
     Built by ONE ``F.expr`` parse per entry (r16, guide §4 driver-side
     work): the per-language Column loop issued ~100 py4j round trips per
-    invocation.  The stoplists stay let-bound (see functions/binding.py;
-    inline, the array rebuilds per token and per language — measured cold
-    3.2 s → 1.0 s, warm −17% at sf0.1); only the size fold is bound:
-    struct field names assigned INSIDE a lambda body do not survive the
-    transform's result type.  Trees are sameSemantics-pinned against the
-    old Column form in tests."""
+    invocation.
+
+    r16 batch 3 (guide §1.2 per-task work): this whole tree runs
+    INTERPRETED — HOF lambdas are excluded from whole-stage codegen AND
+    from Catalyst subexpression elimination — so the old shape paid the
+    regexp tokenization once per language (the ``toks`` text was inlined
+    into every language's filter) and evaluated the argmax struct TWICE
+    (once for ``.hits``, once for ``.lang`` inside the CASE).  Now the
+    token array is let-bound ONCE around the whole expression and the
+    argmax struct once around the CASE (see functions/binding.py for why
+    ``element_at(transform(array(x), v -> body), 1)`` is the SQL let),
+    and the per-token stopword test is a literal ``IN`` (InSet hash
+    probe) instead of a per-row-constructed array + array_contains scan.
+    Measured on the sf0.1 corpus projection: warm 1.45 s → 0.50 s,
+    bit-identical values.  Value-parity (not sameSemantics — the tree
+    intentionally differs) is pinned against the archived pre-r16 Column
+    form on adversarial inputs in tests/test_expr_parity.py."""
     toks = (
         f"transform({tokens_sql(f'`{text_col}`')}, t -> lower(t))"
     )
     scores = []
     for lang, words in STOPWORDS.items():
-        wl = "array(" + ", ".join(_sql_str_literal(w) for w in words) + ")"
-        hits = (
-            f"element_at(transform(array({wl}), "
-            f"stop -> size(filter({toks}, t -> array_contains(stop, t)))), 1)"
-        )
+        in_list = ", ".join(_sql_str_literal(w) for w in words)
+        hits = f"size(filter(toks, t -> t IN ({in_list})))"
         scores.append(
             f"struct({hits} AS hits, {_sql_str_literal(lang)} AS lang)"
         )
     best = "array_max(array(" + ", ".join(scores) + "))"
+    # both entries bind toks once; lang_pred additionally binds the argmax
+    # struct so hits/lang read ONE evaluation
     return {
         "lang_pred": F.expr(
-            f"CASE WHEN {best}.hits > 0 THEN {best}.lang ELSE 'und' END"
+            f"element_at(transform(array({toks}), toks -> "
+            f"element_at(transform(array({best}), "
+            f"b -> CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END), 1)), 1)"
         ),
-        "stopword_hits": F.expr(f"{best}.hits"),
+        "stopword_hits": F.expr(
+            f"element_at(transform(array({toks}), toks -> ({best}).hits), 1)"
+        ),
     }
 
 

@@ -4826,8 +4826,15 @@ def cur_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast it explicitly (r16, guide §3.1) so the corpus re-attach
     # never degrades to a shuffle when size ESTIMATES are off (the window
     # subtree above it defeats stats); AQE agreed at bench scale, but the
-    # contract-small side should not depend on runtime detection
-    kept = docs.join(F.broadcast(selected), "doc_id")
+    # contract-small side should not depend on runtime detection.
+    # r16 batch 3: the re-attach scan feeds the CPU-dense chunk/tokenize
+    # projections, so parallelize the BASE scan (no-op at real scale;
+    # placed below the join exactly like ngram_jaccard_pairs' base-scan
+    # ensure_parallelism, so the .rdd partition probe never touches a
+    # join subplan under AQE)
+    from bulkfhirloader_spark.operators.dedup import ensure_parallelism
+
+    kept = ensure_parallelism(docs).join(F.broadcast(selected), "doc_id")
     chunks = curation.chunk_documents(kept, chunk_tokens=64).withColumn(
         "chunk_id", F.col("doc_id") * 10_000 + F.col("chunk_idx")
     )

@@ -147,16 +147,31 @@ def _language_pred_exprs_column_form(text_col: str = "text") -> dict:
 
 
 def test_language_pred_exprs_match_column_form(spark):
-    docs = spark.createDataFrame(
-        [(1, "the cat and the hat"), (2, "")], "doc_id long, text string"
-    )
+    """VALUE parity (not sameSemantics) against the archived pre-r16
+    Column form: the r16-batch-3 tree intentionally differs — the token
+    array is let-bound once around the whole expression (the old form
+    re-ran the regexp tokenization per language inside each filter), the
+    argmax struct is bound once around the CASE (the old form evaluated
+    it twice — HOF-bearing trees get no subexpression elimination), and
+    the per-token stopword test is a literal IN (InSet).  Values must be
+    identical on every adversarial input, including NULL/empty/unicode/
+    tie-breaking multi-language rows."""
+    docs = _adversarial_docs(spark)
     new_exprs = language_pred_exprs("text")
     old_exprs = _language_pred_exprs_column_form("text")
     assert set(new_exprs) == set(old_exprs)
-    for name in new_exprs:
-        assert docs.select(new_exprs[name].alias("v")).sameSemantics(
-            docs.select(old_exprs[name].alias("v"))
-        ), f"language expr {name} drifted from the Column form"
+    sel = docs.select(
+        "doc_id",
+        *[new_exprs[n].alias(f"n_{n}") for n in new_exprs],
+        *[old_exprs[n].alias(f"o_{n}") for n in new_exprs],
+    ).collect()
+    for r in sel:
+        for n in new_exprs:
+            got, want = r[f"n_{n}"], r[f"o_{n}"]
+            assert (got is None and want is None) or got == want, (
+                f"language expr {n} value drift on doc {r.doc_id}: "
+                f"{got!r} != {want!r}"
+            )
 
 
 def test_chunk_documents_matches_column_form(spark):
@@ -262,14 +277,45 @@ def test_table_buckets_str_form_matches_column_form(spark):
     assert new.sameSemantics(old)
 
 
-def test_quality_exprs_match_column_form(spark):
-    docs = spark.createDataFrame(
-        [(1, "the quick brown fox."), (2, "")], "doc_id long, text string"
+ADVERSARIAL_TEXTS = [
+    "", " ", None, "the", "THE", "the the the", "theory el la", "el",
+    "unde und", "the.\tel\nla die", "  der und  ", "y a la le",
+    "das el the le la die y und", "the\xa0el", "ThE eL", "où le",
+    "İ the", "a" * 4096 + " the el la", "the, and. a; of! el?", "..." ,
+    "l'eau et le vin", "die der das den", "él el", "ß und",
+]
+
+
+def _adversarial_docs(spark):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ADVERSARIAL_TEXTS)],
+        "doc_id long, text string",
     )
+
+
+def test_quality_exprs_match_column_form(spark):
+    """Tree pins for the entries whose r16 one-parse form is
+    node-identical to the Column form; VALUE pin for stopword_ratio,
+    whose r16-batch-3 form intentionally differs (IN-list InSet probe
+    instead of let-bound array + array_contains — HOF lambdas run
+    interpreted, so the per-token membership test is the projection's
+    hot loop)."""
+    docs = _adversarial_docs(spark)
     new_exprs = quality_exprs("text")
     old_exprs = _quality_exprs_column_form("text")
     assert set(new_exprs) == set(old_exprs)
     for name in new_exprs:
+        if name == "stopword_ratio":
+            continue
         assert docs.select(new_exprs[name].alias("v")).sameSemantics(
             docs.select(old_exprs[name].alias("v"))
         ), f"quality expr {name} drifted from the Column form"
+    got = docs.select(
+        "doc_id",
+        new_exprs["stopword_ratio"].alias("n"),
+        old_exprs["stopword_ratio"].alias("o"),
+    ).collect()
+    for r in got:
+        assert (r.n is None and r.o is None) or r.n == r.o, (
+            f"stopword_ratio value drift on doc {r.doc_id}: {r.n} != {r.o}"
+        )
