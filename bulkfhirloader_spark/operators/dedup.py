@@ -192,6 +192,20 @@ _ADMIT_MEMO_MAX = 4
 # IN through ONE parsed SQL string (F.expr), never isin: 0.02 s vs 14.8 s
 # for the same values.
 _BAND_PROBE_PUSHDOWN_MAX = 4096
+# Max distinct candidate DOC IDS pushed as a literal IN filter onto the
+# pairwise-verify tier's corpus scan (ngram_jaccard_pairs' candidates
+# fast path).  Same regime analysis as the band-hash cap above: the
+# candidate set is contractually small when broadcast_candidates is on
+# (that is the point of LSH proposal), so the id list is a bounded
+# driver read of longs/strings, and a literal IN — built through ONE
+# parsed SQL string, never isin — reaches the parquet reader as
+# PushedFilters: In(doc_id, …), turning the verify tier's corpus TEXT
+# scan into a footer/row-group-pruned candidate read at scale (guide
+# §6.3: the semi join it replaces bounded the shingling COMPUTE but
+# still read every row's text bytes before filtering).  Above the cap —
+# or for id types with no safe literal rendering — the broadcast semi
+# join remains, identical output by construction.
+_VERIFY_ID_PUSHDOWN_MAX = 4096
 # One lock guards both memos: a concurrent harness may invoke registry
 # queries from multiple threads, and an OrderedDict mutated mid-iteration
 # (eviction scan vs insert) raises RuntimeError — a failure mode that
@@ -589,6 +603,29 @@ def minhash_near_dup_pairs(
     )
 
 
+def _literal_id_in_predicate(docs: DataFrame, id_col: str, ids: list):
+    """``id_col IN (<literals>)`` via ONE ``F.expr`` parse, or None when
+    the id type has no safe literal rendering (only integral and string
+    ids are rendered; anything else falls back to the semi join).  An
+    empty id list yields a constant-false predicate (no candidates ⇒ no
+    pairs).  Sorted literals so the built plan is deterministic for a
+    given id set (plan caching / sameSemantics-friendly)."""
+    dtype = docs.schema[id_col].dataType.simpleString()
+    name = f"`{id_col}`"
+    if not ids:
+        return F.lit(False)
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        body = ",".join(str(int(v)) for v in sorted(ids))
+    elif dtype == "string":
+        body = ",".join(
+            "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in sorted(ids)
+        )
+    else:
+        return None
+    return F.expr(f"{name} IN ({body})")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -687,22 +724,52 @@ def ngram_jaccard_pairs(
                 F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
             ).distinct()
         )
-        # explicit broadcast BY DEFAULT: the candidate id set is small by
-        # the same contract that justifies checkpointing it, and without
-        # the hint Catalyst plans a sort-merge semi join (2 Exchanges +
-        # 2 Sorts on the DOCUMENT side — the side we are trying not to
-        # move).  The hint is a hard commitment, though: a candidate set
-        # naming O(corpus) ids (high-duplication corpus, permissive
-        # banding) would blow Spark's broadcast-table limit where a
-        # shuffle semi join completes — callers in that regime pass
-        # ``broadcast_candidates=False`` and let AQE re-promote the join
-        # to broadcast if the measured size allows.
+        # LITERAL-IN SCAN PUSHDOWN (r16, guide §6.3): in the
+        # broadcast_candidates regime the candidate id set is small BY
+        # CONTRACT, so read it to the driver (bounded probe: limit
+        # cap+1 over the checkpointed candidate set — the same
+        # materialization the first downstream use pays anyway) and
+        # filter the corpus scan with one parsed literal IN instead of a
+        # broadcast semi join.  The semi join bounded the shingling
+        # COMPUTE to candidate docs but the scan still read every row's
+        # text bytes before the join filtered them; the IN predicate
+        # reaches the parquet reader (PushedFilters: In(doc_id, …),
+        # plan-asserted in tests), so at scale the verify tier reads
+        # candidate row groups, not the corpus.  Identical output: an IN
+        # over the distinct candidate ids keeps exactly the rows the
+        # semi join kept (NULL ids match neither).  Above the cap, or
+        # for exotic id types, the explicit-broadcast semi join below
+        # remains — a hard commitment Catalyst would not make on its
+        # own: without the hint it plans a sort-merge semi join (2
+        # Exchanges + 2 Sorts on the DOCUMENT side — the side we are
+        # trying not to move).  A candidate set naming O(corpus) ids
+        # (high-duplication corpus, permissive banding) would blow the
+        # broadcast-table limit where a shuffle semi join completes —
+        # callers in that regime pass ``broadcast_candidates=False`` and
+        # let AQE re-promote the join if the measured size allows.
+        pred = None
         if broadcast_candidates:
-            wanted = F.broadcast(wanted)
-        sh = docs.join(wanted, id_col, "left_semi").select(
-            F.col(id_col),
-            word_shingles(F.col(text_col), shingle_words).alias("_sh"),
-        )
+            probe = (
+                wanted.where(F.col(id_col).isNotNull())
+                .limit(_VERIFY_ID_PUSHDOWN_MAX + 1)
+                .collect()
+            )
+            if len(probe) <= _VERIFY_ID_PUSHDOWN_MAX:
+                pred = _literal_id_in_predicate(
+                    docs, id_col, [r[0] for r in probe]
+                )
+        if pred is not None:
+            sh = docs.where(pred).select(
+                F.col(id_col),
+                word_shingles(F.col(text_col), shingle_words).alias("_sh"),
+            )
+        else:
+            if broadcast_candidates:
+                wanted = F.broadcast(wanted)
+            sh = docs.join(wanted, id_col, "left_semi").select(
+                F.col(id_col),
+                word_shingles(F.col(text_col), shingle_words).alias("_sh"),
+            )
         if broadcast_candidates:
             # The (id, shingles) attach table is referenced TWICE below
             # (id_a side and id_b side) and each reference re-expands the

@@ -211,8 +211,21 @@ def bloom_semi_join(
         return [F.pmod(h1 + F.lit(i).cast("long") * h2, m) for i in range(n_hashes)]
 
     keys = build.select(F.col(build_on or on).alias("_k")).dropDuplicates(["_k"])
-    pos = keys.select(
-        F.explode(F.array(*positions(F.col("_k")))).alias("_p")
+    # The bloom is built from the RAW key column, not the deduplicated
+    # `keys`: bit_or is idempotent, so duplicate keys set the same bits and
+    # the filter is bit-identical either way — but routing the build
+    # through dropDuplicates first paid a full Exchange + two
+    # HashAggregates over every build key just to feed an aggregation that
+    # absorbs duplicates for free (guide §2.4: a distinct on data the
+    # consumer doesn't need deduplicated).  The explode emits n_hashes
+    # rows per RAW key, but the per-word bit_or partially aggregates
+    # map-side, so the one shuffle that remains carries at most
+    # n_bits/64 rows per task regardless of build-side size or
+    # duplication.  `keys` stays deduplicated for the exact-verify semi
+    # join below, where its hash partitioning is reused by the join at
+    # scale.
+    pos = build.select(
+        F.explode(F.array(*positions(F.col(build_on or on)))).alias("_p")
     )
     # F.shiftleft only takes a literal shift amount — use the SQL form,
     # which accepts column operands

@@ -2078,6 +2078,105 @@ def test_pairwise_verify_shingles_computed_once(spark, tmp_path):
     dedup.release_candidate_checkpoints()
 
 
+def test_pairwise_verify_candidate_id_scan_pushdown(spark, tmp_path):
+    """r16 (guide §6.3): in the broadcast_candidates regime the verify
+    tier filters the corpus scan with a literal IN over the candidate doc
+    ids — the predicate reaches the parquet reader (PushedFilters:
+    In(doc_id, …)) and the broadcast semi join it replaces is gone — so
+    at scale the verify reads candidate row groups, not every row's text
+    bytes.  Above the pushdown cap (monkeypatched to 1 here) the semi
+    join fallback is preserved; string ids render as quoted literals;
+    values are identical across all regimes.  The checkpoint is disabled
+    inside the white-box plan assertions (it hides the scan behind
+    LogicalRDD blocks); the parity runs use the real path."""
+    import bulkfhirloader_spark.operators.dedup as dedup
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} w{i+1} w{i+2} w{i+3}")
+         for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 7)], "id_a long, id_b long"
+    )
+    expect = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, candidates=cand, threshold=0.05, broadcast_candidates=False
+        ).collect()
+    )
+    assert expect, "fixture must produce pairs"
+
+    real_ckpt = dedup._ledger_lazy_checkpoint
+    dedup._ledger_lazy_checkpoint = lambda df: df
+    try:
+        j = dedup.ngram_jaccard_pairs(docs, candidates=cand, threshold=0.05)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "In(doc_id" in plan, plan
+        assert "LeftSemi" not in plan, plan
+        got = sorted(
+            (r["id_a"], r["id_b"], r["n_inter"], round(r["jaccard"], 9))
+            for r in j.collect()
+        )
+        assert got == expect
+
+        # above the cap: the explicit-broadcast semi join fallback
+        old_max = dedup._VERIFY_ID_PUSHDOWN_MAX
+        dedup._VERIFY_ID_PUSHDOWN_MAX = 1
+        try:
+            j_fb = dedup.ngram_jaccard_pairs(
+                docs, candidates=cand, threshold=0.05
+            )
+            plan_fb = j_fb._jdf.queryExecution().executedPlan().toString()
+            assert "LeftSemi" in plan_fb, plan_fb
+            got_fb = sorted(
+                (r["id_a"], r["id_b"], r["n_inter"], round(r["jaccard"], 9))
+                for r in j_fb.collect()
+            )
+            assert got_fb == expect
+        finally:
+            dedup._VERIFY_ID_PUSHDOWN_MAX = old_max
+    finally:
+        dedup._ledger_lazy_checkpoint = real_ckpt
+
+    # real path (checkpoint on): same values through the pushdown tier
+    j_real = dedup.ngram_jaccard_pairs(docs, candidates=cand, threshold=0.05)
+    got_real = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], round(r["jaccard"], 9))
+        for r in j_real.collect()
+    )
+    assert got_real == expect
+
+    # string ids: quoted literal rendering, identical pairs
+    ps = str(tmp_path / "docs_str.parquet")
+    spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma delta w{i} w{i+1} w{i+2} w{i+3}")
+         for i in range(12)],
+        "doc_id string, text string",
+    ).write.parquet(ps)
+    docs_s = spark.read.parquet(ps)
+    cand_s = spark.createDataFrame(
+        [("d0", "d1"), ("d2", "d3")], "id_a string, id_b string"
+    )
+    got_s = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs_s, candidates=cand_s, threshold=0.05
+        ).collect()
+    )
+    want_s = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs_s, candidates=cand_s, threshold=0.05,
+            broadcast_candidates=False,
+        ).collect()
+    )
+    assert got_s == want_s and got_s
+    dedup.release_candidate_checkpoints()
+
+
 def test_candidate_checkpoint_ledger_and_cc_release(spark):
     """r15 (r14 advice): (1) the candidate-set lazy checkpoints in
     ngram_jaccard_pairs / ngram_containment_pairs / winnow_verified are
