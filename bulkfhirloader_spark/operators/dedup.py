@@ -497,6 +497,7 @@ def _cap_band_buckets(
     banded: DataFrame,
     max_bucket_size: int,
     keys: tuple = ("band_idx", "band_hash"),
+    share: bool = False,
 ) -> DataFrame:
     """The shared max_bucket_size contract for LSH bucket joins: EXCLUDE
     rows whose bucket (``keys`` group) exceeds the cap.
@@ -510,16 +511,35 @@ def _cap_band_buckets(
     (tbl, bucket) Exchange is NOT the join's left-side partitioning: that
     tier pays one extra Exchange over narrow (id, tbl, bucket) rows, and
     the two join sides share the windowed subplan via ReuseExchange
-    (documented at the call site).  One definition for all three callers
-    so the cap's semantics cannot silently diverge."""
+    (documented at the call site).  One definition for all the callers
+    so the cap's semantics cannot silently diverge.
+
+    ``share=True`` (r16, guide §2.4): the capped table is usually the
+    SELF-JOIN input, referenced once per join side — and when Catalyst
+    broadcasts one side (the common case: the band table's stats come
+    from the small signature cache), that side's build is a separate
+    subtree, so ReuseExchange canNOT dedupe it and the whole
+    explode → Exchange → Sort → Window chain executes once per side
+    (plan-verified: dedup_minhash_capped carried TWO Window chains).
+    With share=True the capped output is cut with a ledgered lazy
+    localCheckpoint — ONE execution, every reference reads blocks
+    (measured −50% warm at sf0.1, identical pairs; at scale it halves
+    the band table's shuffle+sort work).  Batch callers opt in; the
+    streaming static side keeps the inline shape (its plan is asserted
+    zero-static-Exchange and a checkpoint would change it).  The blocks
+    are corpus×bands NARROW rows (the same bytes the duplicated shuffle
+    wrote twice before) and drain with release_candidate_checkpoints."""
     if max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
     w = Window.partitionBy(*keys)
-    return (
+    capped = (
         banded.withColumn("_bn", F.count(F.lit(1)).over(w))
         .filter(F.col("_bn") <= max_bucket_size)
         .drop("_bn")
     )
+    if share:
+        capped = _ledger_lazy_checkpoint(capped)
+    return capped
 
 
 def minhash_near_dup_pairs(
@@ -577,7 +597,12 @@ def minhash_near_dup_pairs(
         ),
     )
     if max_bucket_size is not None:
-        banded = _cap_band_buckets(banded, max_bucket_size)
+        # share=True: the capped table feeds BOTH self-join sides; without
+        # the cut each side re-ran the Exchange+Sort+Window chain (see
+        # _cap_band_buckets).  The uncapped path below stays inline — its
+        # per-side recompute is a cheap explode over the signature cache
+        # and the join exchanges it anyway.
+        banded = _cap_band_buckets(banded, max_bucket_size, share=True)
 
     left = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -2039,30 +2064,37 @@ def incremental_near_dup_filter(
                 "band_idx", "band_hash"
             ),
         )
-    if max_bucket_size is not None:
-        # same skew cap as minhash_near_dup_pairs: a boilerplate cluster
-        # spanning existing corpus + batch would otherwise propose its
-        # full bucket-local clique against the new side.  Capped docs are
-        # NOT proposed, so pathological boilerplate must be handled
-        # upstream by exact_dedup (identical bodies) — the cap trades
-        # recall on mega-template clusters for a bounded join, the same
-        # contract as the one-shot operator (_cap_band_buckets).
-        banded = _cap_band_buckets(banded, max_bucket_size)
     new_ids = new_batch.select(F.col(id_col)).distinct()
-    banded_new = banded.join(new_ids, id_col, "left_semi")
-    # (old u new) x new collisions; normalize so pairs are undirected
-    a = banded.select(F.col(id_col).alias("_ia"), "band_idx", "band_hash")
-    b = banded_new.select(F.col(id_col).alias("_ib"), "band_idx", "band_hash")
-    cand = (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("_ia") != F.col("_ib"))
-        .select(
-            F.least("_ia", "_ib").alias("id_a"),
-            F.greatest("_ia", "_ib").alias("id_b"),
-        )
-        .distinct()
-    )
     with _ledger_capture_frame() as own_entries:
+        if max_bucket_size is not None:
+            # same skew cap as minhash_near_dup_pairs: a boilerplate
+            # cluster spanning existing corpus + batch would otherwise
+            # propose its full bucket-local clique against the new side.
+            # Capped docs are NOT proposed, so pathological boilerplate
+            # must be handled upstream by exact_dedup (identical bodies)
+            # — the cap trades recall on mega-template clusters for a
+            # bounded join, the same contract as the one-shot operator.
+            # share=True (r16): the capped table feeds banded_new + both
+            # join sides below — three references that each re-ran the
+            # Exchange+Sort+Window chain; the ledgered cut computes it
+            # once, and the capture frame releases it right after the
+            # eager `verified` checkpoint (nothing downstream re-reads
+            # it), so trickle-admission sessions don't accumulate one
+            # corpus-band-sized checkpoint per batch.
+            banded = _cap_band_buckets(banded, max_bucket_size, share=True)
+        banded_new = banded.join(new_ids, id_col, "left_semi")
+        # (old u new) x new collisions; normalize so pairs are undirected
+        a = banded.select(F.col(id_col).alias("_ia"), "band_idx", "band_hash")
+        b = banded_new.select(F.col(id_col).alias("_ib"), "band_idx", "band_hash")
+        cand = (
+            a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("_ia") != F.col("_ib"))
+            .select(
+                F.least("_ia", "_ib").alias("id_a"),
+                F.greatest("_ia", "_ib").alias("id_b"),
+            )
+            .distinct()
+        )
         verified = ngram_jaccard_pairs(
             union_docs, id_col, text_col, shingle_words, threshold,
             candidates=cand,
@@ -2071,14 +2103,15 @@ def incremental_near_dup_filter(
     # (eager: both tiers below need it materialized — the count that picks
     # the tier reads the checkpointed blocks for free).
     verified = verified.localCheckpoint(eager=True)
-    # the eager cut above supersedes the candidate checkpoint
-    # ngram_jaccard_pairs just ledgered for THIS call: nothing downstream
-    # (here or in the caller — only `verified` escapes) can re-read it,
-    # so release it now instead of pinning one dead candidate set per
-    # admission batch in a long-lived session (r15 review).  The capture
-    # frame holds exactly the entries THIS thread's nested call ledgered
-    # (r16, advisor finding) — entries ledgered concurrently by other
-    # threads are untouched, unlike the old len()-snapshot pop.
+    # the eager cut above supersedes every checkpoint THIS call ledgered —
+    # the capped band table (when share=True above) and the candidate set
+    # ngram_jaccard_pairs ledgered: nothing downstream (here or in the
+    # caller — only `verified` escapes) can re-read them, so release now
+    # instead of pinning dead sets per admission batch in a long-lived
+    # session (r15 review).  The capture frame holds exactly the entries
+    # THIS thread ledgered inside the block (r16, advisor finding) —
+    # entries ledgered concurrently by other threads are untouched,
+    # unlike the old len()-snapshot pop.
     _release_captured_checkpoints(own_entries)
 
     tagged = (

@@ -803,8 +803,12 @@ def image_near_dup_pairs(
     if max_bucket_size is not None:
         from bulkfhirloader_spark.operators.dedup import _cap_band_buckets
 
+        # share=True (r16): the capped table feeds both self-join sides;
+        # without the cut each side re-ran the Exchange+Sort+Window chain
+        # (see _cap_band_buckets — one side's broadcast build defeats
+        # ReuseExchange).  Released via release_candidate_checkpoints.
         banded = _cap_band_buckets(
-            banded, max_bucket_size, keys=("band_idx", "band_val")
+            banded, max_bucket_size, keys=("band_idx", "band_val"), share=True
         )
     a = banded.select(
         F.col("media_id").alias("id_a"),
@@ -1226,7 +1230,10 @@ def video_near_dup_pairs(
     if max_bucket_size is not None:
         from bulkfhirloader_spark.operators.dedup import _cap_band_buckets
 
-        banded = _cap_band_buckets(banded, max_bucket_size, keys=tuple(join_keys))
+        # share=True: same double-execution cut as the image tier above
+        banded = _cap_band_buckets(
+            banded, max_bucket_size, keys=tuple(join_keys), share=True
+        )
 
     def side(sfx: str) -> DataFrame:
         cols = [
