@@ -1489,7 +1489,16 @@ def simhash_near_dup_pairs(
     where signatures live in a stored table appended per batch — and is
     what the geometry tests drive directly."""
     if sigs is None:
-        sigs = simhash_signatures(docs, id_col, text_col)
+        # The signature projection (tokenize + per-token hash + 64-bit
+        # fold, all interpreted HOFs) feeds BOTH self-join sides below;
+        # without a cut each side re-ran it over the whole corpus (r16,
+        # guide §2.4 — same double-execution as the capped band table:
+        # one side's broadcast build defeats ReuseExchange).  A ledgered
+        # lazy checkpoint computes it once — (id, int64) rows, narrow at
+        # any corpus size; drains via release_candidate_checkpoints.
+        # Caller-injected sigs (the stored-table flow) stay untouched: a
+        # columnar scan read twice needs no materialization.
+        sigs = _ledger_lazy_checkpoint(simhash_signatures(docs, id_col, text_col))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sigs.select(
