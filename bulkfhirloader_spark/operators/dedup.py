@@ -20,6 +20,7 @@ from collections import OrderedDict
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from bulkfhirloader_spark.fsutil import (
     fs_dir_fingerprint,
@@ -89,8 +90,38 @@ def _ledger_append(df: DataFrame) -> None:
 def _ledger_lazy_checkpoint(df: DataFrame) -> DataFrame:
     """Lazily checkpoint an internal candidate set and RECORD it in the
     module ledger so release_candidate_checkpoints can free the blocks
-    once the session is done with the results that reference them."""
+    once the session is done with the results that reference them.
+
+    Reserved for the genuine lineage-CUT cases (candidate proposal
+    subplans referenced three times, whose re-expansion blows the printed
+    plan to ~90 Exchanges and planning time with it — guide §3.3).  For
+    plain compute-once/read-twice sharing use _ledger_shared_persist:
+    a localCheckpoint's blocks are UNRECOVERABLE after an executor loss
+    (the lineage is truncated), which on a real cluster fails the query
+    — acceptable only where the checkpoint buys something persist
+    cannot."""
     out = df.localCheckpoint(eager=False)
+    _ledger_append(out)
+    return out
+
+
+def _ledger_shared_persist(df: DataFrame) -> DataFrame:
+    """Materialize-once cut for SHARED SELF-JOIN inputs (r17, verdict #3):
+    the capped band table, the simhash signature projection and the
+    verify tier's shingle-attach table each feed BOTH self-join sides,
+    and when Catalyst broadcasts one side that side's build is a separate
+    subtree ReuseExchange cannot dedupe — so without a cut the producing
+    chain executes once per side.  persist(MEMORY_AND_DISK) gives the
+    same compute-once plan (every reference reads one InMemoryRelation)
+    WITHOUT truncating lineage: on a real cluster an executor loss after
+    a localCheckpoint makes the blocks unrecoverable and FAILS the query,
+    while a lost persisted block is recomputed from the parquet lineage.
+    Two further wins over the checkpoint it replaces: plan captures show
+    the real materialization subtree (a LogicalRDD hides it), and
+    draining merely unpersists — a still-held result recomputes instead
+    of failing, so the ledger drain is safe at any time for these
+    entries.  Ledgered for the same explicit drain point."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
     _ledger_append(out)
     return out
 
@@ -113,13 +144,27 @@ class _ledger_capture_frame:
         _ledger_capture.frames.remove(self._frame)
 
 
-def _release_captured_checkpoints(frame: list) -> None:
-    """Release the checkpoints in a capture frame and drop them from the
-    module ledger (identity match, under the lock)."""
+def _release_ledger_entry(df: DataFrame) -> None:
+    """Free one ledgered materialization, whichever kind it is: unpersist
+    covers the _ledger_shared_persist entries (cache-manager blocks; the
+    DataFrame stays recomputable), _release_local_checkpoint covers the
+    _ledger_lazy_checkpoint entries (internal-RDD blocks; the DataFrame
+    becomes unrecomputable).  Each call is a no-op for the other kind, so
+    one release path serves both."""
     from bulkfhirloader_spark.operators.similarity import (
         _release_local_checkpoint,
     )
 
+    try:
+        df.unpersist()
+    except Exception:  # pragma: no cover - context raced to shutdown
+        pass
+    _release_local_checkpoint(df)
+
+
+def _release_captured_checkpoints(frame: list) -> None:
+    """Release the checkpoints in a capture frame and drop them from the
+    module ledger (identity match, under the lock)."""
     with _ledger_lock:
         for df in frame:
             for i, live in enumerate(_live_candidate_checkpoints):
@@ -128,29 +173,38 @@ def _release_captured_checkpoints(frame: list) -> None:
                     break
             else:
                 continue  # already drained by release_candidate_checkpoints
-            _release_local_checkpoint(df)
+            _release_ledger_entry(df)
     frame.clear()
 
 
 def release_candidate_checkpoints() -> int:
-    """Free every recorded candidate-set checkpoint (r15, r14 advice):
-    without this, repeated ngram_jaccard_pairs / ngram_containment_pairs /
-    winnow_verified calls in a long-lived session accumulate
-    checkpointed candidate blocks on executors until ContextCleaner
-    happens to GC them.  Call ONLY when every DataFrame previously
-    returned by those operators is no longer needed — their plans read
-    from these blocks, and a released local checkpoint cannot be
-    recomputed (re-collecting an old result afterwards fails; run the
-    operator again instead).  Returns the number of checkpoints
-    released."""
-    from bulkfhirloader_spark.operators.similarity import (
-        _release_local_checkpoint,
-    )
+    """Free every recorded internal materialization (r15, r14 advice):
+    without this, repeated dedup/text/multimodal near-dup calls in a
+    long-lived session accumulate executor blocks until ContextCleaner
+    happens to GC them.  Operators that ledger here (r16 advisor ask —
+    the complete list):
 
+    - ``ngram_jaccard_pairs`` / ``ngram_containment_pairs`` /
+      ``text.winnow_verified``: the candidate proposal set, as a lazy
+      localCheckpoint (lineage cut) — releasing makes a still-held
+      result UNRECOMPUTABLE (re-collecting it afterwards fails; run the
+      operator again instead).
+    - ``ngram_jaccard_pairs`` (broadcast_candidates regime): the
+      (id, shingles) attach table; ``minhash_near_dup_pairs`` /
+      ``incremental_near_dup_filter`` / ``mm image/video near-dup``
+      (capped regimes): the shared capped band table;
+      ``simhash_near_dup_pairs``: the signature projection — all as
+      persist(MEMORY_AND_DISK) since r17, so releasing merely drops the
+      cache and still-held results RECOMPUTE on next use.
+
+    Call when the session is done with the returned DataFrames (or, for
+    the persisted entries, whenever memory pressure warrants — they
+    survive the drain logically).  Returns the number of entries
+    released."""
     n = 0
     with _ledger_lock:
         while _live_candidate_checkpoints:
-            _release_local_checkpoint(_live_candidate_checkpoints.pop())
+            _release_ledger_entry(_live_candidate_checkpoints.pop())
             n += 1
     return n
 
@@ -521,14 +575,18 @@ def _cap_band_buckets(
     subtree, so ReuseExchange canNOT dedupe it and the whole
     explode → Exchange → Sort → Window chain executes once per side
     (plan-verified: dedup_minhash_capped carried TWO Window chains).
-    With share=True the capped output is cut with a ledgered lazy
-    localCheckpoint — ONE execution, every reference reads blocks
-    (measured −50% warm at sf0.1, identical pairs; at scale it halves
-    the band table's shuffle+sort work).  Batch callers opt in; the
-    streaming static side keeps the inline shape (its plan is asserted
-    zero-static-Exchange and a checkpoint would change it).  The blocks
-    are corpus×bands NARROW rows (the same bytes the duplicated shuffle
-    wrote twice before) and drain with release_candidate_checkpoints."""
+    With share=True the capped output is cut with a ledgered
+    persist(MEMORY_AND_DISK) — ONE execution, every reference reads the
+    InMemoryRelation (measured −50% warm at sf0.1, identical pairs; at
+    scale it halves the band table's shuffle+sort work).  r17 (verdict
+    #3): persist replaced the r16 lazy localCheckpoint here — same
+    single-execution plan, but a lost executor RECOMPUTES the blocks
+    from lineage instead of failing the query.  Batch callers opt in;
+    the streaming static side keeps the inline shape (its plan is
+    asserted zero-static-Exchange and a cut would change it).  The
+    blocks are corpus×bands NARROW rows (the same bytes the duplicated
+    shuffle wrote twice before) and drain with
+    release_candidate_checkpoints."""
     if max_bucket_size < 2:
         raise ValueError("max_bucket_size must be >= 2 (a pair needs 2)")
     w = Window.partitionBy(*keys)
@@ -538,7 +596,7 @@ def _cap_band_buckets(
         .drop("_bn")
     )
     if share:
-        capped = _ledger_lazy_checkpoint(capped)
+        capped = _ledger_shared_persist(capped)
     return capped
 
 
@@ -630,21 +688,47 @@ def minhash_near_dup_pairs(
 
 def _literal_id_in_predicate(docs: DataFrame, id_col: str, ids: list):
     """``id_col IN (<literals>)`` via ONE ``F.expr`` parse, or None when
-    the id type has no safe literal rendering (only integral and string
-    ids are rendered; anything else falls back to the semi join).  An
-    empty id list yields a constant-false predicate (no candidates ⇒ no
-    pairs).  Sorted literals so the built plan is deterministic for a
-    given id set (plan caching / sameSemantics-friendly)."""
+    the id values have no safe literal rendering — the caller falls back
+    to the semi join in that case.  Only integral and string ids are
+    rendered; an id value that does not render (a non-int-parseable value
+    in an integral column, r16 advisor) returns None instead of raising,
+    mirroring the exotic-type fallback.  String escaping is config-aware
+    (r16 advisor): the default parser unescapes ``\\`` and ``\\'``, but
+    under ``spark.sql.parser.escapedStringLiterals=true`` (legacy/Hive
+    literals) backslash sequences stay VERBATIM — rendering an escaped
+    literal there would silently match the wrong string and drop verified
+    pairs — so ids containing a quote or backslash push down only under
+    the default parser; ids without either char render identically under
+    both configs and always push down.  An empty id list yields a
+    constant-false predicate (no candidates ⇒ no pairs).  Sorted literals
+    so the built plan is deterministic for a given id set (plan caching /
+    sameSemantics-friendly)."""
     dtype = docs.schema[id_col].dataType.simpleString()
     name = f"`{id_col}`"
     if not ids:
         return F.lit(False)
     if dtype in ("bigint", "int", "smallint", "tinyint"):
-        body = ",".join(str(int(v)) for v in sorted(ids))
+        try:
+            body = ",".join(str(int(v)) for v in sorted(ids))
+        except (ValueError, TypeError):
+            return None  # candidate ids not int-renderable: semi join
     elif dtype == "string":
+        vals = [str(v) for v in sorted(ids)]
+        if any("'" in v or "\\" in v for v in vals):
+            try:
+                legacy = (
+                    docs.sparkSession.conf.get(
+                        "spark.sql.parser.escapedStringLiterals", "false"
+                    )
+                    or "false"
+                ).lower() == "true"
+            except Exception:
+                legacy = True  # unknown parser mode: assume unsafe
+            if legacy:
+                return None  # no escape syntax is safe here: semi join
         body = ",".join(
-            "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
-            for v in sorted(ids)
+            "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in vals
         )
     else:
         return None
@@ -673,7 +757,13 @@ def ngram_jaccard_pairs(
       minhash_near_dup_pairs): shingles are exploded ONLY for docs that
       appear in some candidate pair, and output pairs are restricted to the
       candidate set.  This is the production tier: LSH proposes, exact
-      Jaccard verifies (registry: dedup_minhash_verified).
+      Jaccard verifies (registry: dedup_minhash_verified).  NOTE (r16
+      advisor): with the default ``broadcast_candidates=True`` this mode
+      is EAGER at construction time — it runs the candidate plan and a
+      bounded driver ``collect()`` (≤ _VERIFY_ID_PUSHDOWN_MAX+1 ids) to
+      decide the scan-pushdown tier, so plan-audit callers that never
+      execute the result still pay the proposal job; pass
+      ``broadcast_candidates=False`` to stay fully lazy.
     - ``max_shingle_df`` — drop shingles occurring in more than N docs
       before the self-join, bounding per-shingle fan-out to N².  Jaccard is
       then computed over the DF-filtered shingle space on BOTH the
@@ -811,7 +901,9 @@ def ngram_jaccard_pairs(
             # (broadcast_candidates=False: candidate set ~O(corpus)) the
             # shingle table is NOT contractually small, so we keep the
             # recompute-over-materialize trade exactly as before.
-            sh = _ledger_lazy_checkpoint(sh)
+            # r17 (verdict #3): ledgered persist, not localCheckpoint —
+            # same one-scan plan, recomputable after executor loss.
+            sh = _ledger_shared_persist(sh)
         pairs = (
             candidates.select("id_a", "id_b")
             .distinct()
@@ -1494,11 +1586,12 @@ def simhash_near_dup_pairs(
         # without a cut each side re-ran it over the whole corpus (r16,
         # guide §2.4 — same double-execution as the capped band table:
         # one side's broadcast build defeats ReuseExchange).  A ledgered
-        # lazy checkpoint computes it once — (id, int64) rows, narrow at
-        # any corpus size; drains via release_candidate_checkpoints.
+        # persist computes it once — (id, int64) rows, narrow at any
+        # corpus size, executor-loss-safe (r17: was a localCheckpoint);
+        # drains via release_candidate_checkpoints.
         # Caller-injected sigs (the stored-table flow) stay untouched: a
         # columnar scan read twice needs no materialization.
-        sigs = _ledger_lazy_checkpoint(simhash_signatures(docs, id_col, text_col))
+        sigs = _ledger_shared_persist(simhash_signatures(docs, id_col, text_col))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sigs.select(
@@ -2240,7 +2333,10 @@ def ngram_containment_pairs(
     quadratic in per-shingle document frequency): pass ``candidates``
     (note: MinHash-Jaccard banding is the WRONG proposer here — a
     contained snippet's Jaccard is tiny, so its bands never collide; use a
-    rare-shingle candidate source), ``max_shingle_df`` (the natural
+    rare-shingle candidate source; r17: this mode is EAGER at
+    construction — a bounded driver probe of the candidate ids decides
+    the literal-IN scan-pushdown tier, like ngram_jaccard_pairs'
+    broadcast regime), ``max_shingle_df`` (the natural
     containment proposer: only shingles appearing in ≤ N docs join, so
     boilerplate shingles never fan out and containment is scored over the
     rare-shingle space — slightly lenient on docs contained only via
@@ -2269,7 +2365,30 @@ def ngram_containment_pairs(
             .union(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        docs = docs.join(wanted, id_col, "left_semi")
+        # LITERAL-IN SCAN PUSHDOWN (r17, verdict #8 — inherited from
+        # ngram_jaccard_pairs, same regime analysis): the candidate id
+        # set is small by contract, so a bounded driver probe turns the
+        # corpus restriction into one parsed literal IN that reaches the
+        # parquet reader (PushedFilters: In(doc_id, …)) — at scale the
+        # containment scorer reads candidate row groups instead of every
+        # row's text bytes.  Identical rows kept: IN over the distinct
+        # non-null candidate ids ≡ the left-semi join (NULLs match
+        # neither).  Above the cap, or when the ids have no safe literal
+        # rendering, the semi join below remains.  This makes the
+        # candidates mode eager at construction time (bounded collect),
+        # exactly like ngram_jaccard_pairs' broadcast regime.
+        pred = None
+        probe = (
+            wanted.where(F.col(id_col).isNotNull())
+            .limit(_VERIFY_ID_PUSHDOWN_MAX + 1)
+            .collect()
+        )
+        if len(probe) <= _VERIFY_ID_PUSHDOWN_MAX:
+            pred = _literal_id_in_predicate(docs, id_col, [r[0] for r in probe])
+        if pred is not None:
+            docs = docs.where(pred)
+        else:
+            docs = docs.join(wanted, id_col, "left_semi")
     expl = docs.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("shingle"),

@@ -174,6 +174,47 @@ def language_pred_exprs(text_col: str = "text") -> dict:
     }
 
 
+def fused_token_feature_expr(text_col: str = "text") -> Column:
+    """ONE-tokenization fusion of ``quality_exprs``' n_tokens and
+    ``language_pred_exprs``' lang_pred (r17, verdict #4 — the recipe
+    validated in r16): both features need the token array, and projecting
+    them as separate expressions evaluates ``regexp_extract_all`` TWICE
+    per row — the costliest sub-expression of the flagship curation
+    pass (HOF bodies run interpreted: no codegen, no common-subexpression
+    elimination can merge them).  This builder binds the raw token array
+    ONCE (the ``element_at(transform(array(x), v -> body), 1)`` SQL let,
+    functions/binding.py) and emits ``struct<n_tokens int, lang_pred
+    string>``; the lowered copy is let-bound once again inside for the
+    per-language stopword filters.
+
+    The caller must keep the TWO-projection shape (struct producer in one
+    ``select``, field extraction in the next): CollapseProject does not
+    re-inline a non-cheap producer referenced twice, and the
+    element_at/transform let defeats SimplifyExtractValueOps — so the
+    executed plan carries ONE ``regexp_extract_all`` (plan-pinned in
+    tests/test_curation.py).  Values are pinned identical to the separate
+    quality_exprs/language_pred_exprs entries on adversarial inputs in
+    tests/test_expr_parity.py."""
+    toks_raw = tokens_sql(f"`{text_col}`")
+    scores = []
+    for lang, words in STOPWORDS.items():
+        in_list = ", ".join(_sql_str_literal(w) for w in words)
+        hits = f"size(filter(ltoks, t -> t IN ({in_list})))"
+        scores.append(
+            f"struct({hits} AS hits, {_sql_str_literal(lang)} AS lang)"
+        )
+    best = "array_max(array(" + ", ".join(scores) + "))"
+    lang_pred = (
+        f"element_at(transform(array(transform(toks, t -> lower(t))), ltoks -> "
+        f"element_at(transform(array({best}), "
+        f"b -> CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END), 1)), 1)"
+    )
+    return F.expr(
+        f"element_at(transform(array({toks_raw}), toks -> "
+        f"struct(size(toks) AS n_tokens, {lang_pred} AS lang_pred)), 1)"
+    )
+
+
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """N-gram/stopword language-ID heuristic: score each language by
     stopword hits in the token stream; argmax wins, 'und' when no hits.

@@ -703,3 +703,40 @@ def test_mixture_plan_rejects_negative_weight(spark):
     )
     with pytest.raises(ValueError, match="'s1'"):
         curation.mixture_plan(docs, {"s1": -1.0, "s2": 3.0}, token_budget=100)
+
+
+def test_fused_token_features_one_regex_pass(spark):
+    """r17 (verdict #4): select_for_training's n_tokens and lang_pred are
+    computed from ONE token array — the executed plan carries exactly one
+    regexp_extract_all (the r16 shape paid the tokenization twice: once
+    for quality_exprs' n_tokens, once inside language_pred_exprs), and
+    the fused struct's values are identical to the separate builders on
+    adversarial inputs (NULL/empty/whitespace/multi-language/punct)."""
+    from bulkfhirloader_spark.operators import curation, text as T
+    from pyspark.sql import functions as F
+
+    adv = spark.createDataFrame(
+        [(None,), ("",), ("   ",), ("the the the",), ("el la de y",),
+         ("der und zu",), ("le et les",), ("x",), ("THE A OF AND TO IN IS",),
+         ("\t\n  mixed   der  the  el \n",), ("punct.,;:!?",), ("123 456",)],
+        "text string",
+    )
+    qe = T.quality_exprs("text")
+    le = T.language_pred_exprs("text")
+    fused = T.fused_token_feature_expr("text")
+    rows = adv.select(
+        qe["n_tokens"].alias("nt"), le["lang_pred"].alias("lp"), fused.alias("f")
+    ).collect()
+    assert all(
+        r["nt"] == r["f"]["n_tokens"] and r["lp"] == r["f"]["lang_pred"]
+        for r in rows
+    ), rows
+
+    docs = spark.createDataFrame(
+        [(i, "the a of and to in is " + ("w%d " % i) * (i % 7), "s%d" % (i % 3))
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    sel = curation.select_for_training(docs, per_source_cap=10)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1, plan

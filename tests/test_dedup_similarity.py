@@ -260,7 +260,13 @@ def test_capped_band_table_computed_once(spark):
     ledger_before = len(dedup._live_candidate_checkpoints)
     capped = dedup.minhash_near_dup_pairs(docs, threshold=0.5, max_bucket_size=10)
     plan = capped._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan, plan
+    # r17 (verdict #3): the cap chain runs once behind a ledgered
+    # persist(MEMORY_AND_DISK) — both self-join sides read ONE
+    # InMemoryRelation, and the only Window in the plan text is that
+    # cached subtree's own printout (no Window executes outside it)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    first_imr = plan.find("InMemoryRelation")
+    assert first_imr != -1 and "Window" not in plan[:first_imr], plan
     assert len(dedup._live_candidate_checkpoints) == ledger_before + 1
     got = sorted((r["id_a"], r["id_b"]) for r in capped.collect())
 
@@ -2080,14 +2086,18 @@ def test_kmeans_chained_releases_iteration_checkpoints(two_lobes, spark):
 
 
 def test_pairwise_verify_shingles_computed_once(spark, tmp_path):
-    """r16: the pairwise candidates path computes the corpus scan +
-    shingle attach ONCE (ledgered lazy checkpoint) instead of re-expanding
-    it per pair side — the returned plan reads the attach table from
-    checkpoint blocks, so the documents scan appears ZERO times in it; in
-    the opt-out regime (broadcast_candidates=False, candidate set not
-    contractually small) the old recompute shape is preserved (the scan
-    appears once per pair side).  Pair values identical in both regimes
-    and to the full-scan reference."""
+    """r16/r17: the pairwise candidates path computes the corpus scan +
+    shingle attach ONCE — since r17 behind a ledgered
+    persist(MEMORY_AND_DISK) (verdict #3: recomputable after executor
+    loss, unlike the r16 localCheckpoint) — instead of re-expanding it
+    per pair side: both pair sides read ONE InMemoryRelation, every
+    documents scan in the plan sits INSIDE that cached subtree (where
+    the r17 pushdown is also finally visible: PushedFilters In(doc_id)),
+    and no scan exists outside it.  In the opt-out regime
+    (broadcast_candidates=False, candidate set not contractually small)
+    the old recompute shape is preserved (the scan appears once per pair
+    side).  Pair values identical in both regimes and to the full-scan
+    reference."""
     from bulkfhirloader_spark.operators import dedup
 
     p = str(tmp_path / "docs.parquet")
@@ -2110,7 +2120,14 @@ def test_pairwise_verify_shingles_computed_once(spark, tmp_path):
 
     j = dedup.ngram_jaccard_pairs(docs, candidates=cand, threshold=0.05)
     plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "Scan parquet" not in plan, plan
+    # both pair sides read the ONE persisted attach table; the only
+    # documents scans are the cached subtree's own printout (one per
+    # InMemoryTableScan reference), each carrying the In(doc_id) pushdown
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    first_imr = plan.find("InMemoryRelation")
+    assert first_imr != -1 and "Scan parquet" not in plan[:first_imr], plan
+    assert plan.count("Scan parquet") == plan.count("InMemoryRelation"), plan
+    assert "In(doc_id" in plan, plan
     got = sorted(
         (r["id_a"], r["id_b"], r["n_inter"], r["jaccard"]) for r in j.collect()
     )
@@ -2278,3 +2295,137 @@ def test_candidate_checkpoint_ledger_and_cc_release(spark):
     labels.collect()
     # final round's checkpoint (and nothing else from the loop) may remain
     assert stored_rdds() <= before_cc + 1
+
+def test_containment_candidate_id_scan_pushdown(spark, tmp_path):
+    """r17 (verdict #8): ngram_containment_pairs' candidates mode inherits
+    the literal-IN scan pushdown — the bounded candidate-id probe filters
+    the corpus scan with PushedFilters: In(doc_id, …) instead of a semi
+    join, so at scale the containment scorer reads candidate row groups,
+    not every row's text bytes.  Above the cap the semi join fallback is
+    preserved; values identical in both regimes."""
+    import bulkfhirloader_spark.operators.dedup as dedup
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} w{i+1} w{i+2} w{i+3}")
+         for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 7)], "id_a long, id_b long"
+    )
+
+    c = dedup.ngram_containment_pairs(docs, candidates=cand, threshold=0.1)
+    plan = c._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id" in plan, plan
+    # only the pair-level candidate restrict remains a semi join — the
+    # docs-restrict semi join (whose subtree prints once per reference:
+    # sizes + both self-join sides) is replaced by the scan pushdown
+    n_semi_pushdown = plan.count("LeftSemi")
+    assert n_semi_pushdown >= 1, plan
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_inter"],
+         round(r["cont_a_in_b"], 9), round(r["cont_b_in_a"], 9))
+        for r in c.collect()
+    )
+    assert got, "fixture must produce pairs"
+
+    # above the cap: the semi-join fallback, same values
+    old_max = dedup._VERIFY_ID_PUSHDOWN_MAX
+    dedup._VERIFY_ID_PUSHDOWN_MAX = 1
+    try:
+        c_fb = dedup.ngram_containment_pairs(docs, candidates=cand, threshold=0.1)
+        plan_fb = c_fb._jdf.queryExecution().executedPlan().toString()
+        # the docs-restrict semi join is back (repeated per reference),
+        # and the pushdown predicate is gone
+        assert plan_fb.count("LeftSemi") > n_semi_pushdown, plan_fb
+        assert "In(doc_id" not in plan_fb, plan_fb
+        got_fb = sorted(
+            (r["id_a"], r["id_b"], r["n_inter"],
+             round(r["cont_a_in_b"], 9), round(r["cont_b_in_a"], 9))
+            for r in c_fb.collect()
+        )
+        assert got_fb == got
+    finally:
+        dedup._VERIFY_ID_PUSHDOWN_MAX = old_max
+    dedup.release_candidate_checkpoints()
+
+
+def test_literal_id_predicate_renders_safely(spark):
+    """r16 advisor findings on _literal_id_in_predicate:
+    (1) string ids containing a quote/backslash push down ONLY under the
+    default parser — under spark.sql.parser.escapedStringLiterals=true
+    the rendered escapes would stay verbatim and silently mismatch, so
+    the builder refuses (semi-join fallback) there; ids without either
+    char render identically under both configs and always push down;
+    (2) non-int-renderable values against an integral column return None
+    (the old code raised ValueError where the semi join succeeded)."""
+    import bulkfhirloader_spark.operators.dedup as dedup
+
+    docs_s = spark.createDataFrame(
+        [("it's", "x"), ("a\\b", "y"), ("plain", "z")], "doc_id string, text string"
+    )
+    tricky = ["it's", "a\\b"]
+
+    # default parser: escapes are unescaped — pushdown must match exactly
+    assert spark.conf.get("spark.sql.parser.escapedStringLiterals") == "false"
+    pred = dedup._literal_id_in_predicate(docs_s, "doc_id", tricky)
+    assert pred is not None
+    got = sorted(r["doc_id"] for r in docs_s.where(pred).collect())
+    assert got == sorted(tricky)
+
+    # legacy parser: quote/backslash ids must refuse (None); plain ids OK
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        assert dedup._literal_id_in_predicate(docs_s, "doc_id", tricky) is None
+        pred_plain = dedup._literal_id_in_predicate(docs_s, "doc_id", ["plain"])
+        assert pred_plain is not None
+        got_plain = [r["doc_id"] for r in docs_s.where(pred_plain).collect()]
+        assert got_plain == ["plain"]
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+
+    # integral column, non-int-renderable candidate ids: None, not a raise
+    docs_i = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert dedup._literal_id_in_predicate(docs_i, "doc_id", ["d0", "d1"]) is None
+    # int-renderable strings still push down (sorted as strings, cast ok)
+    pred_i = dedup._literal_id_in_predicate(docs_i, "doc_id", ["1", "2"])
+    assert pred_i is not None
+    assert [r["doc_id"] for r in docs_i.where(pred_i).collect()] == [1]
+
+
+def test_shared_persist_entries_survive_drain(spark):
+    """r17 (verdict #3): the shared self-join cuts — capped band table,
+    simhash signatures, jaccard shingle-attach — are persist-backed, not
+    localCheckpoint-backed: after release_candidate_checkpoints a
+    still-held result RECOMPUTES (the r16 checkpoint version failed with
+    a missing-block error), and the executed plan still carries ONE
+    producing chain (InMemoryRelation under both join sides)."""
+    import bulkfhirloader_spark.operators.dedup as dedup
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta " * 3) + f"w{i} w{i+1} w{i+2}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    # capped minhash: share=True persists the capped band table
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.1, max_bucket_size=8
+    )
+    first = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # BOTH self-join sides read the one persisted capped band table (the
+    # r16 plan audit flagged the per-side Window-chain rebuild; the
+    # InMemoryRelation executes its producing chain exactly once)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+    # simhash: signature projection persisted
+    sim = dedup.simhash_near_dup_pairs(docs, max_hamming=20, band_bits=4)
+    sim_first = sorted((r["id_a"], r["id_b"]) for r in sim.collect())
+
+    released = dedup.release_candidate_checkpoints()
+    assert released >= 2
+    # the drain only unpersisted: both results recompute identically
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs.collect()) == first
+    assert sorted((r["id_a"], r["id_b"]) for r in sim.collect()) == sim_first
